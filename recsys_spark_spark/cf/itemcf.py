@@ -1,0 +1,392 @@
+"""Item-based collaborative filtering — the reference's own capability surface.
+
+Semantics: standard ItemCF (Sarwar et al., WWW 2001; Linden et al., 2003) as
+reconstructed in SURVEY.md §3.I — the reference checkout was empty this round
+(SURVEY.md §0), so no file:line citations into /root/reference are possible;
+the pipeline shape below is the reconstructed [R:H] contract.
+
+Pipeline: user-item interaction matrix (orders ⋈ lineitem) → item co-occurrence
+(self-join on user) → cosine similarity C(i,j)/sqrt(N(i)·N(j)) → top-K
+neighbors per item → score p(u,j) = Σ_{i∈I(u)} w_ij · r_ui → drop seen items →
+top-N per user.
+
+Scale design (100 TB, SURVEY.md §5):
+- The interaction matrix is the only big table; it is built by one shuffle
+  (groupBy user,item) and every later stage is keyed on user or item.
+- Co-occurrence self-joins on user_id; hot (high-fan-out) users are the classic
+  skew source — ``MAX_USER_HISTORY`` caps per-user history (keep the
+  MAX_USER_HISTORY most-interacted items per user) bounding the pair blow-up at
+  O(U·K²); AQE skew-join splitting handles residual skew.
+- Similarity/top-K are per-item windows: partition-parallel, no global sort.
+- All float aggregates use order-independent scaled-integer sums
+  (functions.determinism) — results identical across partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recsys_spark_spark.catalog import table
+from recsys_spark_spark.registry import query
+
+TOP_K_NEIGHBORS = 10
+TOP_N_RECS = 5
+# Per-user history cap for the co-occurrence self-join. At the test scale
+# factors no user exceeds this, so capped == uncapped (oracle stays exact);
+# at 100 TB it is the knob that bounds the pair explosion (Linden'03).
+MAX_USER_HISTORY = 1000
+
+
+# --------------------------------------------------------------------------
+# Building blocks (shared, composable DataFrame builders)
+# --------------------------------------------------------------------------
+
+def interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1: user-item interaction matrix from orders ⋈ lineitem.
+
+    One shuffle join on orderkey (both sides large → sort-merge/shuffled-hash,
+    AQE decides) + one hash aggregate on (user, item).
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+    )
+
+
+def capped_interactions(spark: SparkSession, sf_dir: str, cap: int = MAX_USER_HISTORY) -> DataFrame:
+    """Interaction matrix with per-user history capped to the `cap` strongest
+    items (deterministic tie-break on item_id). Skew guard for co-occurrence."""
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("item_id"))
+    return (
+        interactions(spark, sf_dir)
+        .withColumn("_hrank", F.row_number().over(w))
+        .where(F.col("_hrank") <= cap)
+        .drop("_hrank")
+    )
+
+
+def item_norms(ui: DataFrame) -> DataFrame:
+    """I2: N(i) = number of distinct users per item (ui is unique on user,item)."""
+    return ui.groupBy("item_id").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def cooccurrence(ui: DataFrame) -> DataFrame:
+    """I3: C(i,j) = users who interacted with both i and j (i < j).
+
+    Self-join on user_id — the skew-prone stage; inputs should be capped
+    (see capped_interactions) at scale.
+    """
+    a = ui.select("user_id", F.col("item_id").alias("item_i"))
+    b = ui.select("user_id", F.col("item_id").alias("item_j"))
+    return (
+        a.join(b, "user_id")
+        .where(F.col("item_i") < F.col("item_j"))
+        .groupBy("item_i", "item_j")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
+def cosine_similarity(cooc: DataFrame, norms: DataFrame) -> DataFrame:
+    """I4: w_ij = C(i,j) / sqrt(N(i)·N(j)), rounded to 6 decimals.
+
+    norms is small relative to cooc → broadcast both norm joins.
+    """
+    ni = F.broadcast(norms.select(F.col("item_id").alias("item_i"), F.col("n_users").alias("n_i")))
+    nj = F.broadcast(norms.select(F.col("item_id").alias("item_j"), F.col("n_users").alias("n_j")))
+    return (
+        cooc.join(ni, "item_i")
+        .join(nj, "item_j")
+        .select(
+            "item_i",
+            "item_j",
+            F.round(F.col("n_common") / F.sqrt(F.col("n_i") * F.col("n_j")), 6).alias("sim"),
+        )
+    )
+
+
+def symmetrize(sim: DataFrame) -> DataFrame:
+    """Similarity triples are stored once (i<j); expand to both directions."""
+    return sim.unionByName(
+        sim.select(
+            F.col("item_j").alias("item_i"),
+            F.col("item_i").alias("item_j"),
+            "sim",
+        )
+    )
+
+
+def topk_neighbors(sim_full: DataFrame, k: int = TOP_K_NEIGHBORS) -> DataFrame:
+    """I6: top-K similar items per item; rank window is per-item (parallel)."""
+    w = Window.partitionBy("item_i").orderBy(F.col("sim").desc(), F.col("item_j"))
+    return (
+        sim_full.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def recommend(ui: DataFrame, neighbors: DataFrame, n: int = TOP_N_RECS) -> DataFrame:
+    """I7: p(u,j) = Σ_{i∈I(u)} w_ij·r_ui (r = cnt), drop seen, top-N per user.
+
+    Scaled-integer sum keeps the score order-independent; anti-join removes
+    seen items; final rank is a per-user window.
+    """
+    joined = ui.join(neighbors, ui.item_id == neighbors.item_i)
+    scores = (
+        joined.groupBy(
+            F.col("user_id"),
+            F.col("item_j").alias("rec_item"),
+        )
+        .agg(
+            (F.sum(F.round(F.col("sim") * F.col("cnt") * 1e6, 0).cast("long")) / F.lit(1e6)).alias("_s")
+        )
+    )
+    seen = ui.select("user_id", F.col("item_id").alias("rec_item"))
+    unseen = scores.join(seen, ["user_id", "rec_item"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy(F.col("_s").desc(), F.col("rec_item"))
+    return (
+        unseen.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= n)
+        .select("user_id", F.col("rec_item").alias("item_id"), F.round("_s", 6).alias("score"), "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL fragments (DuckDB twins of the builders above)
+# --------------------------------------------------------------------------
+
+UI_CTE = """ui AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id,
+         COUNT(*) AS cnt, SUM(l_quantity) AS total_qty
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+)"""
+
+NORMS_CTE = """norms AS (
+  SELECT item_id, COUNT(*) AS n_users FROM ui GROUP BY 1
+)"""
+
+COOC_CTE = """cooc AS (
+  SELECT a.item_id AS item_i, b.item_id AS item_j, COUNT(*) AS n_common
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY 1, 2
+)"""
+
+SIM_CTE = """sim AS (
+  SELECT item_i, item_j,
+         ROUND(n_common / SQRT(ni.n_users * nj.n_users), 6) AS sim
+  FROM cooc
+  JOIN norms ni ON cooc.item_i = ni.item_id
+  JOIN norms nj ON cooc.item_j = nj.item_id
+)"""
+
+SIMSYM_CTE = """simsym AS (
+  SELECT item_i, item_j, sim FROM sim
+  UNION ALL
+  SELECT item_j AS item_i, item_i AS item_j, sim FROM sim
+)"""
+
+TOPK_CTE = f"""topk AS (
+  SELECT item_i, item_j, sim, rnk FROM (
+    SELECT item_i, item_j, sim,
+           ROW_NUMBER() OVER (PARTITION BY item_i ORDER BY sim DESC, item_j) AS rnk
+    FROM simsym
+  ) WHERE rnk <= {TOP_K_NEIGHBORS}
+)"""
+
+RECS_CTE = f"""scores AS (
+  SELECT ui.user_id, t.item_j AS rec_item,
+         SUM(CAST(ROUND(t.sim * ui.cnt * 1e6, 0) AS BIGINT)) / 1e6 AS _s
+  FROM ui JOIN topk t ON ui.item_id = t.item_i
+  GROUP BY 1, 2
+), unseen AS (
+  SELECT s.user_id, s.rec_item, s._s
+  FROM scores s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ui WHERE ui.user_id = s.user_id AND ui.item_id = s.rec_item
+  )
+), recs AS (
+  SELECT user_id, rec_item AS item_id, ROUND(_s, 6) AS score, rnk FROM (
+    SELECT user_id, rec_item, _s,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY _s DESC, rec_item) AS rnk
+    FROM unseen
+  ) WHERE rnk <= {TOP_N_RECS}
+)"""
+
+CF_CHAIN = ",\n".join([UI_CTE, NORMS_CTE, COOC_CTE, SIM_CTE, SIMSYM_CTE, TOPK_CTE, RECS_CTE])
+
+
+# --------------------------------------------------------------------------
+# Registered queries
+# --------------------------------------------------------------------------
+
+@query(
+    "q_cf_user_item",
+    oracle=f"WITH {UI_CTE}\nSELECT user_id, item_id, cnt, total_qty FROM ui",
+)
+def q_cf_user_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interactions(spark, sf_dir)
+
+
+@query(
+    "q_cf_item_norms",
+    oracle=f"WITH {UI_CTE},\n{NORMS_CTE}\nSELECT item_id, n_users FROM norms",
+)
+def q_cf_item_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return item_norms(interactions(spark, sf_dir))
+
+
+@query(
+    "q_cf_cooccurrence",
+    oracle=f"WITH {UI_CTE},\n{COOC_CTE}\nSELECT item_i, item_j, n_common FROM cooc",
+)
+def q_cf_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cooccurrence(interactions(spark, sf_dir))
+
+
+@query(
+    "q_cf_cosine_sim",
+    oracle=(
+        f"WITH {UI_CTE},\n{NORMS_CTE},\n{COOC_CTE},\n{SIM_CTE}\n"
+        "SELECT item_i, item_j, sim FROM sim"
+    ),
+)
+def q_cf_cosine_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ui = interactions(spark, sf_dir)
+    return cosine_similarity(cooccurrence(ui), item_norms(ui))
+
+
+IUF_CTE = """usize AS (
+  SELECT user_id, 1.0 / LN(1 + COUNT(*)) AS iuf FROM ui GROUP BY 1
+), iufnum AS (
+  SELECT a.item_id AS item_i, b.item_id AS item_j,
+         SUM(CAST(ROUND(u.iuf * 1e9, 0) AS BIGINT)) / 1e9 AS s_iuf
+  FROM ui a
+  JOIN ui b ON a.user_id = b.user_id AND a.item_id < b.item_id
+  JOIN usize u ON u.user_id = a.user_id
+  GROUP BY 1, 2
+)"""
+
+
+@query(
+    "q_cf_iuf_sim",
+    oracle=(
+        f"WITH {UI_CTE},\n{NORMS_CTE},\n{IUF_CTE}\n"
+        "SELECT item_i, item_j,\n"
+        "       ROUND(s_iuf / SQRT(ni.n_users * nj.n_users), 6) AS sim\n"
+        "FROM iufnum\n"
+        "JOIN norms ni ON iufnum.item_i = ni.item_id\n"
+        "JOIN norms nj ON iufnum.item_j = nj.item_id"
+    ),
+)
+def q_cf_iuf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5: inverse-user-frequency ItemCF — active users contribute
+    1/ln(1+|I(u)|) to each co-occurrence instead of 1."""
+    ui = interactions(spark, sf_dir)
+    usize = ui.groupBy("user_id").agg((F.lit(1.0) / F.log(F.lit(1) + F.count(F.lit(1)))).alias("iuf"))
+    a = ui.select("user_id", F.col("item_id").alias("item_i"))
+    b = ui.select("user_id", F.col("item_id").alias("item_j"))
+    iufnum = (
+        a.join(b, "user_id")
+        .where(F.col("item_i") < F.col("item_j"))
+        .join(usize, "user_id")
+        .groupBy("item_i", "item_j")
+        .agg((F.sum(F.round(F.col("iuf") * 1e9, 0).cast("long")) / F.lit(1e9)).alias("s_iuf"))
+    )
+    norms = item_norms(ui)
+    ni = F.broadcast(norms.select(F.col("item_id").alias("item_i"), F.col("n_users").alias("n_i")))
+    nj = F.broadcast(norms.select(F.col("item_id").alias("item_j"), F.col("n_users").alias("n_j")))
+    return (
+        iufnum.join(ni, "item_i")
+        .join(nj, "item_j")
+        .select(
+            "item_i",
+            "item_j",
+            F.round(F.col("s_iuf") / F.sqrt(F.col("n_i") * F.col("n_j")), 6).alias("sim"),
+        )
+    )
+
+
+@query(
+    "q_cf_topk_neighbors",
+    oracle=(
+        f"WITH {UI_CTE},\n{NORMS_CTE},\n{COOC_CTE},\n{SIM_CTE},\n{SIMSYM_CTE},\n{TOPK_CTE}\n"
+        "SELECT item_i, item_j, sim, rnk FROM topk"
+    ),
+)
+def q_cf_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ui = interactions(spark, sf_dir)
+    sim = cosine_similarity(cooccurrence(ui), item_norms(ui))
+    return topk_neighbors(symmetrize(sim))
+
+
+@query(
+    "q_cf_recommend",
+    oracle=f"WITH {CF_CHAIN}\nSELECT user_id, item_id, score, rnk FROM recs",
+)
+def q_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7 flagship: full ItemCF recommendation pipeline, top-5 per user."""
+    ui = capped_interactions(spark, sf_dir)
+    sim = cosine_similarity(cooccurrence(ui), item_norms(ui))
+    neighbors = topk_neighbors(symmetrize(sim)).select("item_i", "item_j", "sim")
+    return recommend(ui, neighbors)
+
+
+USER_NORMS_CTE = """unorms AS (
+  SELECT user_id, COUNT(*) AS n_items FROM ui GROUP BY 1
+)"""
+
+USER_COOC_CTE = """ucooc AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS n_common
+  FROM ui a JOIN ui b ON a.item_id = b.item_id AND a.user_id < b.user_id
+  GROUP BY 1, 2
+)"""
+
+
+@query(
+    "q_cf_user_sim",
+    oracle=(
+        f"WITH {UI_CTE},\n{USER_NORMS_CTE},\n{USER_COOC_CTE}\n"
+        "SELECT user_a, user_b,\n"
+        "       ROUND(n_common / SQRT(na.n_items * nb.n_items), 6) AS sim\n"
+        "FROM ucooc\n"
+        "JOIN unorms na ON ucooc.user_a = na.user_id\n"
+        "JOIN unorms nb ON ucooc.user_b = nb.user_id"
+    ),
+)
+def q_cf_user_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I8: UserCF cosine similarity — symmetric to I4 on the user axis.
+
+    Self-join on item_id; at scale hot items are capped/salted the same way
+    hot users are in I3 (AQE skew split handles the residue)."""
+    ui = interactions(spark, sf_dir)
+    unorms = ui.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_items"))
+    a = ui.select("item_id", F.col("user_id").alias("user_a"))
+    b = ui.select("item_id", F.col("user_id").alias("user_b"))
+    ucooc = (
+        a.join(b, "item_id")
+        .where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = unorms.select(F.col("user_id").alias("user_a"), F.col("n_items").alias("n_a"))
+    nb = unorms.select(F.col("user_id").alias("user_b"), F.col("n_items").alias("n_b"))
+    return (
+        ucooc.join(na, "user_a")
+        .join(nb, "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            F.round(F.col("n_common") / F.sqrt(F.col("n_a") * F.col("n_b")), 6).alias("sim"),
+        )
+    )

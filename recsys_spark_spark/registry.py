@@ -1,0 +1,65 @@
+"""Central query registry — the driver contract surface.
+
+Every operator from SURVEY.md §3 registers a ``q_*`` callable
+(spark, sf_dir) -> DataFrame, and (when SQL-expressible) a DuckDB oracle SQL
+string. ``__spark_entry__.py`` exposes these to the driver.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+# Modules whose import registers queries (grow as milestones land).
+_QUERY_MODULES = (
+    "recsys_spark_spark.operators.scans",
+    "recsys_spark_spark.operators.filters",
+    "recsys_spark_spark.operators.joins",
+    "recsys_spark_spark.operators.aggregates",
+    "recsys_spark_spark.operators.windows",
+    "recsys_spark_spark.operators.sorts",
+    "recsys_spark_spark.operators.sets",
+    "recsys_spark_spark.functions.scalar",
+    "recsys_spark_spark.cf.itemcf",
+    "recsys_spark_spark.cf.evaluate",
+    "recsys_spark_spark.cf.als",
+    "recsys_spark_spark.llm.dedup",
+    "recsys_spark_spark.llm.similarity",
+    "recsys_spark_spark.llm.multimodal",
+    "recsys_spark_spark.llm.text",
+    "recsys_spark_spark.streaming.batch_twins",
+    "recsys_spark_spark.udf.udfs",
+)
+
+_loaded = False
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query callable and (optionally) its DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    """Import all query modules (idempotent) and return the registries."""
+    global _loaded
+    if not _loaded:
+        for mod in _QUERY_MODULES:
+            importlib.import_module(mod)
+        _loaded = True
+    return QUERIES, ORACLES

@@ -1,0 +1,51 @@
+"""CF math checked against a hand-computed example (SURVEY.md §6.3).
+
+Users:  u1 -> {A, B}, u2 -> {A, B}, u3 -> {A, C}   (all cnt=1)
+Norms:  N(A)=3, N(B)=2, N(C)=1
+Cooc:   (A,B)=2, (A,C)=1
+Cosine: sim(A,B) = 2/sqrt(6) = 0.816497, sim(A,C) = 1/sqrt(3) = 0.577350
+Recs:   u3 (seen A,C): only unseen candidate is B via A -> score 0.816497
+        u1, u2 (seen A,B): only unseen candidate is C via A -> score 0.577350
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from recsys_spark_spark.cf import itemcf
+
+A, B, C = 1, 2, 3
+
+
+@pytest.fixture(scope="module")
+def ui(spark):
+    rows = [(1, A, 1, 1.0), (1, B, 1, 1.0), (2, A, 1, 1.0), (2, B, 1, 1.0), (3, A, 1, 1.0), (3, C, 1, 1.0)]
+    return spark.createDataFrame(rows, "user_id long, item_id long, cnt long, total_qty double")
+
+
+def test_norms(ui):
+    got = {r.item_id: r.n_users for r in itemcf.item_norms(ui).collect()}
+    assert got == {A: 3, B: 2, C: 1}
+
+
+def test_cooccurrence(ui):
+    got = {(r.item_i, r.item_j): r.n_common for r in itemcf.cooccurrence(ui).collect()}
+    assert got == {(A, B): 2, (A, C): 1}
+
+
+def test_cosine(ui):
+    sim = itemcf.cosine_similarity(itemcf.cooccurrence(ui), itemcf.item_norms(ui))
+    got = {(r.item_i, r.item_j): r.sim for r in sim.collect()}
+    assert got == {(A, B): 0.816497, (A, C): 0.57735}
+
+
+def test_recommend(ui):
+    sim = itemcf.cosine_similarity(itemcf.cooccurrence(ui), itemcf.item_norms(ui))
+    neighbors = itemcf.topk_neighbors(itemcf.symmetrize(sim)).select("item_i", "item_j", "sim")
+    recs = itemcf.recommend(ui, neighbors)
+    got = {(r.user_id, r.item_id): (r.score, r.rnk) for r in recs.collect()}
+    assert got == {
+        (1, C): (0.57735, 1),
+        (2, C): (0.57735, 1),
+        (3, B): (0.816497, 1),
+    }

@@ -1,0 +1,126 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle on DuckDB over the same
+parquet, then compares row count, column names/types, and the full
+order-insensitive multiset of values (exact — stricter than any hash).
+
+Usage:
+    python tools/check_oracles.py [--sf /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from recsys_spark_spark.catalog import TABLES  # noqa: E402
+from recsys_spark_spark.registry import load_all  # noqa: E402
+from recsys_spark_spark.session import get_spark  # noqa: E402
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, normalize dtypes, sort rows → comparable frame."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: str(v) if v is not None else None)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        problems.append(f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
+        return problems
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count differs: spark={len(spark_df)} duck={len(duck_df)}")
+    s, d = canonicalize(spark_df), canonicalize(duck_df)
+    if len(s) == len(d):
+        for c in s.columns:
+            sv, dv = s[c], d[c]
+            if pd.api.types.is_float_dtype(sv):
+                eq = (sv.isna() & dv.isna()) | (sv == dv)
+            else:
+                eq = (sv.isna() & dv.isna()) | (sv == dv)
+            bad = int((~eq.fillna(False)).sum())
+            if bad:
+                idx = (~eq.fillna(False)).idxmax()
+                detail = f" e.g. row {idx}: spark={sv[idx]!r} duck={dv[idx]!r}"
+                if pd.api.types.is_float_dtype(sv):
+                    with np.errstate(invalid="ignore"):
+                        md = float(np.nanmax(np.abs(sv.to_numpy(dtype=float) - dv.to_numpy(dtype=float))))
+                    detail += f" maxdiff={md:g}"
+                problems.append(f"col {c!r}: {bad} mismatching values;{detail}")
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    queries, oracles = load_all()
+    names = args.names or sorted(queries)
+    spark = get_spark(shuffle_partitions=8)
+    con = duck_connection(args.sf)
+
+    failures = 0
+    for name in names:
+        if name not in queries:
+            print(f"FAIL {name}: not registered")
+            failures += 1
+            continue
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, args.sf).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception:
+            print(f"FAIL {name}: oracle raised\n{traceback.format_exc()}")
+            failures += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            failures += 1
+            print(f"FAIL {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"     {p}")
+        else:
+            print(f"ok   {name}: {len(sdf)} rows match [{time.time()-t0:.1f}s]")
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
