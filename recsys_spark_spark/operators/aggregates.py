@@ -1,1 +1,266 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""3.D — aggregations.
+
+All double-typed measures go through the scaled-integer-sum discipline
+(functions.determinism) so partial/final aggregation order never changes the
+result. Variance/stddev/corr are computed from integer moment sums with the
+identical closed-form expression on both engines — the only way to make
+second-moment statistics hash-stable (Welford vs two-pass orderings differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recsys_spark_spark.catalog import table
+from recsys_spark_spark.functions.determinism import davg, dsum, oavg, osum
+from recsys_spark_spark.registry import query
+
+
+@query(
+    "q_agg_groupby",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       {osum("l_extendedprice")} AS sum_base_price,
+       {osum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       {osum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       {oavg("l_quantity")} AS avg_qty,
+       {oavg("l_extendedprice")} AS avg_price,
+       {oavg("l_discount")} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY 1, 2
+""",
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: TPC-H Q1 shape — partial+final HashAggregate, 8 measures."""
+    l = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),  # integral doubles: exact as-is
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(charge).alias("sum_charge"),
+        davg(F.col("l_quantity")).alias("avg_qty"),
+        davg(F.col("l_extendedprice")).alias("avg_price"),
+        davg(F.col("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(DISTINCT o_custkey) AS n_buyers,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+""",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: distinct aggregate (two-phase expand) alongside a plain count."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query("q_agg_approx")  # rows-only: estimator-specific values (HLL++, KLL)
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/D9-approx: HyperLogLog++ count-distinct and approximate percentiles —
+    the sketches that replace exact distinct/percentile at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_buyers"),
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles"),
+    ).select(
+        "o_orderpriority",
+        "approx_buyers",
+        F.col("price_quartiles")[0].alias("p25"),
+        F.col("price_quartiles")[1].alias("p50"),
+        F.col("price_quartiles")[2].alias("p75"),
+    )
+
+
+_ROLLUP_MEASURE = osum("o_totalprice")
+
+
+@query(
+    "q_agg_rollup",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
+       CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       {_ROLLUP_MEASURE} AS revenue, COUNT(*) AS n
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+""",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: hierarchical subtotals (year, priority) → year → grand total."""
+    o = table(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate").cast("long"))
+    return (
+        o.rollup("o_year", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("o_year", "o_orderpriority", "gid", "revenue", "n")
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderstatus,
+       CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+       {_ROLLUP_MEASURE} AS revenue, COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+""",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: full cube over (year, status) — all four grouping sets."""
+    o = table(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate").cast("long"))
+    return (
+        o.cube("o_year", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("o_year", "o_orderstatus", "gid", "revenue", "n")
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: explicit grouping sets — SQL-mode only (no DataFrame equivalent)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer
+GROUP BY 1
+HAVING COUNT(*) > 55
+""",
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7: post-aggregation filter (HAVING)."""
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .where(F.col("n_customers") > 55)
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT o_custkey AS user_id, l_partkey
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT user_id,
+       string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS items
+FROM d GROUP BY 1
+""",
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: list aggregation — per-user sorted item history (the CF user
+    vector). collect_set is unordered → sort_array before emitting, and emit
+    a joined string so the value hash is representation-independent."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            F.expr(
+                "array_join(transform(sort_array(collect_set(l_partkey)), x -> cast(x as string)), ',')"
+            ).alias("items")
+        )
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+WITH m AS (
+  SELECT p_brand,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100 AS sx,
+         SUM(CAST(ROUND(l_extendedprice * l_extendedprice, 0) AS BIGINT)) AS sxx,
+         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sy,
+         SUM(CAST(ROUND(l_quantity * l_quantity, 0) AS BIGINT)) AS syy,
+         SUM(CAST(ROUND(l_extendedprice * l_quantity, 0) AS BIGINT)) AS sxy
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT p_brand, n,
+       ROUND(sx / n, 6) AS avg_price,
+       ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_price,
+       ROUND((sxy - sx * sy / n) /
+             (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)), 6) AS corr_price_qty
+FROM m
+""",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9: dispersion statistics per brand from integer moment sums —
+    deterministic closed-form stddev/corr (see module docstring)."""
+    l = table(spark, sf_dir, "lineitem")
+    p = F.broadcast(table(spark, sf_dir, "part"))
+    x = F.col("l_extendedprice")
+    y = F.col("l_quantity")
+    m = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(x * 100, 0).cast("long")) / F.lit(100)).alias("sx"),
+            F.sum(F.round(x * x, 0).cast("long")).alias("sxx"),
+            F.sum(F.round(y, 0).cast("long")).alias("sy"),
+            F.sum(F.round(y * y, 0).cast("long")).alias("syy"),
+            F.sum(F.round(x * y, 0).cast("long")).alias("sxy"),
+        )
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    return m.select(
+        "p_brand",
+        "n",
+        F.round(sx / n, 6).alias("avg_price"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("stddev_price"),
+        F.round(
+            (sxy - sx * sy / n) / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)), 6
+        ).alias("corr_price_qty"),
+    )

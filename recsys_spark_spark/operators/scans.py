@@ -1,1 +1,97 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""3.A — scans, sources, sinks.
+
+A1/A2 prove the plan shape matters: column pruning and predicate pushdown must
+reach the parquet scan (verified in tests/test_plans.py via explain()); at
+100 TB these are the difference between reading 3 columns of one partition and
+reading everything.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recsys_spark_spark.catalog import table
+from recsys_spark_spark.registry import query
+
+TMP_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+
+
+@query(
+    "q_scan_project",
+    oracle="SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: scan + column pruning — ReadSchema must contain exactly 3 columns."""
+    return table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+
+
+@query(
+    "q_scan_filter_pushdown",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+""",
+)
+def q_scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: range predicate pushed into the parquet scan (PushedFilters)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+
+
+@query("q_source_csv_json")  # rows-only: round-trips through local tmp files
+def q_source_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: csv + json sources with explicit schemas, round-tripped.
+
+    Writes the nation dim to csv and json, reads both back, inner-joins them —
+    result must equal the source row count with both payloads intact.
+    """
+    out = os.path.join(TMP_DIR, "roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
+    nation = table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", True).csv(f"{out}/csv")
+    nation.write.mode("overwrite").json(f"{out}/json")
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    from_csv = spark.read.schema(schema).option("header", True).csv(f"{out}/csv")
+    from_json = spark.read.schema(schema).json(f"{out}/json")
+    return (
+        from_csv.alias("c")
+        .join(from_json.alias("j"), "n_nationkey")
+        .select("n_nationkey", F.col("c.n_name").alias("name_csv"), F.col("j.n_name").alias("name_json"))
+    )
+
+
+@query("q_sink_parquet")  # rows-only: write+reread through local tmp files
+def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: partitioned parquet sink (the reference's Hive-sink analogue).
+
+    Partitioning by a low-cardinality column is the 100 TB layout: writers are
+    parallel per partition, readers prune by it.
+    """
+    out = os.path.join(TMP_DIR, "sink")
+    shutil.rmtree(out, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer")
+    cust.write.mode("overwrite").partitionBy("c_mktsegment").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_sql_view",
+    oracle="SELECT n_name, COUNT(*) AS n_customers FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1",
+)
+def q_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: temp-view registration + SQL-mode execution path."""
+    for name in ("customer", "nation"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        "SELECT n_name, COUNT(*) AS n_customers "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    )

@@ -1,1 +1,191 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""3.E — window functions.
+
+Every window partitions by a key (customer/user/brand) → partition-parallel at
+scale; no global (unpartitioned) windows outside F3's explicitly-small case.
+Running/moving sums are computed over scaled integers so sliding-frame
+incremental evaluation (DuckDB) and full-frame evaluation (Spark) agree
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recsys_spark_spark.catalog import table
+from recsys_spark_spark.registry import query
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+SELECT p_partkey, p_brand, p_retailprice,
+       CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rn,
+       CAST(RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS drnk
+FROM part
+""",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: ranking trio — the CF top-K/top-N primitive. row_number gets a
+    total order (tie-break on partkey); rank/dense_rank depend only on the
+    key value so ties are deterministic without it."""
+    p = table(spark, sf_dir, "part")
+    by_price = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    total = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.row_number().over(total).cast("long").alias("rn"),
+        F.rank().over(by_price).cast("long").alias("rnk"),
+        F.dense_rank().over(by_price).cast("long").alias("drnk"),
+    )
+
+
+@query(
+    "q_window_running",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100 AS running_spend
+FROM orders
+""",
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: cumulative spend per customer (unbounded-preceding frame)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum(cents).over(w) / F.lit(100)).alias("running_spend"),
+    )
+
+
+@query(
+    "q_window_lag_lead",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, date_trunc('second', ts) AS sec FROM events
+)
+SELECT event_id, user_id,
+       CAST(date_diff('second',
+            LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id), sec) AS BIGINT) AS gap_s,
+       LEAD(event_id) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS next_event_id
+FROM ev
+""",
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: lag/lead — inter-event gap per user (second granularity; the
+    events table is ns and Spark truncates to µs, SURVEY.md §7.5)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.date_trunc("second", "ts").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_timestamp("sec") - F.unix_timestamp(F.lag("sec").over(w))).alias("gap_s"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@query(
+    "q_window_moving",
+    oracle="""
+WITH w AS (
+  SELECT o_orderkey, o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+           OVER win AS s_cents,
+         COUNT(*) OVER win AS n
+  FROM orders
+  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+)
+SELECT o_orderkey, o_custkey, ROUND(s_cents / (n * 100.0), 6) AS moving_avg
+FROM w
+""",
+)
+def q_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: 3-row moving average of order value per customer."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum(cents).over(w) / (F.count(F.lit(1)).over(w) * F.lit(100.0)), 6).alias("moving_avg"),
+    )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+SELECT c_custkey, c_acctbal,
+       CAST(NTILE(4) OVER ord AS BIGINT) AS quartile,
+       ROUND(PERCENT_RANK() OVER ord, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER ord, 6) AS cume
+FROM customer
+WINDOW ord AS (ORDER BY c_acctbal, c_custkey)
+""",
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: distribution functions over account balance.
+
+    Unpartitioned window: fine for a customer dim; at 100 TB you'd bucket by
+    a hash prefix first or use approx quantiles (q_agg_approx)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(date_part('epoch', o_orderdate) AS BIGINT) AS od_sec,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey,
+       SUM(cents) OVER (PARTITION BY o_custkey ORDER BY od_sec
+                        RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) / 100
+         AS spend_30d
+FROM o
+""",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: value-range frame — per-customer spend in the 30 days up to each
+    order (rangeBetween over epoch seconds; peers at the same timestamp are
+    included by RANGE semantics, so no tie-break is needed)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("od_sec"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od_sec").rangeBetween(-2592000, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum("cents").over(w) / F.lit(100)).alias("spend_30d"),
+    )
