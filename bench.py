@@ -1,0 +1,82 @@
+"""Benchmark runner — driver contract (BASELINE.md / BENCH_r{N}.json).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing discipline: one warm SparkSession for the whole run (local-mode JVM
+startup would otherwise dominate at sf0.1), each query timed to the end of its
+action (collect of an aggregated/limited result, count for wide row sets —
+never materializing a full fact table through the Python boundary).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from recsys_spark_spark.registry import load_all  # noqa: E402
+from recsys_spark_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship CF pipeline + one representative per operator
+# family (scan, filter-agg, star join, wide agg, window, top-k, dedup, knn,
+# text, streaming-twin). Kept deliberately small so the number is readable.
+HEADLINE = (
+    "q_cf_recommend",
+    "q_scan_filter_pushdown",
+    "q_filter_range",
+    "q_join_multiway",
+    "q_agg_groupby",
+    "q_window_running",
+    "q_topk_per_group",
+    "q_dedup_exact",
+    "q_sim_cosine_knn",
+    "q_text_tfidf",
+    "q_stream_session",
+)
+
+def run_one(spark, fn, sf_dir: str) -> float:
+    """One timed end-to-end execution (single action — headline queries all
+    return aggregated/limited results, so collect is cheap relative to
+    compute)."""
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).collect()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    queries, _ = load_all()
+    spark = get_spark(app_name="recsys-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on the smallest SF so headline timings measure the
+    # queries, not first-call initialization.
+    for name in HEADLINE:
+        queries[name](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_one(spark, queries[name], SF_DIR), 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

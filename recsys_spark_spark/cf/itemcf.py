@@ -66,14 +66,33 @@ def interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def capped_interactions(spark: SparkSession, sf_dir: str, cap: int = MAX_USER_HISTORY) -> DataFrame:
     """Interaction matrix with per-user history capped to the `cap` strongest
-    items (deterministic tie-break on item_id). Skew guard for co-occurrence."""
+    items (deterministic tie-break on item_id). Skew guard for co-occurrence.
+
+    Adaptive: ranks only the histories of users that exceed the cap. The
+    overflow set is found with one cheap aggregate on the (persisted) matrix;
+    when it is empty — every test SF, and most real epochs — the matrix
+    passes through untouched, so the common case pays zero extra shuffle and
+    the window sort only ever touches the skewed tail it exists to bound.
+    Returns a persisted DataFrame (callers fan out into 4+ branches).
+    """
+    ui = interactions(spark, sf_dir).persist()
+    overflow = (
+        ui.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > cap)
+        .select("user_id")
+    ).persist()
+    if overflow.count() == 0:
+        return ui
+    keep = ui.join(F.broadcast(overflow), "user_id", "left_anti")
     w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("item_id"))
-    return (
-        interactions(spark, sf_dir)
+    capped = (
+        ui.join(F.broadcast(overflow), "user_id", "left_semi")
         .withColumn("_hrank", F.row_number().over(w))
         .where(F.col("_hrank") <= cap)
         .drop("_hrank")
     )
+    return keep.unionByName(capped).persist()
 
 
 def item_norms(ui: DataFrame) -> DataFrame:
@@ -116,22 +135,48 @@ def cosine_similarity(cooc: DataFrame, norms: DataFrame) -> DataFrame:
 
 
 def symmetrize(sim: DataFrame) -> DataFrame:
-    """Similarity triples are stored once (i<j); expand to both directions."""
-    return sim.unionByName(
-        sim.select(
+    """Similarity triples are stored once (i<j); expand to both directions.
+
+    Explode form, not union: a self-union would evaluate the whole
+    upstream chain (scan→join→co-occurrence→similarity) twice per action,
+    while explode emits both directions in the same stage, scanning it once.
+    """
+    both = F.array(
+        F.struct(F.col("item_i"), F.col("item_j"), F.col("sim")),
+        F.struct(
             F.col("item_j").alias("item_i"),
             F.col("item_i").alias("item_j"),
-            "sim",
-        )
+            F.col("sim"),
+        ),
     )
+    return sim.select(F.explode(both).alias("e")).select("e.item_i", "e.item_j", "e.sim")
 
 
 def topk_neighbors(sim_full: DataFrame, k: int = TOP_K_NEIGHBORS) -> DataFrame:
-    """I6: top-K similar items per item; rank window is per-item (parallel)."""
-    w = Window.partitionBy("item_i").orderBy(F.col("sim").desc(), F.col("item_j"))
-    return (
-        sim_full.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= k)
+    """I6: top-K similar items per item, tie-broken by item_j.
+
+    Hash-aggregate form (collect per item → sort the small array → slice)
+    instead of a row_number window: one hash shuffle and a ~1k-element sort
+    per item versus a full sort of every (i,j,sim) row. Identical output
+    (struct sort on (-sim, item_j) == ORDER BY sim DESC, item_j; Spark
+    normalizes -0.0 and sims are positive). At extreme per-item fan-out the
+    window form spills more gracefully — that regime is exactly what the
+    per-user cap (capped_interactions) prevents upstream.
+    """
+    agged = sim_full.groupBy("item_i").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct((-F.col("sim")).alias("ns"), F.col("item_j")))),
+            1,
+            k,
+        ).alias("top")
+    )
+    return agged.select(
+        "item_i", F.posexplode("top").alias("pos", "p")
+    ).select(
+        "item_i",
+        F.col("p.item_j").alias("item_j"),
+        (-F.col("p.ns")).alias("sim"),
+        (F.col("pos") + 1).cast("long").alias("rnk"),
     )
 
 
@@ -153,11 +198,20 @@ def recommend(ui: DataFrame, neighbors: DataFrame, n: int = TOP_N_RECS) -> DataF
     )
     seen = ui.select("user_id", F.col("item_id").alias("rec_item"))
     unseen = scores.join(seen, ["user_id", "rec_item"], "left_anti")
-    w = Window.partitionBy("user_id").orderBy(F.col("_s").desc(), F.col("rec_item"))
-    return (
-        unseen.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= n)
-        .select("user_id", F.col("rec_item").alias("item_id"), F.round("_s", 6).alias("score"), "rnk")
+    # Same hash-aggregate top-k form as topk_neighbors (vs a per-user window):
+    # candidates per user are bounded by |history|·K, so the arrays are small.
+    agged = unseen.groupBy("user_id").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct((-F.col("_s")).alias("ns"), F.col("rec_item")))),
+            1,
+            n,
+        ).alias("top")
+    )
+    return agged.select("user_id", F.posexplode("top").alias("pos", "p")).select(
+        "user_id",
+        F.col("p.rec_item").alias("item_id"),
+        F.round(-F.col("p.ns"), 6).alias("score"),
+        (F.col("pos") + 1).cast("long").alias("rnk"),
     )
 
 
@@ -335,7 +389,13 @@ def q_cf_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"WITH {CF_CHAIN}\nSELECT user_id, item_id, score, rnk FROM recs",
 )
 def q_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I7 flagship: full ItemCF recommendation pipeline, top-5 per user."""
+    """I7 flagship: full ItemCF recommendation pipeline, top-5 per user.
+
+    The interaction matrix feeds four branches (norms, co-occurrence,
+    scoring, seen-filter); capped_interactions returns it persisted so the
+    base join+agg runs once per action instead of four times — the single
+    biggest win at every scale (at 100 TB: MEMORY_AND_DISK or a parquet
+    checkpoint)."""
     ui = capped_interactions(spark, sf_dir)
     sim = cosine_similarity(cooccurrence(ui), item_norms(ui))
     neighbors = topk_neighbors(symmetrize(sim)).select("item_i", "item_j", "sim")

@@ -1,1 +1,248 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""3.H — scalar function surface (string / date / math / array / map / JSON /
+cast / hash).
+
+All row-level, codegen-fused, shuffle-free. Transcendental outputs (ln, pow)
+are rounded to 6 decimals on both sides: JVM and C libm may differ in the last
+ulp, and rounding absorbs it (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recsys_spark_spark.catalog import table
+from recsys_spark_spark.registry import query
+
+
+@query(
+    "q_str_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       substring(p_name, 1, 12) AS name_prefix,
+       concat(p_brand, ':', p_type) AS brand_type,
+       trim(p_name) AS name_trim,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+FROM part
+""",
+)
+def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1: core string functions over the part catalog."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.trim("p_name").alias("name_trim"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+@query(
+    "q_str_match",
+    oracle=r"""
+SELECT p_partkey, p_brand,
+       CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT) AS brand_num,
+       split_part(p_name, ' ', 1) AS first_word,
+       (p_type LIKE '%ECO%') AS is_eco
+FROM part
+WHERE p_brand LIKE 'Brand#1%'
+""",
+)
+def q_str_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: LIKE / regexp_extract / split."""
+    p = table(spark, sf_dir, "part")
+    return p.where(F.col("p_brand").like("Brand#1%")).select(
+        "p_partkey",
+        "p_brand",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("long").alias("brand_num"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.col("p_type").like("%ECO%").alias("is_eco"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       CAST(day(o_orderdate) AS BIGINT) AS o_day,
+       CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+       CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow
+FROM orders
+""",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3: date parts, arithmetic, truncation. ISO day-of-week is used on both
+    sides (Spark weekday()+1 == DuckDB isodow) — plain dayofweek conventions
+    differ between engines (SURVEY.md §7.5)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        F.datediff("o_orderdate", F.lit("1995-01-01")).cast("long").alias("days_since"),
+        F.date_add("o_orderdate", 30).alias("due_date"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("iso_dow"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(abs(l_discount - 0.05), 6) AS abs_disc,
+       ROUND(sqrt(l_quantity), 6) AS sqrt_qty,
+       ROUND(ln(l_extendedprice), 6) AS ln_price,
+       ROUND(pow(l_discount, 2), 6) AS disc_sq,
+       CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_ceil_k,
+       CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_floor_k,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+FROM lineitem
+""",
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4: math functions — the CF cosine/IUF building blocks (sqrt, ln)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_disc"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.pow("l_discount", 2), 6).alias("disc_sq"),
+        F.ceil(F.col("l_extendedprice") / 1000).cast("long").alias("price_ceil_k"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_floor_k"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+SELECT doc_id, t.token,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       array_to_string(string_split(text, ' ')[1:3], '-') AS first3
+FROM documents, unnest(string_split(text, ' ')) AS t(token)
+WHERE doc_id < 50
+""",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5: split→array, explode, size, array_distinct, slice over documents."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.explode(toks).alias("token"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.array_join(F.slice(toks, 1, 3), "-").alias("first3"),
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
+FROM events
+""",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: map construction + lookup. Spark side goes through a real MapType
+    (str_to_map); the oracle uses DuckDB's JSON path since DuckDB MAP
+    literals differ (SURVEY.md §3.H6)."""
+    ev = table(spark, sf_dir, "events")
+    m = F.expr("str_to_map(regexp_replace(props, '[{}\" ]', ''), ',', ':')")
+    return ev.select(
+        "event_id",
+        m.getItem("k").cast("long").alias("k_val"),
+        F.map_contains_key(m, F.lit("k")).alias("has_k"),
+    )
+
+
+@query(
+    "q_json_funcs",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       ROUND(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_k
+FROM events
+GROUP BY 1
+""",
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7: JSON extraction (get_json_object + from_json) feeding an agg."""
+    ev = table(spark, sf_dir, "events")
+    k1 = F.get_json_object("props", "$.k").cast("long")
+    parsed = F.from_json("props", "k int")  # schema'd variant of the same path
+    return (
+        ev.select("event_type", k1.alias("k"), parsed.getField("k").alias("k2"))
+        .where(F.col("k") == F.col("k2"))  # both extraction paths must agree
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum("k") / F.count(F.lit(1)).cast("double"), 6).alias("avg_k"),
+        )
+    )
+
+
+@query(
+    "q_cast_coalesce",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(substring(CAST(o_orderkey AS VARCHAR), 1, 3) AS BIGINT) AS key_prefix,
+       CAST(o_orderdate AS DATE) AS order_date,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+       COALESCE(NULLIF(o_totalprice, 0.0), -1.0) AS price_or_sentinel
+FROM orders
+""",
+)
+def q_cast_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8: cast chains, coalesce, nullif (null plumbing)."""
+    o = table(spark, sf_dir, "orders")
+    key_str = F.col("o_orderkey").cast("string")
+    return o.select(
+        "o_orderkey",
+        key_str.alias("key_str"),
+        F.substring(key_str, 1, 3).cast("long").alias("key_prefix"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_label"),
+        F.coalesce(F.nullif("o_totalprice", F.lit(0.0)), F.lit(-1.0)).alias("price_or_sentinel"),
+    )
+
+
+@query(
+    "q_hash_funcs",
+    oracle="""
+SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256
+FROM documents
+""",
+)
+def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H9: deterministic content hashing — the exact-dedup primitive (J1)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )

@@ -1,1 +1,101 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""3.J multimodal — opaque binary payloads with typed metadata.
+
+Pattern for image/audio/video at 100 TB: the payload is an opaque `binary`
+column that never leaves the executors; metadata (shape, codec, checksum)
+travels in typed columns; decode/feature-extraction runs as Arrow-batched
+mapInPandas so one Python worker processes a whole batch.
+
+No media libraries exist in this container, so the decode step is a
+clearly-marked deterministic stub (_fake_decode) — the Spark-side plumbing
+(schema, batching, partition layout, UDF signature) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recsys_spark_spark.catalog import table
+from recsys_spark_spark.registry import query
+
+
+@query(
+    "q_multimodal_join",
+    oracle=f"""
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars, e.label,
+       ROUND(SQRT(SUM(CAST(ROUND(CAST(e.embedding[gs.i] AS DOUBLE)
+                                 * CAST(e.embedding[gs.i] AS DOUBLE) * 1e12, 0) AS BIGINT))
+                  / 1e12), 6) AS emb_norm
+FROM documents d
+JOIN embeddings e ON d.doc_id = e.vec_id
+CROSS JOIN generate_series(1, 64) gs(i)
+GROUP BY 1, 2, 3, 4
+""",
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: text ⋈ vector modality join (doc_id = vec_id) with per-row
+    embedding stats, flattened to top-level columns (struct output hashes
+    differently across engines — SURVEY.md §7.5)."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    prods = F.zip_with(
+        F.col("embedding"),
+        F.col("embedding"),
+        lambda x, y: F.round(x.cast("double") * y.cast("double") * 1e12, 0).cast("long"),
+    )
+    norm_s = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    joined = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "label",
+        F.round(F.sqrt(norm_s / F.lit(1e12)), 6).alias("emb_norm"),
+    )
+    return joined
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, float]:
+    """STUB decoder — stands in for image/audio decode (no media libs in this
+    container). Deterministic: derives (width, height, mean_intensity) from
+    the payload's sha1. A real deployment swaps in PIL/ffmpeg here; the
+    dataflow around it is unchanged."""
+    h = hashlib.sha1(payload).digest()
+    width = 16 + h[0] % 64
+    height = 16 + h[1] % 64
+    mean_intensity = round(int.from_bytes(h[2:4], "big") / 65535.0, 6)
+    return width, height, mean_intensity
+
+
+@query("q_multimodal_features")  # rows-only: stubbed decoder, not SQL-expressible
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-mm: binary-column feature extraction via Arrow-batched mapInPandas.
+
+    documents.text is encoded to a binary payload column (standing in for an
+    image blob), then 'decoded' per batch. At scale: repartition by a
+    size-balancing key first so decode batches are even."""
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload_bytes": pdf["payload"].map(len).astype("int64"),
+                    "width": pd.Series([f[0] for f in feats], dtype="int64"),
+                    "height": pd.Series([f[1] for f in feats], dtype="int64"),
+                    "mean_intensity": pd.Series([f[2] for f in feats], dtype="float64"),
+                }
+            )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(
+        decode_batch,
+        "doc_id long, payload_bytes long, width long, height long, mean_intensity double",
+    )

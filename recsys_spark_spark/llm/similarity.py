@@ -1,1 +1,171 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""3.J similarity search over the `embeddings` table (array<float>[64]).
+
+Brute-force cosine top-k is the correctness baseline (J4/J5); LSH bucketing is
+the 100 TB path (J6): random-hyperplane buckets turn all-pairs O(n²) into
+per-bucket candidates.
+
+Numeric discipline: every per-dimension reduction (dot product, norm, centroid)
+is a scaled-integer sum, so Spark's higher-order-function fold, Spark's
+explode+agg, and DuckDB's SUM all produce the same 64-bit integer — float32
+inputs are cast to double per-element first (emit double, never float32,
+SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recsys_spark_spark.catalog import table
+from recsys_spark_spark.registry import query
+
+DIM = 64
+PROBE_VEC_ID = 0
+TOP_K = 10
+
+
+def _scaled_dot(a: Column, b: Column) -> Column:
+    """Σ round(a_i·b_i·1e12) as exact long — order-independent dot product."""
+    prods = F.zip_with(
+        a, b, lambda x, y: F.round(x.cast("double") * y.cast("double") * 1e12, 0).cast("long")
+    )
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+_KNN_ORACLE = f"""
+WITH probe AS (
+  SELECT embedding AS pv FROM embeddings WHERE vec_id = {PROBE_VEC_ID}
+), pe AS (
+  SELECT gs.i, CAST(pv[gs.i] AS DOUBLE) AS px
+  FROM probe, generate_series(1, {DIM}) gs(i)
+), ve AS (
+  SELECT vec_id, gs.i, CAST(embedding[gs.i] AS DOUBLE) AS vx
+  FROM embeddings, generate_series(1, {DIM}) gs(i)
+), sums AS (
+  SELECT vec_id,
+         SUM(CAST(ROUND(vx * px * 1e12, 0) AS BIGINT)) AS dot_s,
+         SUM(CAST(ROUND(vx * vx * 1e12, 0) AS BIGINT)) AS nv_s
+  FROM ve JOIN pe USING (i)
+  GROUP BY 1
+), pn AS (
+  SELECT SUM(CAST(ROUND(px * px * 1e12, 0) AS BIGINT)) AS np_s FROM pe
+), scored AS (
+  SELECT vec_id,
+         ROUND((dot_s / 1e12) / (SQRT(nv_s / 1e12) * SQRT(np_s / 1e12)), 6) AS cosine
+  FROM sums, pn
+  WHERE vec_id <> {PROBE_VEC_ID}
+)
+SELECT vec_id, cosine, rnk FROM (
+  SELECT vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""
+
+
+@query("q_sim_cosine_knn", oracle=_KNN_ORACLE)
+def q_sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: brute-force cosine top-10 vs the probe vector (vec_id=0).
+
+    The probe is a 1-row broadcast; the scan is embarrassingly parallel; only
+    the final top-k is a (tiny) global sort — the right brute-force plan at
+    any scale. zip_with+aggregate keeps the fold JVM-side (no UDF)."""
+    e = table(spark, sf_dir, "embeddings")
+    probe = F.broadcast(
+        e.where(F.col("vec_id") == PROBE_VEC_ID).select(F.col("embedding").alias("pv"))
+    )
+    np_s = _scaled_dot(F.col("pv"), F.col("pv"))
+    scored = (
+        e.where(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(probe)
+        .select(
+            "vec_id",
+            F.round(
+                (_scaled_dot(F.col("embedding"), F.col("pv")) / F.lit(1e12))
+                / (
+                    F.sqrt(_scaled_dot(F.col("embedding"), F.col("embedding")) / F.lit(1e12))
+                    * F.sqrt(np_s / F.lit(1e12))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+    )
+
+
+_CENTROID_KNN_ORACLE = f"""
+WITH ve AS (
+  SELECT vec_id, label, gs.i, CAST(embedding[gs.i] AS DOUBLE) AS vx
+  FROM embeddings, generate_series(1, {DIM}) gs(i)
+), cent AS (
+  SELECT label, i,
+         SUM(CAST(ROUND(vx * 1e9, 0) AS BIGINT)) / (COUNT(*) * 1e9) AS cx
+  FROM ve GROUP BY 1, 2
+), dists AS (
+  SELECT v.vec_id, v.label,
+         SUM(CAST(ROUND((v.vx - c.cx) * (v.vx - c.cx) * 1e12, 0) AS BIGINT)) AS d_s
+  FROM ve v JOIN cent c ON v.label = c.label AND v.i = c.i
+  GROUP BY 1, 2
+)
+SELECT label, vec_id, dist, rnk FROM (
+  SELECT label, vec_id,
+         ROUND(SQRT(d_s / 1e12), 6) AS dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY d_s, vec_id) AS BIGINT) AS rnk
+  FROM dists
+) WHERE rnk <= 3
+"""
+
+
+@query("q_knn_per_label", oracle=_CENTROID_KNN_ORACLE)
+def q_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: per-label centroid (scaled-int mean per dimension) and the 3
+    nearest members to each centroid — grouped k-NN in explode form.
+
+    The explode layout (vec_id, dim_index, value) is the scalable dense-vector
+    layout for reductions: centroids are one groupBy(label, i), distances one
+    join + groupBy(vec_id) — all shuffle-keyed, no driver state."""
+    e = table(spark, sf_dir, "embeddings")
+    ve = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "vx"),
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "vx")
+    cent = ve.groupBy("label", "i").agg(
+        (F.sum(F.round(F.col("vx") * 1e9, 0).cast("long")) / (F.count(F.lit(1)) * F.lit(1e9))).alias("cx")
+    )
+    diff = F.col("vx") - F.col("cx")
+    dists = (
+        ve.join(cent, ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.round(diff * diff * 1e12, 0).cast("long")).alias("d_s"))
+    )
+    w = Window.partitionBy("label").orderBy("d_s", "vec_id")
+    return (
+        dists.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("label", "vec_id", F.round(F.sqrt(F.col("d_s") / 1e12), 6).alias("dist"), "rnk")
+    )
+
+
+@query("q_sim_lsh_ann")  # rows-only: random-hyperplane LSH is seed-dependent
+def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: approximate NN at scale — BucketedRandomProjectionLSH. Buckets
+    bound the candidate set; the join is per-bucket (the 100 TB ANN path)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(e)
+    probe = e.where(F.col("vec_id") == PROBE_VEC_ID).first()["features"]
+    ann = model.approxNearestNeighbors(e.where(F.col("vec_id") != PROBE_VEC_ID), probe, TOP_K)
+    return ann.select("vec_id", F.round(F.col("distCol"), 6).alias("dist"))

@@ -1,1 +1,261 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""3.J text analysis — tokens, TF-IDF, corpus stats, language-ID, quality.
+
+All pure DataFrame ops (explode + hash-agg + window): tokenization is a
+column expression, never a UDF; every aggregate is keyed by (doc|lang|term) so
+the plan is one shuffle per stage at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recsys_spark_spark.catalog import table
+from recsys_spark_spark.registry import query
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+WITH tf AS (
+  SELECT lang, t.token, COUNT(*) AS cnt
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+  GROUP BY 1, 2
+)
+SELECT lang, token, cnt, rnk FROM (
+  SELECT lang, token, cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS BIGINT) AS rnk
+  FROM tf
+) WHERE rnk <= 5
+""",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: term frequencies — top-5 tokens per language."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token"))
+    return tf.withColumn("rnk", F.row_number().over(w).cast("long")).where(F.col("rnk") <= 5)
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, t.token, COUNT(*) AS tf
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+  GROUP BY 1, 2
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ROUND(LN((1 + n_docs) / (1 + df)), 9) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, ROUND(score, 6) AS tfidf, rnk FROM (
+  SELECT doc_id, token, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= 3 AND doc_id < 100
+""",
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: exact TF-IDF, top-3 terms per document (doc_id < 100 projection).
+
+    idf is rounded to 9 decimals before the multiply on both sides — ln()
+    may differ in the last ulp between JVM and C libm (SURVEY.md §7.5).
+    MLlib's HashingTF/IDF would hash terms; the SQL-exact form is used so the
+    oracle can verify values."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # scalar dimension constant, embedded in the plan
+    idf = F.round(F.log((1 + F.lit(n_docs)) / (1 + F.col("df"))), 9)
+    scored = tf.join(df, "token").select(
+        "doc_id", "token", (F.col("tf") * idf).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where((F.col("rnk") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "token", F.round("score", 6).alias("tfidf"), "rnk")
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+WITH tok AS (
+  SELECT lang, source, t.token
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+), base AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         ROUND(SUM(CAST(n_chars AS BIGINT)) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_chars
+  FROM documents GROUP BY 1, 2
+), toks AS (
+  SELECT lang, source, COUNT(DISTINCT token) AS n_distinct_tokens FROM tok GROUP BY 1, 2
+)
+SELECT base.lang, base.source, n_docs, avg_chars, n_distinct_tokens
+FROM base JOIN toks ON base.lang = toks.lang AND base.source = toks.source
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: corpus statistics per (lang, source)."""
+    d = table(spark, sf_dir, "documents")
+    base = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum(F.col("n_chars")) / F.count(F.lit(1)).cast("double"), 6).alias("avg_chars"),
+    )
+    toks = (
+        d.select("lang", "source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "source")
+        .agg(F.countDistinct("token").alias("n_distinct_tokens"))
+    )
+    return base.join(toks, ["lang", "source"])
+
+
+# Deterministic stopword list for quality scoring (language-agnostic fillers
+# present in the synthetic corpus).
+_STOPWORDS = ("a", "the", "de", "la", "le", "el", "und", "der")
+
+_QUALITY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, t.token
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+), m AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN token IN {_STOPWORDS} THEN 1 ELSE 0 END) AS n_stop,
+         SUM(CAST(length(token) AS BIGINT)) AS sum_len
+  FROM tok GROUP BY 1
+)
+SELECT d.doc_id, d.lang,
+       m.n_tokens,
+       ROUND(m.sum_len / CAST(m.n_tokens AS DOUBLE), 6) AS avg_token_len,
+       ROUND(m.n_stop / CAST(m.n_tokens AS DOUBLE), 6) AS stopword_ratio,
+       ROUND(CAST(d.n_chars AS BIGINT) / CAST(m.n_tokens AS DOUBLE), 6) AS chars_per_token,
+       (m.n_tokens BETWEEN 20 AND 500
+        AND m.n_stop / CAST(m.n_tokens AS DOUBLE) < 0.5) AS passes_quality
+FROM documents d JOIN m ON d.doc_id = m.doc_id
+"""
+
+
+@query("q_text_quality", oracle=_QUALITY_ORACLE)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-q: heuristic document quality scoring — length, stopword ratio,
+    chars-per-token; the standard pre-training corpus filter shape."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    m = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("token").isin(*_STOPWORDS), 1).otherwise(0)).alias("n_stop"),
+        F.sum(F.length("token").cast("long")).alias("sum_len"),
+    )
+    stop_ratio = F.col("n_stop") / F.col("n_tokens").cast("double")
+    return d.join(m, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(F.col("sum_len") / F.col("n_tokens").cast("double"), 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(F.col("n_chars").cast("long") / F.col("n_tokens").cast("double"), 6).alias("chars_per_token"),
+        (F.col("n_tokens").between(20, 500) & (stop_ratio < 0.5)).alias("passes_quality"),
+    )
+
+
+_LANGID_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, t.token
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+), votes AS (
+  SELECT doc_id, lang,
+         SUM(CASE WHEN token IN ('the', 'and', 'of') THEN 1 ELSE 0 END) AS en_v,
+         SUM(CASE WHEN token IN ('le', 'la', 'et') THEN 1 ELSE 0 END) AS fr_v,
+         SUM(CASE WHEN token IN ('el', 'los', 'y') THEN 1 ELSE 0 END) AS es_v,
+         SUM(CASE WHEN token IN ('der', 'und', 'die') THEN 1 ELSE 0 END) AS de_v
+  FROM tok GROUP BY 1, 2
+)
+SELECT doc_id, lang,
+       CASE WHEN en_v >= fr_v AND en_v >= es_v AND en_v >= de_v AND en_v > 0 THEN 'en'
+            WHEN fr_v >= es_v AND fr_v >= de_v AND fr_v > 0 THEN 'fr'
+            WHEN es_v >= de_v AND es_v > 0 THEN 'es'
+            WHEN de_v > 0 THEN 'de'
+            ELSE 'unknown' END AS predicted_lang
+FROM votes
+"""
+
+
+@query("q_text_langid", oracle=_LANGID_ORACLE)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-lid: marker-word language ID (n-gram heuristic baseline). The
+    synthetic corpus has an English-ish vocabulary, so most docs resolve to
+    'en' or 'unknown' — the operator shape (vote columns + argmax CASE) is
+    what a real marker table plugs into."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+
+    def votes(words: tuple[str, ...], name: str):
+        return F.sum(F.when(F.col("token").isin(*words), 1).otherwise(0)).alias(name)
+
+    v = tok.groupBy("doc_id", "lang").agg(
+        votes(("the", "and", "of"), "en_v"),
+        votes(("le", "la", "et"), "fr_v"),
+        votes(("el", "los", "y"), "es_v"),
+        votes(("der", "und", "die"), "de_v"),
+    )
+    en, fr, es, de = (F.col(c) for c in ("en_v", "fr_v", "es_v", "de_v"))
+    return v.select(
+        "doc_id",
+        "lang",
+        F.when((en >= fr) & (en >= es) & (en >= de) & (en > 0), "en")
+        .when((fr >= es) & (fr >= de) & (fr > 0), "fr")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("unknown")
+        .alias("predicted_lang"),
+    )
+
+
+_FINGERPRINT_ORACLE = """
+WITH tok AS (
+  -- generate_series can't be lateral-parameterized in DuckDB; use a fixed
+  -- 1..2048 index and filter to the actual token count.
+  SELECT doc_id, gs.i AS pos, string_split(text, ' ')[gs.i] AS token
+  FROM documents CROSS JOIN generate_series(1, 2048) gs(i)
+  WHERE gs.i <= len(string_split(text, ' '))
+), h AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || substring(md5(token), 25, 8)) AS BIGINT) AS th
+  FROM tok
+)
+SELECT doc_id,
+       CAST(SUM((th * ((pos % 31) + 1)) % 1000000007) AS BIGINT) AS fingerprint
+FROM h GROUP BY 1
+"""
+
+
+@query("q_text_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-fp: position-weighted rolling-hash document fingerprint — exact
+    integer math (md5-derived token hash, portable across engines)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "token"
+    )
+    h = tok.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("token"), 25, 8), 16, 10).cast("long").alias("th"),
+    )
+    return h.groupBy("doc_id").agg(
+        F.sum((F.col("th") * ((F.col("pos") % 31) + 1)) % 1000000007).cast("long").alias("fingerprint")
+    )

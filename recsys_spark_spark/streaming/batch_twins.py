@@ -1,1 +1,197 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""3.K — batch twins of the streaming computations (SURVEY.md §3.K strategy).
+
+Each streaming operator is implemented twice: the batch DataFrame form here
+(registered, DuckDB-oracled — the driver-checkable semantics) and the
+Structured Streaming form in streaming/streams.py (asserted equal to the
+batch twin in tests/test_streaming.py). Event time is truncated to seconds
+everywhere: the source is ns-precision and Spark reads µs (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recsys_spark_spark.catalog import table
+from recsys_spark_spark.registry import query
+
+SESSION_GAP_S = 30 * 60
+
+
+def events_with_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").withColumn("sec", F.date_trunc("second", "ts"))
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) / 1e6 AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: tumbling 1h windows per event type (F.window ≡ date_trunc for
+    epoch-aligned hours)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 1e6, 0).cast("long")) / F.lit(1e6)).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+WITH slid AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - (gs.k * INTERVAL 15 MINUTE) AS window_start,
+         event_type
+  FROM events CROSS JOIN generate_series(0, 3) gs(k)
+)
+SELECT window_start, event_type, COUNT(*) AS n
+FROM slid
+GROUP BY 1, 2
+""",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: sliding 1h windows every 15 min — each event lands in 4 windows
+    (oracle expands the 4 covering window starts explicitly)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+SESSION_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, date_trunc('second', ts) AS sec FROM events
+), flagged AS (
+  SELECT user_id, event_id, sec,
+         CASE WHEN date_diff('second',
+                LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id), sec)
+                >= {SESSION_GAP_S}
+              OR LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+), numbered AS (
+  SELECT user_id, event_id, sec,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id, MIN(sec) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(date_diff('second', MIN(sec), MAX(sec)) AS BIGINT) AS duration_s
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+@query("q_stream_session", oracle=SESSION_ORACLE)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: session windows (30-min gap) per user — batch twin via the classic
+    lag + cumulative-sum sessionization. The streaming twin uses
+    F.session_window; tests assert both produce identical sessions
+    (boundary semantics: a gap of exactly 30min starts a NEW session, since
+    Spark session windows are [start, last+gap) end-exclusive)."""
+    ev = events_with_sec(spark, sf_dir).select("user_id", "event_id", "sec")
+    order = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    prev_sec = F.lag("sec").over(order)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            prev_sec.isNull()
+            | ((F.unix_timestamp("sec") - F.unix_timestamp(prev_sec)) >= SESSION_GAP_S),
+            1,
+        ).otherwise(0),
+    )
+    cum = Window.partitionBy("user_id").orderBy("sec", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = flagged.withColumn("session_no", F.sum("is_new").over(cum))
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.min("sec").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_timestamp(F.max("sec")) - F.unix_timestamp(F.min("sec"))).alias("duration_s"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_s")
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id)
+GROUP BY 1
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 batch twin: exact-id dedup (event_id is unique in the source, so
+    this is the identity — the streaming twin proves duplicates injected into
+    the stream are dropped within the watermark)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.dropDuplicates(["event_id"]).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+ANOMALY_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, date_trunc('second', ts) AS sec,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events
+), seq AS (
+  SELECT user_id, event_id, sec, is_err,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS rn_all,
+         ROW_NUMBER() OVER (PARTITION BY user_id, is_err ORDER BY sec, event_id) AS rn_grp
+  FROM ev
+), runs AS (
+  SELECT user_id, COUNT(*) AS run_len
+  FROM seq WHERE is_err = 1
+  GROUP BY user_id, rn_all - rn_grp
+)
+SELECT user_id,
+       COUNT(*) AS n_error_runs,
+       CAST(MAX(run_len) AS BIGINT) AS max_run_len,
+       CAST(SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM runs GROUP BY 1
+"""
+
+
+@query("q_stream_anomaly", oracle=ANOMALY_ORACLE)
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 batch twin: consecutive-error runs per user (gaps-and-islands);
+    an 'anomaly' is a run of ≥3 consecutive errors. The streaming twin keeps
+    the run counter in per-user state via transformWithStateInPandas/
+    applyInPandasWithState (streams.py)."""
+    ev = events_with_sec(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "sec",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    w_all = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    w_grp = Window.partitionBy("user_id", "is_err").orderBy("sec", "event_id")
+    seq = ev.withColumn("rn_all", F.row_number().over(w_all)).withColumn(
+        "rn_grp", F.row_number().over(w_grp)
+    )
+    runs = (
+        seq.where(F.col("is_err") == 1)
+        .groupBy("user_id", (F.col("rn_all") - F.col("rn_grp")).alias("island"))
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_error_runs"),
+        F.max("run_len").cast("long").alias("max_run_len"),
+        F.sum(F.when(F.col("run_len") >= 3, 1).otherwise(0)).cast("long").alias("n_anomalies"),
+    )

