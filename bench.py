@@ -41,10 +41,15 @@ HEADLINE = (
     "q_stream_session",
 )
 
+RUNS = 3
+
+
 def run_one(spark, fn, sf_dir: str) -> float:
     """One timed end-to-end execution (single action — headline queries all
     return aggregated/limited results, so collect is cheap relative to
-    compute)."""
+    compute). Caches are cleared first, so every run recomputes from the
+    parquet scans."""
+    spark.catalog.clearCache()
     t0 = time.perf_counter()
     fn(spark, sf_dir).collect()
     return time.perf_counter() - t0
@@ -55,14 +60,17 @@ def main() -> None:
     spark = get_spark(app_name="recsys-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on the smallest SF so headline timings measure the
-    # queries, not first-call initialization.
+    # Warm-engine protocol (BASELINE.md: warm session, median of 3): one
+    # untimed priming pass at the target SF gets codegen JIT-compiled and
+    # buffers sized — first execution otherwise costs ~2.5x steady state —
+    # then each query is timed RUNS times on cleared caches.
     for name in HEADLINE:
-        queries[name](spark, "/root/testdata/sf0.001").count()
+        queries[name](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(run_one(spark, queries[name], SF_DIR), 3)
+        runs = sorted(run_one(spark, queries[name], SF_DIR) for _ in range(RUNS))
+        timings[name] = round(runs[RUNS // 2], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

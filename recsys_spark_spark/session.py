@@ -35,5 +35,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Shuffled-hash over sort-merge where AQE doesn't broadcast: the CF
+        # self-join and scoring joins have no useful sort order to exploit,
+        # and SHJ skips two per-partition sorts.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     return builder.getOrCreate()
