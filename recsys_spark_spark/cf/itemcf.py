@@ -68,11 +68,11 @@ def capped_interactions(spark: SparkSession, sf_dir: str, cap: int = MAX_USER_HI
     """Interaction matrix with per-user history capped to the `cap` strongest
     items (deterministic tie-break on item_id). Skew guard for co-occurrence.
 
-    Adaptive: ranks only the histories of users that exceed the cap. The
-    overflow set is found with one cheap aggregate on the (persisted) matrix;
-    when it is empty — every test SF, and most real epochs — the matrix
-    passes through untouched, so the common case pays zero extra shuffle and
-    the window sort only ever touches the skewed tail it exists to bound.
+    Fully lazy — no driver-side probe job. Users over the cap are found with
+    one aggregate; untouched histories stream through an anti-join while only
+    the overflowing tail pays the window rank. When no user exceeds the cap —
+    every test SF, and most real epochs — the overflow broadcast is empty and
+    both extra operators are no-ops on the data path.
     Returns a persisted DataFrame (callers fan out into 4+ branches).
     """
     ui = interactions(spark, sf_dir).persist()
@@ -81,9 +81,7 @@ def capped_interactions(spark: SparkSession, sf_dir: str, cap: int = MAX_USER_HI
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") > cap)
         .select("user_id")
-    ).persist()
-    if overflow.count() == 0:
-        return ui
+    )
     keep = ui.join(F.broadcast(overflow), "user_id", "left_anti")
     w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("item_id"))
     capped = (
@@ -180,15 +178,80 @@ def topk_neighbors(sim_full: DataFrame, k: int = TOP_K_NEIGHBORS) -> DataFrame:
     )
 
 
+def topk_neighbors_fused(ui: DataFrame, norms: DataFrame, k: int = TOP_K_NEIGHBORS) -> DataFrame:
+    """I3+I4+I6 in ONE shuffle: top-K similar items per item.
+
+    Instead of cooccurrence (exchange on (i,j)) → symmetrize → top-k
+    (exchange on item_i), emit directional pairs (i≠j, both orders) from the
+    user self-join and repartition by item_i ONCE. HashPartitioning(item_i)
+    satisfies the clustered distribution of BOTH downstream aggregates
+    (groupBy(item_i,item_j) count and groupBy(item_i) collect-top-k), and the
+    broadcast norm joins preserve it, so the count → sim → top-k chain runs
+    partition-local in a single stage. At sf0.1 this replaces a 14M-row
+    (i,j)-exchange plus a 25M-struct item_i-exchange with one 30M-row narrow
+    exchange — and at 1000 executors it is also the right plan: one wide
+    stage keyed by item, no intermediate materialization, skew bounded
+    upstream by the per-user history cap.
+
+    Output is identical to topk_neighbors(symmetrize(cosine_similarity(...)))
+    — counts over directional pairs equal symmetrized i<j counts, and the
+    struct sort on (-sim, item_j) is the same total order.
+    """
+    a = ui.select("user_id", F.col("item_id").alias("item_i"))
+    b = ui.select("user_id", F.col("item_id").alias("item_j"))
+    pairs = a.join(b, "user_id").where(F.col("item_i") != F.col("item_j"))
+    ni = F.broadcast(norms.select(F.col("item_id").alias("item_i"), F.col("n_users").alias("n_i")))
+    nj = F.broadcast(norms.select(F.col("item_id").alias("item_j"), F.col("n_users").alias("n_j")))
+    agged = (
+        pairs.repartition("item_i")
+        .groupBy("item_i", "item_j")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(ni, "item_i")
+        .join(nj, "item_j")
+        .select(
+            "item_i",
+            "item_j",
+            F.round(F.col("n_common") / F.sqrt(F.col("n_i") * F.col("n_j")), 6).alias("sim"),
+        )
+        .groupBy("item_i")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct((-F.col("sim")).alias("ns"), F.col("item_j")))),
+                1,
+                k,
+            ).alias("top")
+        )
+    )
+    return agged.select(
+        "item_i", F.posexplode("top").alias("pos", "p")
+    ).select(
+        "item_i",
+        F.col("p.item_j").alias("item_j"),
+        (-F.col("p.ns")).alias("sim"),
+        (F.col("pos") + 1).cast("long").alias("rnk"),
+    )
+
+
 def recommend(ui: DataFrame, neighbors: DataFrame, n: int = TOP_N_RECS) -> DataFrame:
     """I7: p(u,j) = Σ_{i∈I(u)} w_ij·r_ui (r = cnt), drop seen, top-N per user.
 
     Scaled-integer sum keeps the score order-independent; anti-join removes
     seen items; final rank is a per-user window.
     """
-    joined = ui.join(neighbors, ui.item_id == neighbors.item_i)
+    # Neighbors are small (|items|·K rows) → broadcast, so the expansion join
+    # streams ui straight from cache with no shuffle. The expanded candidates
+    # are repartitioned by user ONCE: HashPartitioning(user_id) satisfies
+    # every downstream requirement — the score aggregate on (user, rec_item),
+    # the seen-filter anti-join (whose other side is co-partitioned on
+    # user_id; a subset of the join keys, so the shuffled-hash join needs no
+    # further exchange), and the final per-user top-N collect — so everything
+    # after the two narrow exchanges is one partition-local stage. The same
+    # plan holds on a real cluster: the big expanded-candidate table moves
+    # once, keyed by user; nothing user-history-sized is ever broadcast.
+    joined = ui.join(F.broadcast(neighbors), ui.item_id == neighbors.item_i)
     scores = (
-        joined.groupBy(
+        joined.repartition("user_id")
+        .groupBy(
             F.col("user_id"),
             F.col("item_j").alias("rec_item"),
         )
@@ -196,7 +259,7 @@ def recommend(ui: DataFrame, neighbors: DataFrame, n: int = TOP_N_RECS) -> DataF
             (F.sum(F.round(F.col("sim") * F.col("cnt") * 1e6, 0).cast("long")) / F.lit(1e6)).alias("_s")
         )
     )
-    seen = ui.select("user_id", F.col("item_id").alias("rec_item"))
+    seen = ui.select("user_id", F.col("item_id").alias("rec_item")).repartition("user_id")
     unseen = scores.join(seen, ["user_id", "rec_item"], "left_anti")
     # Same hash-aggregate top-k form as topk_neighbors (vs a per-user window):
     # candidates per user are bounded by |history|·K, so the arrays are small.
@@ -379,9 +442,8 @@ def q_cf_iuf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_cf_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ui = interactions(spark, sf_dir)
-    sim = cosine_similarity(cooccurrence(ui), item_norms(ui))
-    return topk_neighbors(symmetrize(sim))
+    ui = interactions(spark, sf_dir).persist()
+    return topk_neighbors_fused(ui, item_norms(ui))
 
 
 @query(
@@ -397,8 +459,7 @@ def q_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     biggest win at every scale (at 100 TB: MEMORY_AND_DISK or a parquet
     checkpoint)."""
     ui = capped_interactions(spark, sf_dir)
-    sim = cosine_similarity(cooccurrence(ui), item_norms(ui))
-    neighbors = topk_neighbors(symmetrize(sim)).select("item_i", "item_j", "sim")
+    neighbors = topk_neighbors_fused(ui, item_norms(ui)).select("item_i", "item_j", "sim")
     return recommend(ui, neighbors)
 
 

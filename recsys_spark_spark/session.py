@@ -32,7 +32,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics vs the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # local[32] runs all 32 task threads in the driver JVM; an undersized
+        # heap turns the CF pair aggregates (tens of millions of transient
+        # structs per run) into multi-second full-GC pauses.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Whole-stage codegen emits fresh classes per query; the JVM default
+        # 240 MB reserved code cache fills after a few dozen stages, silently
+        # dropping hot loops back to the interpreter (observed 3-4x CPU
+        # inflation with 8s..73s swings on an identical query). A 1 GiB code
+        # cache keeps every compiled stage JIT-resident.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Shuffled-hash over sort-merge where AQE doesn't broadcast: the CF
