@@ -193,16 +193,23 @@ def topk_neighbors_fused(ui: DataFrame, norms: DataFrame, k: int = TOP_K_NEIGHBO
     stage keyed by item, no intermediate materialization, skew bounded
     upstream by the per-user history cap.
 
+    The per-item top-k itself is a window row_number rather than a
+    collect_list/sort/slice aggregate: the window sorts each partition with
+    the Tungsten external sorter (codegen'd, spillable), where the object
+    aggregate allocates one on-heap struct per similarity row — measured
+    both slower under GC and the thing that OOMs first on a hot item whose
+    neighbor list approaches |items|.
+
     Output is identical to topk_neighbors(symmetrize(cosine_similarity(...)))
-    — counts over directional pairs equal symmetrized i<j counts, and the
-    struct sort on (-sim, item_j) is the same total order.
+    — counts over directional pairs equal symmetrized i<j counts, and
+    (sim DESC, item_j) is the same total order.
     """
     a = ui.select("user_id", F.col("item_id").alias("item_i"))
     b = ui.select("user_id", F.col("item_id").alias("item_j"))
     pairs = a.join(b, "user_id").where(F.col("item_i") != F.col("item_j"))
     ni = F.broadcast(norms.select(F.col("item_id").alias("item_i"), F.col("n_users").alias("n_i")))
     nj = F.broadcast(norms.select(F.col("item_id").alias("item_j"), F.col("n_users").alias("n_j")))
-    agged = (
+    sim = (
         pairs.repartition("item_i")
         .groupBy("item_i", "item_j")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -213,22 +220,12 @@ def topk_neighbors_fused(ui: DataFrame, norms: DataFrame, k: int = TOP_K_NEIGHBO
             "item_j",
             F.round(F.col("n_common") / F.sqrt(F.col("n_i") * F.col("n_j")), 6).alias("sim"),
         )
-        .groupBy("item_i")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.struct((-F.col("sim")).alias("ns"), F.col("item_j")))),
-                1,
-                k,
-            ).alias("top")
-        )
     )
-    return agged.select(
-        "item_i", F.posexplode("top").alias("pos", "p")
-    ).select(
-        "item_i",
-        F.col("p.item_j").alias("item_j"),
-        (-F.col("p.ns")).alias("sim"),
-        (F.col("pos") + 1).cast("long").alias("rnk"),
+    w = Window.partitionBy("item_i").orderBy(F.col("sim").desc(), F.col("item_j"))
+    return (
+        sim.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("item_i", "item_j", "sim", F.col("rnk").cast("long").alias("rnk"))
     )
 
 
@@ -261,20 +258,19 @@ def recommend(ui: DataFrame, neighbors: DataFrame, n: int = TOP_N_RECS) -> DataF
     )
     seen = ui.select("user_id", F.col("item_id").alias("rec_item")).repartition("user_id")
     unseen = scores.join(seen, ["user_id", "rec_item"], "left_anti")
-    # Same hash-aggregate top-k form as topk_neighbors (vs a per-user window):
-    # candidates per user are bounded by |history|·K, so the arrays are small.
-    agged = unseen.groupBy("user_id").agg(
-        F.slice(
-            F.sort_array(F.collect_list(F.struct((-F.col("_s")).alias("ns"), F.col("rec_item")))),
-            1,
-            n,
-        ).alias("top")
-    )
-    return agged.select("user_id", F.posexplode("top").alias("pos", "p")).select(
-        "user_id",
-        F.col("p.rec_item").alias("item_id"),
-        F.round(-F.col("p.ns"), 6).alias("score"),
-        (F.col("pos") + 1).cast("long").alias("rnk"),
+    # Per-user top-N as a window row_number — same Tungsten-sort rationale as
+    # topk_neighbors_fused, and it runs in the same partition-local stage
+    # since HashPartitioning(user_id) satisfies the window's distribution.
+    w = Window.partitionBy("user_id").orderBy(F.col("_s").desc(), F.col("rec_item"))
+    return (
+        unseen.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= n)
+        .select(
+            "user_id",
+            F.col("rec_item").alias("item_id"),
+            F.round("_s", 6).alias("score"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
     )
 
 
