@@ -47,12 +47,19 @@ def interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I1: user-item interaction matrix from orders ⋈ lineitem.
 
     One shuffle join on orderkey (both sides large → sort-merge/shuffled-hash,
-    AQE decides) + one hash aggregate on (user, item).
+    AQE decides), then ONE exchange keyed by user_id before the (user, item)
+    aggregate. HashPartitioning(user_id) satisfies the aggregate's clustered
+    distribution (subset of the grouping keys) and — crucially — is the
+    partitioning every downstream CF stage wants: the co-occurrence self-join,
+    the score aggregate, the seen-filter anti-join, and the per-user top-N
+    window all run exchange-free on top of it (alias-aware output
+    partitioning carries o_custkey → user_id through the agg).
     """
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     return (
         o.join(l, o.o_orderkey == l.l_orderkey)
+        .repartition("o_custkey")
         .groupBy(
             F.col("o_custkey").alias("user_id"),
             F.col("l_partkey").alias("item_id"),
@@ -68,29 +75,20 @@ def capped_interactions(spark: SparkSession, sf_dir: str, cap: int = MAX_USER_HI
     """Interaction matrix with per-user history capped to the `cap` strongest
     items (deterministic tie-break on item_id). Skew guard for co-occurrence.
 
-    Fully lazy — no driver-side probe job. Users over the cap are found with
-    one aggregate; untouched histories stream through an anti-join while only
-    the overflowing tail pays the window rank. When no user exceeds the cap —
-    every test SF, and most real epochs — the overflow broadcast is empty and
-    both extra operators are no-ops on the data path.
-    Returns a persisted DataFrame (callers fan out into 4+ branches).
+    Because interactions() is already hash-partitioned by user_id, the cap is
+    a partition-local window row_number — no exchange, and the Tungsten sort
+    it adds is per-partition and spillable. The returned DataFrame is
+    persisted (callers fan out into 4+ branches) and keeps
+    HashPartitioning(user_id), which the whole downstream CF chain relies on.
     """
-    ui = interactions(spark, sf_dir).persist()
-    overflow = (
-        ui.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") > cap)
-        .select("user_id")
-    )
-    keep = ui.join(F.broadcast(overflow), "user_id", "left_anti")
+    ui = interactions(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("item_id"))
-    capped = (
-        ui.join(F.broadcast(overflow), "user_id", "left_semi")
-        .withColumn("_hrank", F.row_number().over(w))
+    return (
+        ui.withColumn("_hrank", F.row_number().over(w))
         .where(F.col("_hrank") <= cap)
         .drop("_hrank")
+        .persist()
     )
-    return keep.unionByName(capped).persist()
 
 
 def item_norms(ui: DataFrame) -> DataFrame:
