@@ -6,6 +6,12 @@ The 100 TB dedup ladder:
                 (same lang + same n_chars). Blocking is what keeps near-dup
                 sub-quadratic; the block key is the knob (at 100 TB you'd use
                 length buckets + a cheap signature instead of exact length).
+  J2b n-gram  — word-bigram-shingle Jaccard over the same blocks: order-
+                sensitive, so it separates true near-dups from token-reorder
+                collisions that set-Jaccard scores 1.0.
+  J2d embed   — embedding-cosine near-dup within coarse cells (label = the
+                IVF/cluster assignment at scale): all-pairs only inside a
+                cell, never globally.
   J3 MinHash  — MLlib MinHashLSH banded approximate join: the real scale
                 path, O(n·bands) candidates instead of O(n²).
 """
@@ -14,8 +20,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from recsys_spark_spark.catalog import table
+from recsys_spark_spark.llm.similarity import _scaled_dot
 from recsys_spark_spark.registry import query
 
 
@@ -87,6 +95,143 @@ def q_dedup_near_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s2, "d2")
         .where(jac >= 0.9)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "q_dedup_ngram",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM toks, unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS u(s)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), cand AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.d1
+  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       ROUND(n_common / (s1.n + s2.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+""",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2b: word-bigram-shingle Jaccard over blocked candidate pairs.
+
+    Order-sensitive near-dup: documents with identical token *sets* but
+    shuffled order (which set-Jaccard J2 scores 1.0) share few bigram
+    shingles. Same (lang, n_chars) blocking as J2 keeps it sub-quadratic;
+    shingling is a per-row array transform (no shuffle), the candidate join
+    and intersection are both block-keyed."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    # sequence(1, size-1) descends when size < 2 — guard to an empty list
+    # (matches DuckDB generate_series, which is empty when stop < start).
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = toks.select("doc_id", F.explode(F.array_distinct(bigrams)).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = d.select(F.col("doc_id").alias("d1"), "lang", "n_chars")
+    b = d.select(F.col("doc_id").alias("d2"), "lang", "n_chars")
+    cand = a.join(b, ["lang", "n_chars"]).where(F.col("d1") < F.col("d2")).select("d1", "d2")
+    s1 = sh.select(F.col("doc_id").alias("d1"), "s")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "s")
+    inter = (
+        cand.join(s1, "d1")
+        .join(s2, ["d2", "s"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        inter.join(n1, "d1")
+        .join(n2, "d2")
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_EMBED_DEDUP_TAU = 0.2
+_EMBED_DEDUP_TOPK = 5
+
+_EMBED_DEDUP_ORACLE = f"""
+WITH ve AS (
+  SELECT vec_id, label, gs.i, CAST(embedding[gs.i] AS DOUBLE) AS vx
+  FROM embeddings, generate_series(1, 64) gs(i)
+), pair_sums AS (
+  SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+         SUM(CAST(ROUND(a.vx * b.vx * 1e12, 0) AS BIGINT)) AS dot_s
+  FROM ve a JOIN ve b ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2, 3
+), norms AS (
+  SELECT vec_id, SUM(CAST(ROUND(vx * vx * 1e12, 0) AS BIGINT)) AS n_s
+  FROM ve GROUP BY 1
+), scored AS (
+  SELECT label, v1, v2,
+         ROUND((dot_s / 1e12) / (SQRT(na.n_s / 1e12) * SQRT(nb.n_s / 1e12)), 6) AS cosine
+  FROM pair_sums
+  JOIN norms na ON na.vec_id = v1
+  JOIN norms nb ON nb.vec_id = v2
+)
+SELECT label, v1, v2, cosine, rnk FROM (
+  SELECT label, v1, v2, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY cosine DESC, v1, v2) AS BIGINT) AS rnk
+  FROM scored WHERE cosine >= {_EMBED_DEDUP_TAU}
+) WHERE rnk <= {_EMBED_DEDUP_TOPK}
+"""
+
+
+@query("q_dedup_embedding", oracle=_EMBED_DEDUP_ORACLE)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2d: embedding-cosine near-dup — top near-dup pairs per coarse cell.
+
+    All-pairs cosine is computed only *within* a cell (the `label` column;
+    at 100 TB this is the IVF/k-means cell id, so per-cell work is bounded
+    and the join never goes global). Pairs over the threshold are ranked per
+    cell; the zip_with/aggregate scaled-integer dot keeps the fold JVM-side
+    and bit-identical across engines and partitionings."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select("label", F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = e.select("label", F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    norms = e.select(
+        "vec_id", (_scaled_dot(F.col("embedding"), F.col("embedding")) / F.lit(1e12)).alias("n")
+    )
+    na = norms.select(F.col("vec_id").alias("v1"), F.col("n").alias("n1"))
+    nb = norms.select(F.col("vec_id").alias("v2"), F.col("n").alias("n2"))
+    scored = (
+        a.join(b, "label")
+        .where(F.col("v1") < F.col("v2"))
+        .select(
+            "label", "v1", "v2", (_scaled_dot(F.col("e1"), F.col("e2")) / F.lit(1e12)).alias("dot")
+        )
+        .join(F.broadcast(na), "v1")
+        .join(F.broadcast(nb), "v2")
+        .select(
+            "label", "v1", "v2",
+            F.round(F.col("dot") / (F.sqrt("n1") * F.sqrt("n2")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= _EMBED_DEDUP_TAU)
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cosine").desc(), "v1", "v2")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= _EMBED_DEDUP_TOPK)
+        .select("label", "v1", "v2", "cosine", "rnk")
     )
 
 
