@@ -43,6 +43,44 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_token_count",
+    oracle=r"""
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_re_tokens,
+       CAST((SELECT SUM(CAST(CEIL(len(u.t) / 4.0) AS BIGINT))
+             FROM unnest(string_split(text, ' ')) AS u(t)) AS BIGINT) AS n_bpe_est
+FROM documents
+""",
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8b: per-document token counting three ways — whitespace split, a
+    BPE-ish regex (letter runs | digit runs | single punctuation, the
+    GPT-2-style pre-tokenizer shape), and a subword-budget estimate
+    (Σ ceil(len/4), the ~4-chars-per-token rule used for LLM cost sizing).
+
+    All three are per-row column expressions (split / regexp_extract_all /
+    aggregate over the token array) — zero shuffles, embarrassingly parallel
+    at any scale. The regex is restricted to constructs with identical
+    semantics in Java regex and RE2 so the DuckDB oracle is exact."""
+    d = table(spark, sf_dir, "documents")
+    bpe_est = F.aggregate(
+        F.transform(F.split("text", " "), lambda t: F.ceil(F.length(t) / 4.0)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0))
+        .cast("long")
+        .alias("n_re_tokens"),
+        bpe_est.alias("n_bpe_est"),
+    )
+
+
+@query(
     "q_text_tfidf",
     oracle="""
 WITH tf AS (
