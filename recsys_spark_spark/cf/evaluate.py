@@ -46,6 +46,9 @@ FROM hits"""
 
 
 def _train_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same single-exchange user_id partitioning discipline as
+    # itemcf.interactions(): the whole downstream CF chain (self-join, score
+    # agg, seen-filter, ui_agg) runs on this one partitioning.
     o = (
         table(spark, sf_dir, "orders")
         .where(F.col("o_orderdate") < F.lit(CUTOFF).cast("timestamp"))
@@ -54,6 +57,7 @@ def _train_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     return (
         o.join(l, o.o_orderkey == l.l_orderkey)
+        .repartition("o_custkey")
         .groupBy(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("total_qty"))
     )
@@ -61,10 +65,14 @@ def _train_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_eval_metrics", oracle=_EVAL_SQL)
 def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ui = _train_interactions(spark, sf_dir)
-    sim = itemcf.cosine_similarity(itemcf.cooccurrence(ui), itemcf.item_norms(ui))
-    neighbors = itemcf.topk_neighbors(itemcf.symmetrize(sim)).select("item_i", "item_j", "sim")
-    recs = itemcf.recommend(ui, neighbors)
+    # Persisted: the train matrix feeds neighbors, scoring, the seen-filter,
+    # and the coverage denominator. Fused neighbor path = one exchange,
+    # identical output to cooccurrence→symmetrize→topk (itemcf docstring).
+    ui = _train_interactions(spark, sf_dir).persist()
+    neighbors = itemcf.topk_neighbors_fused(ui, itemcf.item_norms(ui)).select(
+        "item_i", "item_j", "sim"
+    )
+    recs = itemcf.recommend(ui, neighbors).persist()
 
     o = table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= F.lit(CUTOFF).cast("timestamp")
@@ -76,13 +84,26 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    n_hits = recs.join(test, ["user_id", "item_id"]).count()
-    n_recs = recs.count()
-    n_test = test.count()
-    cov_num = recs.select("item_id").distinct().count()
-    cov_den = ui.select("item_id").distinct().count()
-    # Tiny driver-side combine of five scalar counts — not a data-plane collect.
-    return spark.createDataFrame(
-        [(round(n_hits / n_recs, 6), round(n_hits / n_test, 6), round(cov_num / cov_den, 6))],
-        "precision double, recall double, coverage double",
+    # Five scalar counts as 1-row aggregates cross-joined into one lazy plan:
+    # a single action, and Catalyst's exchange reuse dedups the shared recs/ui
+    # subplans instead of recomputing the CF chain per metric (the eager
+    # five-.count() form ran it three times).
+    hits_agg = recs.join(test, ["user_id", "item_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    recs_agg = recs.agg(
+        F.count(F.lit(1)).alias("n_recs"),
+        F.countDistinct("item_id").alias("cov_num"),
+    )
+    test_agg = test.agg(F.count(F.lit(1)).alias("n_test"))
+    ui_agg = ui.agg(F.countDistinct("item_id").alias("cov_den"))
+    return (
+        hits_agg.crossJoin(recs_agg)
+        .crossJoin(test_agg)
+        .crossJoin(ui_agg)
+        .select(
+            F.round(F.col("n_hits") / F.col("n_recs"), 6).alias("precision"),
+            F.round(F.col("n_hits") / F.col("n_test"), 6).alias("recall"),
+            F.round(F.col("cov_num") / F.col("cov_den").cast("double"), 6).alias("coverage"),
+        )
     )

@@ -117,10 +117,14 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = d.count()  # scalar dimension constant, embedded in the plan
-    idf = F.round(F.log((1 + F.lit(n_docs)) / (1 + F.col("df"))), 9)
-    scored = tf.join(df, "token").select(
-        "doc_id", "token", (F.col("tf") * idf).alias("score")
+    # Corpus size as a broadcast 1-row cross-join, not an eager .count():
+    # keeps the builder lazy and the whole computation one job at any scale.
+    n = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
+    idf = F.round(F.log((1 + F.col("n_docs")) / (1 + F.col("df"))), 9)
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(n)
+        .select("doc_id", "token", (F.col("tf") * idf).alias("score"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
     return (
