@@ -68,6 +68,29 @@ def q_source_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_source_orc")  # rows-only: round-trips through local tmp files
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3b: ORC source/sink round-trip (the other columnar format the
+    reference's Hive world reads natively). Spark's vectorized ORC reader
+    gives the same pushdown/pruning properties as parquet; the aggregate
+    re-read proves values survive the round trip."""
+    out = os.path.join(TMP_DIR, "orc")
+    shutil.rmtree(out, ignore_errors=True)
+    sup = table(spark, sf_dir, "supplier")
+    sup.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.where(F.col("s_acctbal") > 0)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("s_acctbal") * 100, 0).cast("long")) / F.lit(100.0)).alias(
+                "sum_bal"
+            ),
+        )
+    )
+
+
 @query("q_sink_parquet")  # rows-only: write+reread through local tmp files
 def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: partitioned parquet sink (the reference's Hive-sink analogue).

@@ -66,3 +66,64 @@ def test_flagship_has_no_cartesian(spark):
 def test_cf_plans_use_hash_aggregate(spark, name):
     plan = plan_of(spark, name)
     assert "HashAggregate" in plan
+
+
+def test_partitioned_sink_read_prunes_partitions(spark):
+    """The 100 TB layout contract: a filter on the partition column of a
+    partitionBy-written dataset must become a PartitionFilter (directory
+    pruning), not a data filter — at scale this is the difference between
+    listing one directory and scanning the lake."""
+    import os
+    import shutil
+
+    from recsys_spark_spark.catalog import table
+    from recsys_spark_spark.operators.scans import TMP_DIR
+
+    out = os.path.join(TMP_DIR, "prune_test")
+    shutil.rmtree(out, ignore_errors=True)
+    table(spark, SF_SMOKE, "customer").write.mode("overwrite").partitionBy(
+        "c_mktsegment"
+    ).parquet(out)
+    df = spark.read.parquet(out).where("c_mktsegment = 'BUILDING'").select("c_custkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "c_mktsegment" in seg, f"partition filter not pruned: {seg}"
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_flagship_seen_filter_never_broadcasts(spark):
+    """The exclude-seen anti-join must stay a shuffled-hash join: both sides
+    are co-partitioned on user_id, and auto-broadcast here serializes the
+    whole interaction set through a single-threaded driver build (measured
+    2-4x flagship inflation; impossible at 100 TB). Guards the
+    hint('shuffle_hash') in itemcf.recommend()."""
+    plan = plan_of(spark, "q_cf_recommend")
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti, "flagship lost its seen-filter anti-join"
+    assert all("BroadcastHashJoin" not in ln for ln in anti), (
+        "seen-filter anti-join reverted to broadcast:\n" + "\n".join(anti)
+    )
+
+
+def test_flagship_is_two_exchange_plan(spark):
+    """The whole CF chain must need exactly two data exchanges: the
+    interaction matrix build (keyed by user_id — reused exchange-free by the
+    history cap, self-join, score agg, seen filter, and top-N window) and the
+    directional-pair repartition (keyed by item_i). More exchanges means the
+    partitioning design regressed; it is the core of the 100 TB story.
+    Counted from the *executed* adaptive plan as materialized
+    ShuffleQueryStages (broadcast stages and pre-AQE initial-plan prints are
+    excluded by construction)."""
+    import re
+
+    df = QUERIES["q_cf_recommend"](spark, SF_SMOKE)
+    df.count()  # materialize so AQE settles the final stages
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ids = set(
+        re.findall(
+            r"ShuffleQueryStage \d+[^\n]*\n\s*[:+\- ]*Exchange hashpartitioning[^\n]*plan_id=(\d+)",
+            plan,
+        )
+    )
+    assert len(ids) <= 2, f"flagship grew to {len(ids)} shuffle stages: {sorted(ids)}"
