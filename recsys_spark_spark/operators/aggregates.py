@@ -264,3 +264,75 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sxy - sx * sy / n) / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)), 6
         ).alias("corr_price_qty"),
     )
+
+
+@query(
+    "q_agg_pivot",
+    oracle="""
+SELECT EXTRACT(year FROM o_orderdate) AS yr,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+       SUM(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) ELSE 0 END) / 100.0 AS rev_f,
+       SUM(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) ELSE 0 END) / 100.0 AS rev_o,
+       SUM(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) ELSE 0 END) / 100.0 AS rev_p
+FROM orders
+GROUP BY 1
+""",
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order counts and revenue per year, one column pair
+    per order status. The pivot value list is explicit — at scale an implicit
+    pivot needs a distinct-scan pre-pass to discover columns and makes the
+    schema data-dependent; with declared values it is a single hash aggregate
+    (CASE WHEN under the hood), no extra pass. Scaled-cent sums keep revenue
+    order-independent. Explicit zero/0.0 defaults match the SQL CASE ELSE
+    (Spark pivot yields null for absent combinations)."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    wide = (
+        o.select(F.year("o_orderdate").alias("yr"), "o_orderstatus", cents.alias("cents"))
+        .groupBy("yr")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    return wide.select(
+        "yr",
+        *[
+            F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+        *[
+            (F.coalesce(F.col(f"{s}_cents"), F.lit(0)) / F.lit(100.0)).alias(f"rev_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+SELECT p_partkey, metric, value FROM (
+  SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+  UNION ALL
+  SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+) WHERE p_partkey < 200
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): numeric part attributes melted to (key, metric,
+    value) rows — the layout feature stores and metric pipelines ingest.
+    df.unpivot is a row-local expansion (Expand node): no shuffle, output
+    rows = rows × metrics, embarrassingly parallel at any scale."""
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    ).unpivot("p_partkey", ["retailprice", "size"], "metric", "value")
