@@ -9,6 +9,13 @@ from __future__ import annotations
 
 import pytest
 
+from recsys_spark_spark.plans.audit import (
+    executed_plan,
+    join_lines,
+    partition_filters,
+    read_schemas,
+    shuffle_stage_count,
+)
 from recsys_spark_spark.registry import load_all
 from tests.conftest import SF_SMOKE
 
@@ -16,8 +23,7 @@ QUERIES, _ = load_all()
 
 
 def plan_of(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF_SMOKE)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return executed_plan(QUERIES[name](spark, SF_SMOKE))
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -28,11 +34,11 @@ def test_filter_pushdown_reaches_scan(spark):
 
 def test_column_pruning(spark):
     plan = plan_of(spark, "q_scan_project")
-    assert "ReadSchema" in plan
+    schemas = read_schemas(plan)
+    assert schemas
     # none of the non-projected columns may appear in the scan schema
-    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     for col in ("l_extendedprice", "l_shipdate", "l_returnflag"):
-        assert col not in read_schema
+        assert all(col not in s for s in schemas)
 
 
 def test_broadcast_join_used_for_dims(spark):
@@ -85,10 +91,10 @@ def test_partitioned_sink_read_prunes_partitions(spark):
         "c_mktsegment"
     ).parquet(out)
     df = spark.read.parquet(out).where("c_mktsegment = 'BUILDING'").select("c_custkey")
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [" in plan
-    seg = plan.split("PartitionFilters:")[1].splitlines()[0]
-    assert "c_mktsegment" in seg, f"partition filter not pruned: {seg}"
+    pf = partition_filters(executed_plan(df))
+    assert pf and any("c_mktsegment" in seg for seg in pf), (
+        f"partition filter not pruned: {pf}"
+    )
     shutil.rmtree(out, ignore_errors=True)
 
 
@@ -98,8 +104,7 @@ def test_flagship_seen_filter_never_broadcasts(spark):
     whole interaction set through a single-threaded driver build (measured
     2-4x flagship inflation; impossible at 100 TB). Guards the
     hint('shuffle_hash') in itemcf.recommend()."""
-    plan = plan_of(spark, "q_cf_recommend")
-    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    anti = join_lines(plan_of(spark, "q_cf_recommend"), "LeftAnti")
     assert anti, "flagship lost its seen-filter anti-join"
     assert all("BroadcastHashJoin" not in ln for ln in anti), (
         "seen-filter anti-join reverted to broadcast:\n" + "\n".join(anti)
@@ -115,15 +120,6 @@ def test_flagship_is_two_exchange_plan(spark):
     Counted from the *executed* adaptive plan as materialized
     ShuffleQueryStages (broadcast stages and pre-AQE initial-plan prints are
     excluded by construction)."""
-    import re
-
     df = QUERIES["q_cf_recommend"](spark, SF_SMOKE)
-    df.count()  # materialize so AQE settles the final stages
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    ids = set(
-        re.findall(
-            r"ShuffleQueryStage \d+[^\n]*\n\s*[:+\- ]*Exchange hashpartitioning[^\n]*plan_id=(\d+)",
-            plan,
-        )
-    )
-    assert len(ids) <= 2, f"flagship grew to {len(ids)} shuffle stages: {sorted(ids)}"
+    n = shuffle_stage_count(executed_plan(df, materialize=True))
+    assert n <= 2, f"flagship grew to {n} shuffle stages"
