@@ -463,6 +463,39 @@ def q_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recommend(ui, neighbors)
 
 
+def topk_user_neighbors(ui: DataFrame, k: int = TOP_K_NEIGHBORS) -> DataFrame:
+    """UserCF twin of topk_neighbors_fused: top-K similar users per user in
+    one exchange. Directional user pairs stream out of the item-keyed
+    self-join, are repartitioned by user_a ONCE, and count → cosine →
+    window-top-k run partition-local (same WindowGroupLimit pruning).
+    At scale hot *items* are the skew source here — the mirror of hot users
+    in ItemCF; cap per-item audience or drop ubiquitous items upstream."""
+    unorms = ui.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_items"))
+    a = ui.select("item_id", F.col("user_id").alias("user_a"))
+    b = ui.select("item_id", F.col("user_id").alias("user_b"))
+    pairs = a.join(b, "item_id").where(F.col("user_a") != F.col("user_b"))
+    na = F.broadcast(unorms.select(F.col("user_id").alias("user_a"), F.col("n_items").alias("n_a")))
+    nb = F.broadcast(unorms.select(F.col("user_id").alias("user_b"), F.col("n_items").alias("n_b")))
+    sim = (
+        pairs.repartition("user_a")
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(na, "user_a")
+        .join(nb, "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            F.round(F.col("n_common") / F.sqrt(F.col("n_a") * F.col("n_b")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("user_a").orderBy(F.col("sim").desc(), F.col("user_b"))
+    return (
+        sim.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("user_a", "user_b", "sim")
+    )
+
+
 USER_NORMS_CTE = """unorms AS (
   SELECT user_id, COUNT(*) AS n_items FROM ui GROUP BY 1
 )"""
@@ -509,5 +542,87 @@ def q_cf_user_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_a",
             "user_b",
             F.round(F.col("n_common") / F.sqrt(F.col("n_a") * F.col("n_b")), 6).alias("sim"),
+        )
+    )
+
+
+USER_TOPK_CTE = f"""usim AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS n_common
+  FROM ui a JOIN ui b ON a.item_id = b.item_id AND a.user_id <> b.user_id
+  GROUP BY 1, 2
+), uscored AS (
+  SELECT user_a, user_b,
+         ROUND(n_common / SQRT(na.n_items * nb.n_items), 6) AS sim
+  FROM usim
+  JOIN unorms na ON usim.user_a = na.user_id
+  JOIN unorms nb ON usim.user_b = nb.user_id
+), utopk AS (
+  SELECT user_a, user_b, sim FROM (
+    SELECT user_a, user_b, sim,
+           ROW_NUMBER() OVER (PARTITION BY user_a ORDER BY sim DESC, user_b) AS rnk
+    FROM uscored
+  ) WHERE rnk <= {TOP_K_NEIGHBORS}
+)"""
+
+USER_RECS_CTE = f"""uscores AS (
+  SELECT t.user_a AS user_id, ui.item_id,
+         SUM(CAST(ROUND(t.sim * ui.cnt * 1e6, 0) AS BIGINT)) / 1e6 AS _s
+  FROM utopk t JOIN ui ON ui.user_id = t.user_b
+  GROUP BY 1, 2
+), uunseen AS (
+  SELECT s.user_id, s.item_id, s._s
+  FROM uscores s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ui WHERE ui.user_id = s.user_id AND ui.item_id = s.item_id
+  )
+), urecs AS (
+  SELECT user_id, item_id, ROUND(_s, 6) AS score, rnk FROM (
+    SELECT user_id, item_id, _s,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY _s DESC, item_id) AS BIGINT) AS rnk
+    FROM uunseen
+  ) WHERE rnk <= {TOP_N_RECS}
+)"""
+
+
+@query(
+    "q_cf_user_recommend",
+    oracle=(
+        f"WITH {UI_CTE},\n{USER_NORMS_CTE},\n{USER_TOPK_CTE},\n{USER_RECS_CTE}\n"
+        "SELECT user_id, item_id, score, rnk FROM urecs"
+    ),
+)
+def q_cf_user_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I8b: UserCF recommendation — p(u,i) = Σ_{v∈N(u)} sim(u,v)·r_vi over
+    the top-K most similar users, minus items u already has, top-N per user.
+
+    The neighbor table is |users|·K rows → broadcast into the expansion join
+    against the cached user_id-partitioned interaction matrix (keyed by the
+    *neighbor* user v = ui.user_id, so the big side streams from cache); the
+    score aggregate then needs one exchange to re-key by the target user u,
+    and the seen-filter anti-join + final window reuse that partitioning.
+    Same scaled-integer score discipline as ItemCF I7."""
+    ui = capped_interactions(spark, sf_dir)
+    neighbors = topk_user_neighbors(ui)
+    expanded = ui.join(F.broadcast(neighbors), ui.user_id == neighbors.user_b)
+    scores = (
+        expanded.groupBy(
+            F.col("user_a").alias("user_id"),
+            F.col("item_id"),
+        )
+        .agg(
+            (F.sum(F.round(F.col("sim") * F.col("cnt") * 1e6, 0).cast("long")) / F.lit(1e6)).alias("_s")
+        )
+    )
+    seen = ui.select("user_id", "item_id").hint("shuffle_hash")
+    unseen = scores.join(seen, ["user_id", "item_id"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy(F.col("_s").desc(), F.col("item_id"))
+    return (
+        unseen.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_N_RECS)
+        .select(
+            "user_id",
+            "item_id",
+            F.round("_s", 6).alias("score"),
+            F.col("rnk").cast("long").alias("rnk"),
         )
     )
