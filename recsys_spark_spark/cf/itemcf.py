@@ -204,7 +204,13 @@ def topk_neighbors_fused(ui: DataFrame, norms: DataFrame, k: int = TOP_K_NEIGHBO
     """
     a = ui.select("user_id", F.col("item_id").alias("item_i"))
     b = ui.select("user_id", F.col("item_id").alias("item_j"))
-    pairs = a.join(b, "user_id").where(F.col("item_i") != F.col("item_j"))
+    # shuffle_hash: the self-join sides have no exploitable sort order, and a
+    # sort-merge join would Tungsten-sort both 550k-row inputs before
+    # streaming 30M pair rows; a per-partition hash build is strictly less
+    # work whether or not the cached ui's partitioning is visible (under AQE
+    # a cached plan reports unknown partitioning at planning time, so the
+    # planner re-exchanges both sides either way).
+    pairs = a.join(b.hint("shuffle_hash"), "user_id").where(F.col("item_i") != F.col("item_j"))
     ni = F.broadcast(norms.select(F.col("item_id").alias("item_i"), F.col("n_users").alias("n_i")))
     nj = F.broadcast(norms.select(F.col("item_id").alias("item_j"), F.col("n_users").alias("n_j")))
     sim = (
@@ -254,14 +260,24 @@ def recommend(ui: DataFrame, neighbors: DataFrame, n: int = TOP_N_RECS) -> DataF
             (F.sum(F.round(F.col("sim") * F.col("cnt") * 1e6, 0).cast("long")) / F.lit(1e6)).alias("_s")
         )
     )
-    # The seen-filter must NOT broadcast: both sides are already co-partitioned
-    # on user_id, so a shuffled-hash anti-join is exchange-free and fully
-    # parallel, while auto-broadcast (seen fits under any sane threshold)
-    # would collect the whole interaction set to the driver and build the
-    # hashed relation single-threaded — measured 2-4x wall inflation per run,
-    # and at 100 TB the seen set doesn't fit in one broadcast at all.
-    seen = ui.select("user_id", F.col("item_id").alias("rec_item")).hint("shuffle_hash")
-    unseen = scores.join(seen, ["user_id", "rec_item"], "left_anti")
+    # Seen-filter as a per-user item-set membership test, NOT an anti-join on
+    # (user_id, rec_item). An anti-join keyed on both columns forces Spark to
+    # re-exchange BOTH sides on (user_id, rec_item) — and its output
+    # partitioning then no longer satisfies the final window's user_id
+    # clustering, adding a THIRD exchange of the full score table (observed:
+    # 3 extra exchanges ≈ 10M rows moved at sf0.1). Collapsing seen items to
+    # one array per user keeps every step keyed by user_id alone: the
+    # collect_set aggregate moves ~|users| tiny rows, the membership join is
+    # a co-partitioned shuffled-hash join on user_id, and the final window
+    # runs partition-local. The per-user array is bounded by the history cap
+    # (MAX_USER_HISTORY), so it cannot blow up on a hot user at 100 TB —
+    # while nothing user-history-sized is ever broadcast.
+    seen = ui.groupBy("user_id").agg(F.collect_set("item_id").alias("_seen"))
+    unseen = (
+        scores.join(seen.hint("shuffle_hash"), "user_id")
+        .where(~F.array_contains(F.col("_seen"), F.col("rec_item")))
+        .drop("_seen")
+    )
     # Per-user top-N as a window row_number — same Tungsten-sort rationale as
     # topk_neighbors_fused, and it runs in the same partition-local stage
     # since HashPartitioning(user_id) satisfies the window's distribution.
@@ -613,8 +629,16 @@ def q_cf_user_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.round(F.col("sim") * F.col("cnt") * 1e6, 0).cast("long")) / F.lit(1e6)).alias("_s")
         )
     )
-    seen = ui.select("user_id", "item_id").hint("shuffle_hash")
-    unseen = scores.join(seen, ["user_id", "item_id"], "left_anti")
+    # Same seen-filter shape as ItemCF recommend(): per-user item-set
+    # membership instead of a two-key anti-join, keeping the whole tail of
+    # the pipeline clustered on user_id alone (see recommend() for the
+    # exchange-count rationale).
+    seen = ui.groupBy("user_id").agg(F.collect_set("item_id").alias("_seen"))
+    unseen = (
+        scores.join(seen.hint("shuffle_hash"), "user_id")
+        .where(~F.array_contains(F.col("_seen"), F.col("item_id")))
+        .drop("_seen")
+    )
     w = Window.partitionBy("user_id").orderBy(F.col("_s").desc(), F.col("item_id"))
     return (
         unseen.withColumn("rnk", F.row_number().over(w))

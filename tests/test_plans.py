@@ -99,15 +99,23 @@ def test_partitioned_sink_read_prunes_partitions(spark):
 
 
 def test_flagship_seen_filter_never_broadcasts(spark):
-    """The exclude-seen anti-join must stay a shuffled-hash join: both sides
-    are co-partitioned on user_id, and auto-broadcast here serializes the
-    whole interaction set through a single-threaded driver build (measured
-    2-4x flagship inflation; impossible at 100 TB). Guards the
-    hint('shuffle_hash') in itemcf.recommend()."""
-    anti = join_lines(plan_of(spark, "q_cf_recommend"), "LeftAnti")
-    assert anti, "flagship lost its seen-filter anti-join"
-    assert all("BroadcastHashJoin" not in ln for ln in anti), (
-        "seen-filter anti-join reverted to broadcast:\n" + "\n".join(anti)
+    """The exclude-seen step is a per-user set-membership test: an inner
+    shuffled-hash join on user_id against collect_set(seen) followed by an
+    array_contains filter. Two invariants guard it: the membership filter
+    must exist, and no user_id-keyed join in the flagship may broadcast —
+    auto-broadcast there serializes user-history-sized data through a
+    single-threaded driver build (measured 2-4x flagship inflation;
+    impossible at 100 TB). Guards the hint('shuffle_hash') + array_contains
+    shape in itemcf.recommend()."""
+    plan = plan_of(spark, "q_cf_recommend")
+    assert "array_contains" in plan, "flagship lost its seen-membership filter"
+    bad = [
+        ln
+        for ln in join_lines(plan, "BroadcastHashJoin")
+        if "user_id" in ln
+    ]
+    assert not bad, (
+        "a user_id-keyed flagship join reverted to broadcast:\n" + "\n".join(bad)
     )
 
 
