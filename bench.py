@@ -42,6 +42,7 @@ HEADLINE = (
 )
 
 RUNS = 5
+EXTRA_RUNS = 3
 
 
 def run_one(spark, fn, sf_dir: str) -> float:
@@ -87,6 +88,22 @@ def main() -> None:
     for _ in range(RUNS):
         for name in HEADLINE:
             samples[name].append(run_one(spark, queries[name], SF_DIR))
+
+    # Settle pass: under the additive-noise model, the min is trustworthy
+    # once at least two samples agree near it (the floor was reached twice);
+    # a query whose samples are all scattered had every round land in a
+    # noise burst, so it gets a few more samples. Also covers JIT tiering —
+    # the first 1-2 timed runs can still be compiling post-AQE stages.
+    def settled(s: list[float]) -> bool:
+        return sum(1 for x in s if x <= min(s) * 1.10) >= 2
+
+    for name in HEADLINE:
+        s = samples[name]
+        for _ in range(EXTRA_RUNS):
+            if settled(s):
+                break
+            s.append(run_one(spark, queries[name], SF_DIR))
+
     timings = {name: round(min(s), 3) for name, s in samples.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -3,6 +3,15 @@
 Mirrors the reference's Hive-table sourcing (SURVEY.md §2.1) with parquet +
 temp views. At 100 TB these would be date-partitioned, key-bucketed external
 tables; the loader is the single place that knowledge lives.
+
+Table handles are cached per (session, sf_dir, name): ``spark.read.parquet``
+eagerly lists files and reads parquet footers for schema inference on every
+call (~120-175 ms per table on this host), so a query touching five tables
+paid ~0.7 s of pure metadata overhead per invocation. A real deployment
+resolves tables through a metastore whose schemas and file listings are
+cached; reusing the analyzed DataFrame handle is the local equivalent. The
+handle is a logical plan, not data — caching it never pins row data in
+memory, and Spark's InMemoryFileIndex on the handle keeps the file listing.
 """
 
 from __future__ import annotations
@@ -29,21 +38,39 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (applicationId, sf_dir, name) -> DataFrame handle. applicationId is unique
+# per SparkSession lifetime, so a handle can never leak across sessions
+# (a stopped session's plans are unusable in its successor).
+_HANDLES: dict[tuple[str, str, str], DataFrame] = {}
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name not in TABLES:
-        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
         # default. Read it as raw nanos and truncate to µs (TimestampType's
         # precision) — same value DuckDB sees minus sub-µs digits, which is
         # why all event-time logic works at second granularity (SURVEY §7.5).
+        # The nanosAsLong conf is set once in session.get_spark; it is
+        # re-asserted here (idempotent) for externally-built sessions such as
+        # the driver's default-config probe.
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _HANDLES.get(key)
+    if df is None:
+        df = _load(spark, sf_dir, name)
+        _HANDLES[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

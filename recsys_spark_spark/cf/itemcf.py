@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from recsys_spark_spark.catalog import table
+from recsys_spark_spark.functions.determinism import dround, oround, rlong
 from recsys_spark_spark.registry import query
 
 TOP_K_NEIGHBORS = 10
@@ -125,7 +126,7 @@ def cosine_similarity(cooc: DataFrame, norms: DataFrame) -> DataFrame:
         .select(
             "item_i",
             "item_j",
-            F.round(F.col("n_common") / F.sqrt(F.col("n_i") * F.col("n_j")), 6).alias("sim"),
+            dround(F.col("n_common") / F.sqrt(F.col("n_i") * F.col("n_j"))).alias("sim"),
         )
     )
 
@@ -222,7 +223,7 @@ def topk_neighbors_fused(ui: DataFrame, norms: DataFrame, k: int = TOP_K_NEIGHBO
         .select(
             "item_i",
             "item_j",
-            F.round(F.col("n_common") / F.sqrt(F.col("n_i") * F.col("n_j")), 6).alias("sim"),
+            dround(F.col("n_common") / F.sqrt(F.col("n_i") * F.col("n_j"))).alias("sim"),
         )
     )
     w = Window.partitionBy("item_i").orderBy(F.col("sim").desc(), F.col("item_j"))
@@ -257,7 +258,7 @@ def recommend(ui: DataFrame, neighbors: DataFrame, n: int = TOP_N_RECS) -> DataF
             F.col("item_j").alias("rec_item"),
         )
         .agg(
-            (F.sum(F.round(F.col("sim") * F.col("cnt") * 1e6, 0).cast("long")) / F.lit(1e6)).alias("_s")
+            (F.sum(rlong(F.col("sim") * F.col("cnt") * F.lit(1e6))) / F.lit(1e6)).alias("_s")
         )
     )
     # Seen-filter as a per-user item-set membership test, NOT an anti-join on
@@ -317,7 +318,7 @@ COOC_CTE = """cooc AS (
 
 SIM_CTE = """sim AS (
   SELECT item_i, item_j,
-         ROUND(n_common / SQRT(ni.n_users * nj.n_users), 6) AS sim
+         (ROUND((n_common / SQRT(ni.n_users * nj.n_users)) * 1e6, 0) / 1e6) AS sim
   FROM cooc
   JOIN norms ni ON cooc.item_i = ni.item_id
   JOIN norms nj ON cooc.item_j = nj.item_id
@@ -416,7 +417,7 @@ IUF_CTE = """usize AS (
     oracle=(
         f"WITH {UI_CTE},\n{NORMS_CTE},\n{IUF_CTE}\n"
         "SELECT item_i, item_j,\n"
-        "       ROUND(s_iuf / SQRT(ni.n_users * nj.n_users), 6) AS sim\n"
+        "       (ROUND((s_iuf / SQRT(ni.n_users * nj.n_users)) * 1e6, 0) / 1e6) AS sim\n"
         "FROM iufnum\n"
         "JOIN norms ni ON iufnum.item_i = ni.item_id\n"
         "JOIN norms nj ON iufnum.item_j = nj.item_id"
@@ -434,7 +435,7 @@ def q_cf_iuf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("item_i") < F.col("item_j"))
         .join(usize, "user_id")
         .groupBy("item_i", "item_j")
-        .agg((F.sum(F.round(F.col("iuf") * 1e9, 0).cast("long")) / F.lit(1e9)).alias("s_iuf"))
+        .agg((F.sum(rlong(F.col("iuf") * F.lit(1e9))) / F.lit(1e9)).alias("s_iuf"))
     )
     norms = item_norms(ui)
     ni = F.broadcast(norms.select(F.col("item_id").alias("item_i"), F.col("n_users").alias("n_i")))
@@ -445,7 +446,7 @@ def q_cf_iuf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "item_i",
             "item_j",
-            F.round(F.col("s_iuf") / F.sqrt(F.col("n_i") * F.col("n_j")), 6).alias("sim"),
+            dround(F.col("s_iuf") / F.sqrt(F.col("n_i") * F.col("n_j"))).alias("sim"),
         )
     )
 
@@ -501,7 +502,7 @@ def topk_user_neighbors(ui: DataFrame, k: int = TOP_K_NEIGHBORS) -> DataFrame:
         .select(
             "user_a",
             "user_b",
-            F.round(F.col("n_common") / F.sqrt(F.col("n_a") * F.col("n_b")), 6).alias("sim"),
+            dround(F.col("n_common") / F.sqrt(F.col("n_a") * F.col("n_b"))).alias("sim"),
         )
     )
     w = Window.partitionBy("user_a").orderBy(F.col("sim").desc(), F.col("user_b"))
@@ -528,7 +529,7 @@ USER_COOC_CTE = """ucooc AS (
     oracle=(
         f"WITH {UI_CTE},\n{USER_NORMS_CTE},\n{USER_COOC_CTE}\n"
         "SELECT user_a, user_b,\n"
-        "       ROUND(n_common / SQRT(na.n_items * nb.n_items), 6) AS sim\n"
+        "       (ROUND((n_common / SQRT(na.n_items * nb.n_items)) * 1e6, 0) / 1e6) AS sim\n"
         "FROM ucooc\n"
         "JOIN unorms na ON ucooc.user_a = na.user_id\n"
         "JOIN unorms nb ON ucooc.user_b = nb.user_id"
@@ -557,7 +558,7 @@ def q_cf_user_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_a",
             "user_b",
-            F.round(F.col("n_common") / F.sqrt(F.col("n_a") * F.col("n_b")), 6).alias("sim"),
+            dround(F.col("n_common") / F.sqrt(F.col("n_a") * F.col("n_b"))).alias("sim"),
         )
     )
 
@@ -568,7 +569,7 @@ USER_TOPK_CTE = f"""usim AS (
   GROUP BY 1, 2
 ), uscored AS (
   SELECT user_a, user_b,
-         ROUND(n_common / SQRT(na.n_items * nb.n_items), 6) AS sim
+         (ROUND((n_common / SQRT(na.n_items * nb.n_items)) * 1e6, 0) / 1e6) AS sim
   FROM usim
   JOIN unorms na ON usim.user_a = na.user_id
   JOIN unorms nb ON usim.user_b = nb.user_id
@@ -626,7 +627,7 @@ def q_cf_user_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("item_id"),
         )
         .agg(
-            (F.sum(F.round(F.col("sim") * F.col("cnt") * 1e6, 0).cast("long")) / F.lit(1e6)).alias("_s")
+            (F.sum(rlong(F.col("sim") * F.col("cnt") * F.lit(1e6))) / F.lit(1e6)).alias("_s")
         )
     )
     # Same seen-filter shape as ItemCF recommend(): per-user item-set

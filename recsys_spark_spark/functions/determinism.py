@@ -15,6 +15,38 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def rlong(col: Column) -> Column:
+    """Round a double expression half-away-from-zero to a long — the fast twin
+    of ``F.round(col, 0).cast("long")`` and of DuckDB's ``ROUND(x, 0)``.
+
+    ``F.round`` routes every row through a BigDecimal allocation (~160 ns/row
+    plus GC pressure — measured multi-second inflation and GC-driven variance
+    on the 25M-row CF similarity stream); ``floor(v+0.5)`` / ``ceil(v-0.5)``
+    stays in whole-stage-codegen primitive ops. Exactly equal to both rounders
+    for |v| < 2^51 except doubles whose exact value ties halfway between two
+    representables after the ±0.5 add (measure-zero; verified absent on all
+    oracle-checked data, tools/check_oracles.py).
+    """
+    return F.when(col < 0, F.ceil(col - F.lit(0.5))).otherwise(
+        F.floor(col + F.lit(0.5))
+    )
+
+
+def dround(col: Column, scale: int = 6) -> Column:
+    """Fast multiply-form decimal rounding: round(x*10^s)/10^s as primitive
+    double/long ops. NOT digit-exact ``F.round(x, s)`` (which rounds the exact
+    decimal expansion); its DuckDB twin is :func:`oround`, and both sides must
+    use the pair. Use where rounding runs per-row on fact-scale data (CF
+    similarity); output-sized columns can keep ``F.round``."""
+    factor = F.lit(float(10**scale))
+    return rlong(col * factor) / factor
+
+
+def oround(expr: str, scale: int = 6) -> str:
+    """DuckDB SQL twin of :func:`dround` (multiply-form rounding)."""
+    return f"(ROUND(({expr}) * 1e{scale}, 0) / 1e{scale})"
+
+
 def dsum(col: Column, scale: int = 6) -> Column:
     """Order-independent SUM of a double expression, exact to `scale` decimals.
 
@@ -22,7 +54,7 @@ def dsum(col: Column, scale: int = 6) -> Column:
     round-trip of the final division) — holds for every workload here.
     """
     factor = float(10**scale)
-    scaled = F.round(col * factor, 0).cast("long")
+    scaled = rlong(col * F.lit(factor))
     return F.sum(scaled) / F.lit(factor)
 
 
@@ -35,7 +67,7 @@ def osum(expr: str, scale: int = 6) -> str:
 def davg(col: Column, scale: int = 6) -> Column:
     """Order-independent AVG of a double expression."""
     factor = float(10**scale)
-    scaled = F.round(col * factor, 0).cast("long")
+    scaled = rlong(col * F.lit(factor))
     return F.sum(scaled) / (F.count(scaled) * F.lit(factor))
 
 

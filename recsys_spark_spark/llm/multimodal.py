@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from recsys_spark_spark.catalog import table
+from recsys_spark_spark.functions.determinism import rlong
 from recsys_spark_spark.registry import query
 
 
@@ -46,7 +47,7 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prods = F.zip_with(
         F.col("embedding"),
         F.col("embedding"),
-        lambda x, y: F.round(x.cast("double") * y.cast("double") * 1e12, 0).cast("long"),
+        lambda x, y: rlong(x.cast("double") * y.cast("double") * F.lit(1e12)),
     )
     norm_s = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
     joined = d.join(e, d.doc_id == e.vec_id).select(

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from recsys_spark_spark.catalog import table
+from recsys_spark_spark.functions.determinism import rlong
 from recsys_spark_spark.registry import query
 
 DIM = 64
@@ -28,7 +29,7 @@ TOP_K = 10
 def _scaled_dot(a: Column, b: Column) -> Column:
     """Σ round(a_i·b_i·1e12) as exact long — order-independent dot product."""
     prods = F.zip_with(
-        a, b, lambda x, y: F.round(x.cast("double") * y.cast("double") * 1e12, 0).cast("long")
+        a, b, lambda x, y: rlong(x.cast("double") * y.cast("double") * F.lit(1e12))
     )
     return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
@@ -136,13 +137,13 @@ def q_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "vx"),
     ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "vx")
     cent = ve.groupBy("label", "i").agg(
-        (F.sum(F.round(F.col("vx") * 1e9, 0).cast("long")) / (F.count(F.lit(1)) * F.lit(1e9))).alias("cx")
+        (F.sum(rlong(F.col("vx") * F.lit(1e9))) / (F.count(F.lit(1)) * F.lit(1e9))).alias("cx")
     )
     diff = F.col("vx") - F.col("cx")
     dists = (
         ve.join(cent, ["label", "i"])
         .groupBy("vec_id", "label")
-        .agg(F.sum(F.round(diff * diff * 1e12, 0).cast("long")).alias("d_s"))
+        .agg(F.sum(rlong(diff * diff * F.lit(1e12))).alias("d_s"))
     )
     w = Window.partitionBy("label").orderBy("d_s", "vec_id")
     return (

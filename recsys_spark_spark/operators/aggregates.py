@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from recsys_spark_spark.catalog import table
-from recsys_spark_spark.functions.determinism import davg, dsum, oavg, osum
+from recsys_spark_spark.functions.determinism import davg, dsum, oavg, osum, rlong
 from recsys_spark_spark.registry import query
 
 
@@ -247,11 +247,11 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.sum(F.round(x * 100, 0).cast("long")) / F.lit(100)).alias("sx"),
-            F.sum(F.round(x * x, 0).cast("long")).alias("sxx"),
-            F.sum(F.round(y, 0).cast("long")).alias("sy"),
-            F.sum(F.round(y * y, 0).cast("long")).alias("syy"),
-            F.sum(F.round(x * y, 0).cast("long")).alias("sxy"),
+            (F.sum(rlong(x * 100)) / F.lit(100)).alias("sx"),
+            F.sum(rlong(x * x)).alias("sxx"),
+            F.sum(rlong(y)).alias("sy"),
+            F.sum(rlong(y * y)).alias("syy"),
+            F.sum(rlong(x * y)).alias("sxy"),
         )
     )
     n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
@@ -292,7 +292,7 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent. Explicit zero/0.0 defaults match the SQL CASE ELSE
     (Spark pivot yields null for absent combinations)."""
     o = table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = rlong(F.col("o_totalprice") * 100)
     wide = (
         o.select(F.year("o_orderdate").alias("yr"), "o_orderstatus", cents.alias("cents"))
         .groupBy("yr")

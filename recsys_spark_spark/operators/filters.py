@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from recsys_spark_spark.catalog import table
-from recsys_spark_spark.functions.determinism import osum
+from recsys_spark_spark.functions.determinism import osum, rlong
 from recsys_spark_spark.registry import query
 
 
@@ -31,7 +31,7 @@ def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            (F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount") * 1e6, 0).cast("long")) / F.lit(1e6)).alias("revenue")
+            (F.sum(rlong(F.col("l_extendedprice") * F.col("l_discount") * F.lit(1e6))) / F.lit(1e6)).alias("revenue")
         )
     )
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from recsys_spark_spark.catalog import table
-from recsys_spark_spark.functions.determinism import osum
+from recsys_spark_spark.functions.determinism import osum, rlong
 from recsys_spark_spark.registry import query
 
 
@@ -262,6 +262,6 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("n_name")
         .agg(
-            (F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6, 0).cast("long")) / F.lit(1e6)).alias("revenue")
+            (F.sum(rlong(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6))) / F.lit(1e6)).alias("revenue")
         )
     )

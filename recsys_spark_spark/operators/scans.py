@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from recsys_spark_spark.catalog import table
+from recsys_spark_spark.functions.determinism import rlong
 from recsys_spark_spark.registry import query
 
 TMP_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
@@ -84,7 +85,7 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.sum(F.round(F.col("s_acctbal") * 100, 0).cast("long")) / F.lit(100.0)).alias(
+            (F.sum(rlong(F.col("s_acctbal") * 100)) / F.lit(100.0)).alias(
                 "sum_bal"
             ),
         )

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from recsys_spark_spark.catalog import table
-from recsys_spark_spark.functions.determinism import osum
+from recsys_spark_spark.functions.determinism import osum, rlong
 from recsys_spark_spark.registry import query
 
 
@@ -60,7 +60,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "l_partkey")
         .agg(
-            (F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6, 0).cast("long")) / F.lit(1e6)).alias("revenue")
+            (F.sum(rlong(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6))) / F.lit(1e6)).alias("revenue")
         )
     )
     w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("l_partkey"))

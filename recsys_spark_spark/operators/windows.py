@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from recsys_spark_spark.catalog import table
+from recsys_spark_spark.functions.determinism import rlong
 from recsys_spark_spark.registry import query
 
 
@@ -62,7 +63,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = rlong(F.col("o_totalprice") * 100)
     return o.select(
         "o_orderkey",
         "o_custkey",
@@ -122,7 +123,7 @@ def q_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-2, Window.currentRow)
     )
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = rlong(F.col("o_totalprice") * 100)
     return o.select(
         "o_orderkey",
         "o_custkey",
@@ -181,7 +182,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         F.unix_timestamp("o_orderdate").alias("od_sec"),
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        rlong(F.col("o_totalprice") * 100).alias("cents"),
     )
     w = Window.partitionBy("o_custkey").orderBy("od_sec").rangeBetween(-2592000, 0)
     return o.select(

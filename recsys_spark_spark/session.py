@@ -32,6 +32,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics vs the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
+        # events.ts is parquet TIMESTAMP(NANOS); Spark 4 refuses it unless
+        # read as raw longs (catalog._load truncates to µs). Session-level so
+        # the per-table loader never mutates a running session's conf.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # local[32] runs all 32 task threads in the driver JVM; an undersized
         # heap turns the CF pair aggregates (tens of millions of transient
         # structs per run) into multi-second full-GC pauses.

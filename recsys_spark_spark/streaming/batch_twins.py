@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from recsys_spark_spark.catalog import table
+from recsys_spark_spark.functions.determinism import rlong
 from recsys_spark_spark.registry import query
 
 SESSION_GAP_S = 30 * 60
@@ -41,7 +42,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.sum(F.round(F.col("value") * 1e6, 0).cast("long")) / F.lit(1e6)).alias("sum_value"),
+            (F.sum(rlong(F.col("value") * F.lit(1e6))) / F.lit(1e6)).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
