@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from recsys_spark_spark.catalog import table
 from recsys_spark_spark.cf import itemcf
+from recsys_spark_spark.functions.determinism import rlong
 from recsys_spark_spark.registry import query
 
 CUTOFF = "2000-01-01"
@@ -63,16 +64,35 @@ def _train_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Memoized persisted (train matrix, recommendations) per (session, sf_dir) —
+# same rationale and clearCache-recovery discipline as itemcf._CAPPED.
+_TRAIN: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _train_and_recs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pair = _TRAIN.get(key)
+    if pair is None:
+        ui = _train_interactions(spark, sf_dir).persist()
+        neighbors = itemcf.topk_neighbors_fused(ui, itemcf.item_norms(ui)).select(
+            "item_i", "item_j", "sim"
+        )
+        pair = (ui, itemcf.recommend(ui, neighbors).persist())
+        _TRAIN[key] = pair
+    else:
+        for df in pair:
+            lvl = df.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                df.persist()
+    return pair
+
+
 @query("q_eval_metrics", oracle=_EVAL_SQL)
 def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted: the train matrix feeds neighbors, scoring, the seen-filter,
     # and the coverage denominator. Fused neighbor path = one exchange,
     # identical output to cooccurrence→symmetrize→topk (itemcf docstring).
-    ui = _train_interactions(spark, sf_dir).persist()
-    neighbors = itemcf.topk_neighbors_fused(ui, itemcf.item_norms(ui)).select(
-        "item_i", "item_j", "sim"
-    )
-    recs = itemcf.recommend(ui, neighbors).persist()
+    ui, recs = _train_and_recs(spark, sf_dir)
 
     o = table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= F.lit(CUTOFF).cast("timestamp")
@@ -106,4 +126,127 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / F.col("n_test"), 6).alias("recall"),
             F.round(F.col("cov_num") / F.col("cov_den").cast("double"), 6).alias("coverage"),
         )
+    )
+
+
+# Ranking metrics (I9b). DCG discount weights 1/log2(k+1) are baked in as
+# 9-decimal literals on BOTH sides — decimal literals parse to identical
+# doubles everywhere, so no transcendental (log) parity risk; scaled-integer
+# sums keep every cross-row average order-independent (determinism.py).
+_DCG_W = (1.0, 0.630929754, 0.5, 0.430676558, 0.386852807)
+_IDCG = tuple(round(sum(_DCG_W[:m]), 9) for m in range(1, 6))
+
+_RANKING_SQL = f"""WITH {_TRAIN_CHAIN},
+test AS (
+  SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderdate >= TIMESTAMP '{CUTOFF}'
+),
+tu AS (SELECT user_id, COUNT(*) AS n_test FROM test GROUP BY 1),
+rel AS (
+  SELECT r.user_id, r.rnk,
+         CASE WHEN t.item_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM recs r LEFT JOIN test t
+    ON r.user_id = t.user_id AND r.item_id = t.item_id
+),
+c AS (
+  SELECT user_id, rnk, rel,
+         SUM(rel) OVER (PARTITION BY user_id ORDER BY rnk) AS cumhits
+  FROM rel
+),
+wgt AS (
+  SELECT * FROM (VALUES {", ".join(f"({k + 1}, {w!r})" for k, w in enumerate(_DCG_W))}) w(k, dw)
+),
+per_user AS (
+  SELECT c.user_id,
+         SUM(rel * CAST(ROUND((CAST(cumhits AS DOUBLE) / rnk) * 1e9, 0) AS BIGINT)) AS ap_s,
+         SUM(rel * CAST(ROUND(dw * 1e9, 0) AS BIGINT)) AS dcg_s
+  FROM c JOIN wgt ON wgt.k = c.rnk
+  GROUP BY 1
+),
+scored AS (
+  SELECT p.user_id,
+         CAST(ROUND(CAST(ap_s AS DOUBLE) / (1e9 * LEAST(n_test, 5)) * 1e9, 0) AS BIGINT) AS ap9,
+         CAST(ROUND(CAST(dcg_s AS DOUBLE) / (1e9 * (CASE LEAST(n_test, 5)
+           {" ".join(f"WHEN {m + 1} THEN {v!r}" for m, v in enumerate(_IDCG))} END)) * 1e9, 0) AS BIGINT) AS ndcg9
+  FROM per_user p JOIN tu ON tu.user_id = p.user_id
+),
+pop AS (
+  SELECT SUM(n.n_users) AS pop_sum, COUNT(*) AS n_rec_rows
+  FROM recs r JOIN norms n ON n.item_id = r.item_id
+),
+uu AS (SELECT COUNT(DISTINCT user_id) AS n_users_total FROM ui)
+SELECT ROUND(SUM(ap9) / COUNT(*) / 1e9, 6) AS map5,
+       ROUND(SUM(ndcg9) / COUNT(*) / 1e9, 6) AS ndcg5,
+       COUNT(*) AS n_eval_users,
+       (SELECT ROUND(pop_sum / (n_rec_rows * uu.n_users_total), 6) FROM pop, uu) AS rec_popularity
+FROM scored"""
+
+
+@query("q_eval_ranking", oracle=_RANKING_SQL)
+def q_eval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I9b: MAP@5 / NDCG@5 / recommendation popularity on the same time-based
+    holdout as q_eval_metrics.
+
+    Metrics are averaged over *eval users* — users with >=1 test interaction
+    AND >=1 recommendation (the only users for whom rank quality is defined).
+    rec_popularity = mean train-audience fraction N(i)/|U| of recommended
+    items — an integer-sum ratio (novelty proxy: lower = less popular items).
+    Every stage is keyed by user_id on top of the cached CF chain: the rel
+    join, cumulative-hit window, and per-user aggregate all reuse the
+    HashPartitioning(user_id) the recommend() output already has.
+    """
+    from pyspark.sql.window import Window
+
+    ui, recs = _train_and_recs(spark, sf_dir)
+
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit(CUTOFF).cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem")
+    test = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
+        .distinct()
+    )
+    tu = test.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_test"))
+
+    rel = recs.join(
+        test.withColumn("_hit", F.lit(1)), ["user_id", "item_id"], "left"
+    ).select("user_id", "rnk", F.coalesce("_hit", F.lit(0)).alias("rel"))
+    w = Window.partitionBy("user_id").orderBy("rnk")
+    c = rel.withColumn("cumhits", F.sum("rel").over(w))
+
+    dw = F.element_at(F.array(*[F.lit(x) for x in _DCG_W]), F.col("rnk").cast("int"))
+    ap_term = F.col("rel") * rlong(F.col("cumhits").cast("double") / F.col("rnk") * F.lit(1e9))
+    dcg_term = F.col("rel") * rlong(dw * F.lit(1e9))
+    per_user = c.groupBy("user_id").agg(
+        F.sum(ap_term).alias("ap_s"), F.sum(dcg_term).alias("dcg_s")
+    )
+
+    m = F.least(F.col("n_test"), F.lit(5)).cast("int")
+    idcg = F.element_at(F.array(*[F.lit(x) for x in _IDCG]), m)
+    scored = per_user.join(tu, "user_id").select(
+        rlong(F.col("ap_s").cast("double") / (F.lit(1e9) * m) * F.lit(1e9)).alias("ap9"),
+        rlong(F.col("dcg_s").cast("double") / (F.lit(1e9) * idcg) * F.lit(1e9)).alias("ndcg9"),
+    )
+
+    norms = ui.groupBy("item_id").agg(F.count(F.lit(1)).alias("n_users"))
+    pop = recs.join(norms, "item_id").agg(
+        F.sum("n_users").alias("pop_sum"), F.count(F.lit(1)).alias("n_rec_rows")
+    )
+    uu = ui.agg(F.countDistinct("user_id").alias("n_users_total"))
+
+    main = scored.agg(
+        F.round(F.sum("ap9") / F.count(F.lit(1)) / F.lit(1e9), 6).alias("map5"),
+        F.round(F.sum("ndcg9") / F.count(F.lit(1)) / F.lit(1e9), 6).alias("ndcg5"),
+        F.count(F.lit(1)).alias("n_eval_users"),
+    )
+    return main.crossJoin(pop).crossJoin(uu).select(
+        "map5",
+        "ndcg5",
+        "n_eval_users",
+        F.round(F.col("pop_sum") / (F.col("n_rec_rows") * F.col("n_users_total")), 6).alias(
+            "rec_popularity"
+        ),
     )

@@ -72,6 +72,14 @@ def interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (applicationId, sf_dir, cap) -> persisted capped interaction matrix.
+# Memoized so the CF queries that share it within one session (ItemCF/UserCF
+# recommend, eval) reuse ONE cache entry instead of each persist()ing an
+# identical copy — a 95-query sweep otherwise accumulates duplicate cached
+# matrices in the shared driver JVM with no unpersist point.
+_CAPPED: dict[tuple[str, str, int], DataFrame] = {}
+
+
 def capped_interactions(spark: SparkSession, sf_dir: str, cap: int = MAX_USER_HISTORY) -> DataFrame:
     """Interaction matrix with per-user history capped to the `cap` strongest
     items (deterministic tie-break on item_id). Skew guard for co-occurrence.
@@ -82,14 +90,25 @@ def capped_interactions(spark: SparkSession, sf_dir: str, cap: int = MAX_USER_HI
     persisted (callers fan out into 4+ branches) and keeps
     HashPartitioning(user_id), which the whole downstream CF chain relies on.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, cap)
+    cached = _CAPPED.get(key)
+    if cached is not None:
+        lvl = cached.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            # an external clearCache() dropped the entry; re-register so the
+            # 4-branch fan-out still computes the matrix once per action
+            cached.persist()
+        return cached
     ui = interactions(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("item_id"))
-    return (
+    df = (
         ui.withColumn("_hrank", F.row_number().over(w))
         .where(F.col("_hrank") <= cap)
         .drop("_hrank")
         .persist()
     )
+    _CAPPED[key] = df
+    return df
 
 
 def item_norms(ui: DataFrame) -> DataFrame:

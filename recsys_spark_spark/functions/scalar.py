@@ -195,7 +195,10 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = F.from_json("props", "k int")  # schema'd variant of the same path
     return (
         ev.select("event_type", k1.alias("k"), parsed.getField("k").alias("k2"))
-        .where(F.col("k") == F.col("k2"))  # both extraction paths must agree
+        # eqNullSafe: a row whose props lacks 'k' yields null from BOTH
+        # extraction paths; plain == would drop it (null==null is null)
+        # while the oracle's COUNT(*)/AVG keep it.
+        .where(F.col("k").eqNullSafe(F.col("k2")))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),

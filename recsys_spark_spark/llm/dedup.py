@@ -308,3 +308,85 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.groupBy("doc_id").agg(
         F.sum(F.col("bitval") * F.pow(2, "bit").cast("long")).cast("long").alias("simhash16")
     )
+
+
+@query(
+    "q_dedup_near_bucketed",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1
+), cand AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 32 AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS n_common
+  FROM cand c
+  JOIN tok t1 ON t1.doc_id = c.d1
+  JOIN tok t2 ON t2.doc_id = c.d2 AND t2.token = t1.token
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       ROUND(n_common / (s1.n + s2.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE n_common / (s1.n + s2.n - n_common) >= 0.9
+""",
+)
+def q_dedup_near_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2c: token-Jaccard near-dup with length-BUCKET blocking — closes J2's
+    recall hole (exact n_chars equality misses near-dups whose length differs
+    by even one character).
+
+    Semantics: pairs with equal lang, |n_chars difference| <= 32, Jaccard >=
+    0.9. The |diff| <= 32 predicate is NOT evaluated all-pairs: each doc is
+    assigned bucket floor(n_chars/32), the probe side additionally emits
+    bucket+1, and the equi-join on (lang, bucket) covers every qualifying
+    pair (length diff <= 32 implies bucket diff <= 1) — sub-quadratic and
+    shuffle-keyed exactly like the other blocked dedup variants; the exact
+    length predicate then prunes within blocks. Canonical (least, greatest)
+    ordering + distinct collapses the double coverage of same-bucket pairs.
+    """
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "lang", "n_chars", (F.col("n_chars") / 32).cast("long").alias("bkt"))
+    probe = base.select(
+        "doc_id", "lang", "n_chars", F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("bkt")
+    )
+    x = probe.select(
+        F.col("doc_id").alias("xd"), "lang", F.col("n_chars").alias("xn"), "bkt"
+    )
+    y = base.select(F.col("doc_id").alias("yd"), "lang", F.col("n_chars").alias("yn"), "bkt")
+    cand = (
+        x.join(y, ["lang", "bkt"])
+        .where(
+            (F.col("xd") != F.col("yd"))
+            & (F.abs(F.col("xn") - F.col("yn")) <= 32)
+        )
+        .select(
+            F.least("xd", "yd").alias("d1"),
+            F.greatest("xd", "yd").alias("d2"),
+        )
+        .distinct()
+    )
+    tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    t1 = tok.select(F.col("doc_id").alias("d1"), "token")
+    t2 = tok.select(F.col("doc_id").alias("d2"), "token")
+    inter = (
+        cand.join(t1, "d1")
+        .join(t2, ["d2", "token"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .where(jac >= 0.9)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )

@@ -269,11 +269,14 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FINGERPRINT_ORACLE = """
 WITH tok AS (
-  -- generate_series can't be lateral-parameterized in DuckDB; use a fixed
-  -- 1..2048 index and filter to the actual token count.
-  SELECT doc_id, gs.i AS pos, string_split(text, ' ')[gs.i] AS token
-  FROM documents CROSS JOIN generate_series(1, 2048) gs(i)
-  WHERE gs.i <= len(string_split(text, ' '))
+  -- indexed list_transform enumerates (pos, token) with no length bound
+  -- (generate_series can't be lateral-parameterized in DuckDB, and a fixed
+  -- CROSS JOIN bound would silently diverge past it).
+  SELECT doc_id, u.pos AS pos, u.tok AS token FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                                 (x, i) -> struct_pack(pos := i, tok := x))) AS u
+    FROM documents)
 ), h AS (
   SELECT doc_id, pos,
          CAST(('0x' || substring(md5(token), 25, 8)) AS BIGINT) AS th

@@ -196,3 +196,41 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("long").alias("max_run_len"),
         F.sum(F.when(F.col("run_len") >= 3, 1).otherwise(0)).cast("long").alias("n_anomalies"),
     )
+
+
+@query(
+    "q_stream_late_drop",
+    oracle="""
+WITH arr AS (
+  SELECT ts,
+         MAX(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm_high
+  FROM events
+)
+SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n
+FROM arr
+WHERE ts >= wm_high - INTERVAL 10 MINUTE
+GROUP BY 1
+""",
+)
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 batch twin: per-row watermark reference semantics — arrival order is
+    event_id order, the high-watermark is the running max event time, and a
+    row whose ts trails the watermark by more than the 10-min delay is
+    dropped before the tumbling count. This is the *strictest* (per-row)
+    reading of Structured Streaming's watermark, which advances it only at
+    batch boundaries — so the stream can only ever keep MORE rows than this
+    twin drops; the injected-late-row pytest (tests/test_streaming.py) covers
+    the real engine behavior. The global running max needs a total order, so
+    this correctness surface is single-partition by construction; a 100 TB
+    pipeline computes watermarks per source partition exactly like the real
+    engine does."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    arr = ev.select("ts", F.max("ts").over(w).alias("wm_high"))
+    kept = arr.where(F.col("ts") >= F.col("wm_high") - F.expr("INTERVAL 10 MINUTES"))
+    return (
+        kept.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )

@@ -49,3 +49,21 @@ def test_recommend(ui):
         (2, C): (0.57735, 1),
         (3, B): (0.816497, 1),
     }
+
+
+def test_history_cap_inactive_at_test_sfs(spark):
+    """q_cf_recommend runs on capped_interactions (MAX_USER_HISTORY) while its
+    oracle uses the uncapped ui CTE; parity is exact only while no user
+    exceeds the cap. Guard the invariant at the oracle-checked SFs so a
+    testdata regrow can't silently break the oracle (ADVICE r01)."""
+    from pyspark.sql import functions as F
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        max_hist = (
+            itemcf.interactions(spark, sf)
+            .groupBy("user_id")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert max_hist < itemcf.MAX_USER_HISTORY, (sf, max_hist)

@@ -119,6 +119,19 @@ def test_flagship_seen_filter_never_broadcasts(spark):
     )
 
 
+def test_knn_topk_window_is_group_limited(spark):
+    """q_sim_cosine_knn ranks with a global (no partitionBy) row_number
+    window; that is safe ONLY because WindowGroupLimit pre-prunes each input
+    partition to the top-10 before the singleton exchange. Pin the
+    optimization so a Spark upgrade or query edit can't silently
+    reintroduce a full single-partition sort of the scored table."""
+    plan = plan_of(spark, "q_sim_cosine_knn")
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, (
+        "rank-limit pushdown did not fire; global top-k would sort the full "
+        "scored table in one partition:\n" + plan.split("+- Project")[0]
+    )
+
+
 def test_flagship_is_two_exchange_plan(spark):
     """The whole CF chain must need exactly two data exchanges: the
     interaction matrix build (keyed by user_id — reused exchange-free by the
