@@ -43,6 +43,7 @@ HEADLINE = (
 
 RUNS = 5
 EXTRA_RUNS = 3
+WALL_BUDGET_S = 120.0  # settle-pass budget, after the interleaved rounds
 
 
 def run_one(spark, fn, sf_dir: str) -> float:
@@ -94,13 +95,17 @@ def main() -> None:
     # a query whose samples are all scattered had every round land in a
     # noise burst, so it gets a few more samples. Also covers JIT tiering —
     # the first 1-2 timed runs can still be compiling post-AQE stages.
+    # WALL_BUDGET caps the whole settle pass: during a sustained noise storm
+    # every sample inflates 3-5x and more sampling cannot help — emit what we
+    # have rather than risk the driver's patience.
     def settled(s: list[float]) -> bool:
         return sum(1 for x in s if x <= min(s) * 1.10) >= 2
 
+    deadline = time.perf_counter() + WALL_BUDGET_S
     for name in HEADLINE:
         s = samples[name]
         for _ in range(EXTRA_RUNS):
-            if settled(s):
+            if settled(s) or time.perf_counter() > deadline:
                 break
             s.append(run_one(spark, queries[name], SF_DIR))
 

@@ -265,3 +265,54 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rlong(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6))) / F.lit(1e6)).alias("revenue")
         )
     )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) / 1e6 AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1
+""",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11: salted shuffle join — the manual skew-mitigation pattern.
+
+    When one join key dominates (a hot user at 100 TB), a plain shuffle join
+    sends its entire fan-in to one task. Salting splits each hot key into
+    SALT synthetic sub-keys: the big (skewed) side gets a deterministic salt
+    from a content hash, the small side is exploded SALT-fold, and the join
+    runs on (key, salt) — every sub-key lands on a different task, bounding
+    any task's share of a hot key at 1/SALT. Deterministic salt (xxhash64 of
+    the row id, not rand()) keeps the query re-runnable and oracle-exact;
+    semantics are identical to the plain join, which is exactly what the
+    oracle states. AQE's skew-join split handles residual post-hoc skew;
+    salting is the a-priori version that also works for aggregates.
+
+    The hint keeps the exploded dim from auto-broadcasting (at real scale it
+    may exceed the threshold; the demo pins the salted-shuffle shape so the
+    plan is the one the technique produces).
+    """
+    SALT = 8
+    ev = table(spark, sf_dir, "events").withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)])))
+        .hint("shuffle_hash")
+    )
+    return (
+        ev.join(
+            cust,
+            (ev.user_id == cust.c_custkey) & (ev._salt == cust._salt.cast("long")),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(rlong(F.col("value") * F.lit(1e6))) / F.lit(1e6)).alias("sum_value"),
+        )
+    )

@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "recsys_spark_spark.llm.sampling",
     "recsys_spark_spark.streaming.batch_twins",
     "recsys_spark_spark.udf.udfs",
+    "recsys_spark_spark.sinks",
     "recsys_spark_spark.operators.scans",
     "recsys_spark_spark.operators.filters",
     "recsys_spark_spark.operators.joins",

@@ -1,0 +1,136 @@
+"""External-sink analogs — the reference's MySQL / Redis / Hive write paths
+(SURVEY.md §1 [R:M]) re-expressed for a lake-native deployment.
+
+No external DBs exist in this sandbox (and no JDBC driver jars), so each sink
+keeps the *write-path semantics* testable against files:
+
+- keyed batch UPSERT (MySQL `INSERT .. ON DUPLICATE KEY UPDATE` shape): the
+  idempotent merge a `foreachBatch` streaming sink or nightly batch publisher
+  performs. At 100 TB the same code runs per partition against a real JDBC
+  pool or an ACID table format; the merge itself is the engine-side work.
+- key/value export (Redis shape): rows rendered to (key, value) strings,
+  written partition-parallel. A real Redis loader maps each partition through
+  a pipelined client; the render + partition layout here is the Spark side
+  of that contract.
+- managed catalog table (Hive shape): saveAsTable + spark.table round-trip
+  through the session catalog / warehouse dir.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recsys_spark_spark.catalog import table
+from recsys_spark_spark.operators.scans import TMP_DIR
+from recsys_spark_spark.registry import query
+
+
+def upsert_parquet(spark: SparkSession, target_dir: str, updates: DataFrame, key: str) -> None:
+    """MERGE-shaped keyed upsert into a parquet target: rows in `updates`
+    replace target rows with the same key; unmatched target rows survive.
+
+    Written as target-anti-join ∪ updates — one co-partitionable anti-join,
+    no row-at-a-time path. The rewrite goes to a staging dir then swaps,
+    which is the file-lake stand-in for a transactional commit (a real
+    deployment uses an ACID table format or the DB's native upsert).
+    """
+    staging = target_dir + ".staging"
+    current = spark.read.parquet(target_dir)
+    merged = current.join(updates, [key], "left_anti").unionByName(updates)
+    merged.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(target_dir, ignore_errors=True)
+    os.rename(staging, target_dir)
+
+
+@query(
+    "q_sink_upsert",
+    oracle="""
+SELECT c_custkey AS custkey, c_acctbal + 100 AS acctbal
+FROM customer WHERE c_custkey % 2 = 0
+UNION ALL
+SELECT c_custkey, c_acctbal FROM customer
+WHERE c_custkey % 3 = 0 AND c_custkey % 2 <> 0
+""",
+)
+def q_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-M1: keyed upsert round-trip. Seed the target with every third
+    customer, upsert every second customer with +100 balance, read the merged
+    state back. The oracle states the final table closed-form."""
+    out = os.path.join(TMP_DIR, "upsert_target")
+    shutil.rmtree(out, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer")
+    seed = cust.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("acctbal")
+    )
+    seed.write.mode("overwrite").parquet(out)
+    updates = cust.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        (F.col("c_acctbal") + 100).alias("acctbal"),
+    )
+    upsert_parquet(spark, out, updates, "custkey")
+    return spark.read.parquet(out)
+
+
+@query(
+    "q_sink_kv_export",
+    oracle="""
+WITH ui AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+)
+SELECT 'item:' || CAST(item_id AS VARCHAR) AS k,
+       CAST(COUNT(*) AS VARCHAR) AS v
+FROM ui GROUP BY item_id
+""",
+)
+def q_sink_kv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-M2: Redis-shaped key/value export of the item-audience table —
+    rows rendered to string (key, value) pairs and round-tripped through a
+    partition-parallel file write, exactly the layout a pipelined Redis
+    loader consumes per partition (reference pushes CF results to Redis)."""
+    from recsys_spark_spark.cf.itemcf import interactions, item_norms
+
+    out = os.path.join(TMP_DIR, "kv_export")
+    shutil.rmtree(out, ignore_errors=True)
+    kv = item_norms(interactions(spark, sf_dir)).select(
+        F.concat(F.lit("item:"), F.col("item_id").cast("string")).alias("k"),
+        F.col("n_users").cast("string").alias("v"),
+    )
+    kv.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@query(
+    "q_catalog_managed_table",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n, SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS bal_cents
+FROM customer WHERE c_acctbal > 0 GROUP BY 1
+""",
+)
+def q_catalog_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-M3: Hive-shaped managed table — saveAsTable into the session
+    catalog's warehouse, then read back by NAME via spark.table (not path)
+    and aggregate. The catalog is the in-memory stand-in for a metastore;
+    the code path (writer -> catalog entry -> resolved table scan) is the
+    same one a Hive deployment exercises."""
+    from recsys_spark_spark.functions.determinism import rlong
+
+    # a fresh session's in-memory catalog forgets tables but the warehouse
+    # dir persists on disk; clear both so overwrite can't trip on a stale path
+    spark.sql("DROP TABLE IF EXISTS managed_customer")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        os.path.join(wh.removeprefix("file:"), "managed_customer"), ignore_errors=True
+    )
+    cust = table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    cust.write.mode("overwrite").saveAsTable("managed_customer")
+    back = spark.table("managed_customer")
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rlong(F.col("c_acctbal") * 100)).alias("bal_cents"),
+    )
