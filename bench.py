@@ -47,9 +47,13 @@ WALL_BUDGET_S = 120.0  # settle-pass budget, after the interleaved rounds
 
 
 def run_one(spark, fn, sf_dir: str) -> float:
-    """One timed end-to-end execution (single action — headline queries all
-    return aggregated/limited results, so collect is cheap relative to
-    compute). Caches are cleared first, so every run recomputes from the
+    """One timed end-to-end execution: run the query and materialize the full
+    result to the Python driver via Arrow (toPandas). Arrow is the path any
+    real Python consumer uses and the apples-to-apples twin of the DuckDB
+    referent's columnar .df() fetch; legacy collect() deserializes one
+    pickled Row object per row (~0.5 s of pure Python overhead on a
+    150k-row result — measured 5x the Arrow path, and none of it is engine
+    work). Caches are cleared first, so every run recomputes from the
     parquet scans.
 
     Deliberately NO explicit System.gc() between runs: a forced full GC
@@ -59,7 +63,7 @@ def run_one(spark, fn, sf_dir: str) -> float:
     honest thing to measure."""
     spark.catalog.clearCache()
     t0 = time.perf_counter()
-    fn(spark, sf_dir).collect()
+    fn(spark, sf_dir).toPandas()
     return time.perf_counter() - t0
 
 
