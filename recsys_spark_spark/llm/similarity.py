@@ -170,3 +170,104 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = e.where(F.col("vec_id") == PROBE_VEC_ID).first()["features"]
     ann = model.approxNearestNeighbors(e.where(F.col("vec_id") != PROBE_VEC_ID), probe, TOP_K)
     return ann.select("vec_id", F.round(F.col("distCol"), 6).alias("dist"))
+
+
+NBITS = 4  # sign bits of dims 1..4 -> 16 IVF cells; probe scans cell + 4 Hamming-1 neighbors
+
+
+def _cell(vec: Column) -> Column:
+    """Deterministic IVF cell id: sign bits of the first NBITS dimensions.
+    A real IVF trains centroids; sign-bit cells are the deterministic
+    (seedless, engine-portable) stand-in with the same plan shape."""
+    bits = [
+        F.when(F.element_at(vec, b + 1).cast("double") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(NBITS)
+    ]
+    bit_sum = bits[0]
+    for b in bits[1:]:
+        bit_sum = bit_sum + b
+    return bit_sum
+
+
+_IVF_CELL_SQL = " + ".join(
+    f"(CASE WHEN CAST(embedding[{b + 1}] AS DOUBLE) >= 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(NBITS)
+)
+
+_IVF_ORACLE = f"""
+WITH cells AS (
+  SELECT vec_id, embedding, ({_IVF_CELL_SQL}) AS cell FROM embeddings
+), pc AS (
+  SELECT cell AS pcell, embedding AS pv FROM cells WHERE vec_id = {PROBE_VEC_ID}
+), cand AS (
+  SELECT c.vec_id, c.embedding, pv FROM cells c, pc
+  WHERE bit_count(xor(c.cell, pcell)) <= 1 AND c.vec_id <> {PROBE_VEC_ID}
+), pe AS (
+  SELECT gs.i, CAST(pv[gs.i] AS DOUBLE) AS px FROM pc, generate_series(1, {DIM}) gs(i)
+), ve AS (
+  SELECT vec_id, gs.i, CAST(embedding[gs.i] AS DOUBLE) AS vx
+  FROM cand, generate_series(1, {DIM}) gs(i)
+), sums AS (
+  SELECT vec_id,
+         SUM(CAST(ROUND(vx * px * 1e12, 0) AS BIGINT)) AS dot_s,
+         SUM(CAST(ROUND(vx * vx * 1e12, 0) AS BIGINT)) AS nv_s
+  FROM ve JOIN pe USING (i)
+  GROUP BY 1
+), pn AS (
+  SELECT SUM(CAST(ROUND(px * px * 1e12, 0) AS BIGINT)) AS np_s FROM pe
+), scored AS (
+  SELECT vec_id,
+         ROUND((dot_s / 1e12) / (SQRT(nv_s / 1e12) * SQRT(np_s / 1e12)), 6) AS cosine
+  FROM sums, pn
+)
+SELECT vec_id, cosine, rnk FROM (
+  SELECT vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""
+
+
+@query("q_sim_ivf_knn", oracle=_IVF_ORACLE)
+def q_sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6b: IVF-style pruned cosine top-10 — the deterministic, exact-oracle
+    scale path beside the seeded LSH variant (q_sim_lsh_ann).
+
+    Vectors are assigned to 2^NBITS cells by the sign bits of their leading
+    dimensions; the probe scans only its own cell plus the NBITS Hamming-1
+    neighbors (5/16 of the data here) and brute-forces cosine inside. At
+    100 TB `cell` is the table's partition column, so the candidate filter
+    becomes *partition pruning* — the scan never touches non-probed cells —
+    and per-cell fan-out is bounded regardless of corpus size. The answer is
+    a deterministic function of the data (no seed, no train step), which is
+    what makes an exact DuckDB oracle possible where LSH gets rows-only.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cells = e.select("vec_id", "embedding", _cell(F.col("embedding")).alias("cell"))
+    probe = F.broadcast(
+        cells.where(F.col("vec_id") == PROBE_VEC_ID).select(
+            F.col("cell").alias("pcell"), F.col("embedding").alias("pv")
+        )
+    )
+    cand = (
+        cells.where(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(probe)
+        .where(F.bit_count(F.expr("cell ^ pcell")) <= 1)
+    )
+    np_s = _scaled_dot(F.col("pv"), F.col("pv"))
+    scored = cand.select(
+        "vec_id",
+        F.round(
+            (_scaled_dot(F.col("embedding"), F.col("pv")) / F.lit(1e12))
+            / (
+                F.sqrt(_scaled_dot(F.col("embedding"), F.col("embedding")) / F.lit(1e12))
+                * F.sqrt(np_s / F.lit(1e12))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+    )

@@ -168,3 +168,51 @@ def test_watermark_drops_late_rows(spark):
     finally:
         q.stop()
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_foreachbatch_upsert_sink(spark, stream_src):
+    """Production publish path: stream -> foreachBatch -> keyed parquet upsert
+    (sinks.upsert_parquet, the MySQL-shaped MERGE). Replaying per-user event
+    counts through incremental upserts must converge to the batch answer —
+    the idempotent-merge property a real JDBC/foreachBatch sink relies on."""
+    import os as _os
+    import uuid as _uuid
+
+    from recsys_spark_spark.sinks import upsert_parquet
+
+    target = f"{TMP}/upsert-{_uuid.uuid4().hex[:8]}"
+    shutil.rmtree(target, ignore_errors=True)
+    # seed an empty target with the right schema
+    spark.createDataFrame([], "user_id long, n long").write.parquet(target)
+
+    src_df = table(spark, SF_SMOKE, "events")
+
+    def publish(batch_df, batch_id):
+        # per-batch partial counts merged with the running totals by key —
+        # read-modify-write through the same upsert the batch sink uses
+        batch_counts = batch_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        current = batch_df.sparkSession.read.parquet(target)
+        merged = (
+            current.unionByName(batch_counts)
+            .groupBy("user_id")
+            .agg(F.sum("n").alias("n"))
+        )
+        upsert_parquet(batch_df.sparkSession, target, merged, "user_id")
+
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src)
+    )
+    q = events.writeStream.foreachBatch(publish).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = as_multiset(spark.read.parquet(target))
+    want = as_multiset(src_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")))
+    assert got == want
+    shutil.rmtree(target, ignore_errors=True)
