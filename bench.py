@@ -103,6 +103,11 @@ def main() -> None:
     # every sample inflates 3-5x and more sampling cannot help — emit what we
     # have rather than risk the driver's patience.
     def settled(s: list[float]) -> bool:
+        # agreement can also mean two samples hit the SAME sustained noise
+        # plateau; for multi-second queries (where one quiet sample moves the
+        # total most) spend the full extra budget instead of early-stopping
+        if min(s) > 3.0:
+            return False
         return sum(1 for x in s if x <= min(s) * 1.10) >= 2
 
     deadline = time.perf_counter() + WALL_BUDGET_S
