@@ -104,11 +104,11 @@ def main() -> None:
     # have rather than risk the driver's patience.
     def settled(s: list[float]) -> bool:
         # agreement can also mean two samples hit the SAME sustained noise
-        # plateau; for multi-second queries (where one quiet sample moves the
-        # total most) spend the full extra budget instead of early-stopping
-        if min(s) > 3.0:
-            return False
-        return sum(1 for x in s if x <= min(s) * 1.10) >= 2
+        # plateau, so under the additive-noise model more samples are
+        # strictly better — spend the full extra budget on every query whose
+        # runtime is above the scheduling floor (the wall budget bounds the
+        # worst case); sub-floor queries have no noise headroom worth buying.
+        return min(s) < 0.3
 
     deadline = time.perf_counter() + WALL_BUDGET_S
     for name in HEADLINE:
