@@ -390,3 +390,104 @@ def q_dedup_near_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.9)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
     )
+
+
+_CLUSTER_EDGES_CTE = """tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1
+), cand AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 32 AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS n_common
+  FROM cand c
+  JOIN tok t1 ON t1.doc_id = c.d1
+  JOIN tok t2 ON t2.doc_id = c.d2 AND t2.token = t1.token
+  GROUP BY 1, 2
+), edges AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+  WHERE n_common / (s1.n + s2.n - n_common) >= 0.9
+)"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_CLUSTER_EDGES_CTE},
+sym AS (
+  SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id,
+       CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster,
+       (a = LEAST(a, MIN(b))) AS is_rep
+FROM reach GROUP BY a
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2d: near-dup connected components — the 'keep one per cluster' step a
+    training-data dedup pipeline runs after pair finding.
+
+    Clusters are connected components of the J2c near-dup graph (bucketed
+    token-Jaccard >= 0.9); each doc gets the MIN doc_id of its component as
+    cluster id, and the representative (is_rep) is the doc that equals it.
+
+    Iterative min-label propagation: every node starts with its own id; each
+    round takes the min of its label and its neighbors' labels; converges in
+    O(component diameter) rounds. This is the scalable CC algorithm — each
+    round is one shuffle-keyed join + aggregate, no driver-side graph, and
+    the label frame is localCheckpoint()ed per round so lineage (and the
+    re-execution cost of the whole upstream near-dup pipeline) does not grow
+    with iterations. The driver-side loop-with-convergence-check is the
+    standard Spark pattern for iterative algorithms (same shape MLlib uses);
+    the per-round count() action is one tiny aggregate. The DuckDB oracle
+    states the fixpoint declaratively via a recursive CTE — dup clusters are
+    small by construction (the cap is component size, not corpus size), so
+    the closure stays bounded.
+    """
+    edges = q_dedup_near_bucketed(spark, sf_dir).select("d1", "d2")
+    sym = edges.union(edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+    # nodes that appear in at least one dup pair; singletons are not clusters
+    labels = (
+        sym.select(F.col("d1").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    sym = sym.localCheckpoint()
+    for _ in range(20):  # diameter bound; real dup chains are far shorter
+        neigh = (
+            sym.join(labels, sym.d2 == labels.doc_id)
+            .groupBy(F.col("d1").alias("doc_id"))
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster"),
+        (F.col("doc_id") == F.col("label")).alias("is_rep"),
+    )
