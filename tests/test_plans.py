@@ -144,3 +144,22 @@ def test_flagship_is_two_exchange_plan(spark):
     df = QUERIES["q_cf_recommend"](spark, SF_SMOKE)
     n = shuffle_stage_count(executed_plan(df, materialize=True))
     assert n <= 2, f"flagship grew to {n} shuffle stages"
+
+
+def test_salted_join_stays_shuffled_on_salt_keys(spark):
+    """q_join_salted only demonstrates skew mitigation if the join really is
+    a shuffled join keyed by (custkey, salt) — auto-broadcast of the exploded
+    dim would collapse the whole technique into a broadcast join and hide a
+    regression at real scale."""
+    plan = plan_of(spark, "q_join_salted")
+    shj = join_lines(plan, "ShuffledHashJoin") + join_lines(plan, "SortMergeJoin")
+    salted = [ln for ln in shj if "_salt" in ln]
+    assert salted, "salted join lost its shuffled (key, salt) form:\n" + plan[:1500]
+
+
+def test_ivf_knn_broadcasts_probe_only(spark):
+    """q_sim_ivf_knn must broadcast the 1-row probe (cell + vector), never
+    the corpus side, and keep the rank-limited top-k plan."""
+    plan = plan_of(spark, "q_sim_ivf_knn")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
