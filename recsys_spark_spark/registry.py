@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "recsys_spark_spark.llm.multimodal",
     "recsys_spark_spark.llm.text",
     "recsys_spark_spark.llm.sampling",
+    "recsys_spark_spark.llm.pipeline",
     "recsys_spark_spark.streaming.batch_twins",
     "recsys_spark_spark.udf.udfs",
     "recsys_spark_spark.sinks",
