@@ -234,3 +234,41 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "n")
     )
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+SELECT a.event_id AS click_id, b.event_id AS error_id, a.user_id,
+       a.ts AS click_ts, b.ts AS error_ts
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'error'
+ AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 5 MINUTE
+""",
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 batch twin: interval self-join — clicks matched to same-user errors
+    within the next 5 minutes. The streaming twin (streams.stream_stream_join)
+    is a watermarked stream-stream join whose time constraint is what bounds
+    both state stores; batch expresses it as a range-condition join keyed on
+    user_id (the equi-part shuffles, the interval predicate filters within
+    the hash match — no cartesian)."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    b = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("error_ts"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("err_user"))
+            & (F.col("error_ts") >= F.col("click_ts"))
+            & (F.col("error_ts") < F.col("click_ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select("click_id", "error_id", "user_id", "click_ts", "error_ts")
+    )

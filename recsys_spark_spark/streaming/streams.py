@@ -152,3 +152,39 @@ def stream_late_data_drop(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "n")
     )
+
+
+def stream_stream_join(events: DataFrame) -> DataFrame:
+    """K7: stream-stream interval join — click events matched to error events
+    of the same user within the following 5 minutes.
+
+    Both sides carry a watermark and the join condition bounds the event-time
+    distance, so each side's state store retains only the watermark+interval
+    horizon (without the time constraint a stream-stream join's state grows
+    forever). Inner join in append mode emits exactly the batch-join rows —
+    the equivalence the pytest harness asserts."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", WATERMARK)
+    )
+    return clicks.join(
+        errors,
+        F.expr(
+            "user_id = err_user AND "
+            "error_ts >= click_ts AND error_ts < click_ts + INTERVAL 5 MINUTES"
+        ),
+    ).select("click_id", "error_id", "user_id", "click_ts", "error_ts")

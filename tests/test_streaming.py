@@ -216,3 +216,11 @@ def test_foreachbatch_upsert_sink(spark, stream_src):
     want = as_multiset(src_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")))
     assert got == want
     shutil.rmtree(target, ignore_errors=True)
+
+
+def test_stream_stream_join_equals_batch(spark, stream_src):
+    """K7: watermarked stream-stream interval join emits exactly the batch
+    interval-join rows (append mode) once all input is processed."""
+    got = run_stream(spark, stream_src, streams.stream_stream_join, "append", "t_ssjoin")
+    want = QUERIES["q_stream_join"](spark, SF_SMOKE)
+    assert as_multiset(got) == as_multiset(want)
