@@ -138,3 +138,33 @@ def q_catalog_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(rlong(F.col("c_acctbal") * 100)).alias("bal_cents"),
     )
+
+
+@query(
+    "q_source_partitioned",
+    oracle="""
+SELECT user_id, COUNT(*) AS n, SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) / 1e6 AS sum_value
+FROM events WHERE event_type = 'error'
+GROUP BY 1
+""",
+)
+def q_source_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-M4: hive-layout partitioned source round-trip — events written
+    partitionBy(event_type), read back with a partition-column filter that
+    becomes a PartitionFilter (directory pruning, the 100 TB layout
+    contract: one directory listed, the rest of the lake never touched —
+    tests/test_plans.py asserts the same plan shape). Writers are parallel
+    per partition; the filtered read then aggregates only the pruned slice."""
+    from recsys_spark_spark.functions.determinism import rlong
+
+    # per-SF target (a shared dir would serve stale data when the same
+    # session or a later one runs at a different scale factor)
+    out = os.path.join(TMP_DIR, f"events_by_type_{os.path.basename(sf_dir.rstrip('/'))}")
+    table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(out)
+    back = spark.read.parquet(out).where(F.col("event_type") == "error")
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(rlong(F.col("value") * F.lit(1e6))) / F.lit(1e6)).alias("sum_value"),
+    )
