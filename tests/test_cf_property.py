@@ -1,0 +1,126 @@
+"""Property-based CF checks — Spark chain vs an independent pure-Python
+reference on hypothesis-generated interaction matrices.
+
+The DuckDB oracles prove parity on the fixture data; these prove the CF
+*logic* on adversarial shapes the fixtures don't contain: similarity ties,
+single-user corpora, items seen by everyone, users with one item. The
+reference implementation shares only the arithmetic contract (multiply-form
+half-away rounding, scaled-integer sums) — not the code.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from recsys_spark_spark.cf import itemcf
+
+K = 10
+N = 5
+
+
+def _rnd(v: float) -> int:
+    """Half-away-from-zero to int — the Python twin of determinism.rlong."""
+    return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+
+def ref_neighbors(pairs: set[tuple[int, int]]) -> dict[tuple[int, int], float]:
+    users: dict[int, set[int]] = defaultdict(set)
+    for u, i in pairs:
+        users[u].add(i)
+    n_users: dict[int, int] = defaultdict(int)
+    for its in users.values():
+        for i in its:
+            n_users[i] += 1
+    cnt: dict[tuple[int, int], int] = defaultdict(int)
+    for its in users.values():
+        for a in its:
+            for b in its:
+                if a != b:
+                    cnt[(a, b)] += 1
+    sims = {
+        (a, b): _rnd(c / math.sqrt(n_users[a] * n_users[b]) * 1e6) / 1e6
+        for (a, b), c in cnt.items()
+    }
+    out: dict[tuple[int, int], float] = {}
+    by_a: dict[int, list[tuple[float, int]]] = defaultdict(list)
+    for (a, b), s in sims.items():
+        by_a[a].append((-s, b))
+    for a, cand in by_a.items():
+        for rank, (neg_s, b) in enumerate(sorted(cand)[:K], 1):
+            out[(a, b)] = -neg_s
+    return out
+
+
+def ref_recommend(pairs: set[tuple[int, int]]) -> dict[tuple[int, int], float]:
+    users: dict[int, set[int]] = defaultdict(set)
+    for u, i in pairs:
+        users[u].add(i)
+    nb = ref_neighbors(pairs)
+    scores: dict[tuple[int, int], int] = defaultdict(int)
+    for u, its in users.items():
+        for i in its:
+            for (a, j), s in nb.items():
+                if a == i:
+                    scores[(u, j)] += _rnd(s * 1 * 1e6)  # cnt == 1 in these fixtures
+    out: dict[tuple[int, int], float] = {}
+    by_u: dict[int, list[tuple[float, int]]] = defaultdict(list)
+    for (u, j), sc in scores.items():
+        if j not in users[u]:
+            by_u[u].append((-(sc / 1e6), j))
+    for u, cand in by_u.items():
+        for rank, (neg_s, j) in enumerate(sorted(cand)[:N], 1):
+            out[(u, j)] = _rnd(-neg_s * 1e6) / 1e6
+    return out
+
+
+@st.composite
+def interaction_sets(draw):
+    pairs = draw(
+        st.sets(
+            st.tuples(st.integers(1, 6), st.integers(1, 8)),
+            min_size=2,
+            max_size=30,
+        )
+    )
+    return pairs
+
+
+@pytest.fixture(scope="module")
+def spark_df(spark):
+    def mk(pairs):
+        rows = [(u, i, 1, 1.0) for u, i in sorted(pairs)]
+        return spark.createDataFrame(
+            rows, "user_id long, item_id long, cnt long, total_qty double"
+        )
+
+    return mk
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pairs=interaction_sets())
+def test_fused_neighbors_match_reference(spark, spark_df, pairs):
+    ui = spark_df(pairs)
+    got = {
+        (r.item_i, r.item_j): r.sim
+        for r in itemcf.topk_neighbors_fused(ui, itemcf.item_norms(ui), k=K).collect()
+    }
+    assert got == ref_neighbors(pairs)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pairs=interaction_sets())
+def test_recommend_matches_reference(spark, spark_df, pairs):
+    ui = spark_df(pairs)
+    nb = itemcf.topk_neighbors_fused(ui, itemcf.item_norms(ui), k=K).select(
+        "item_i", "item_j", "sim"
+    )
+    got = {(r.user_id, r.item_id): r.score for r in itemcf.recommend(ui, nb, n=N).collect()}
+    want = ref_recommend(pairs)
+    assert got == want
+    # invariant: nothing recommended was already seen
+    assert all((u, i) not in pairs for (u, i) in got)
