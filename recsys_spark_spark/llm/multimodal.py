@@ -100,3 +100,51 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batch,
         "doc_id long, payload_bytes long, width long, height long, mean_intensity double",
     )
+
+
+def _fake_frame_count(payload: bytes) -> int:
+    """STUB container probe — stands in for reading a video header."""
+    return 1 + payload[0] % 7 if payload else 1
+
+
+FRAME_STRIDE = 2
+
+
+@query("q_multimodal_frames")  # rows-only: stubbed decoder, not SQL-expressible
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-mm2: video-shaped frame sampling — the fan-OUT mapInPandas shape
+    (one input row → several frame rows), complementing q_multimodal_features'
+    1:1 shape.
+
+    The payload stands in for a video container; every FRAME_STRIDE-th frame
+    is 'decoded' (deterministic stub — a real deployment swaps in
+    ffmpeg/pyav) into per-frame features. The Arrow batch contract is the
+    part that matters at 100 TB: the worker expands each batch in pandas
+    (no per-row Python round-trips), output rows carry (doc_id, frame_idx)
+    so downstream joins/apply steps stay shuffle-keyed, and a
+    size-balancing repartition upstream keeps decode batches even."""
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[int] = []
+            frame_idxs: list[int] = []
+            feats: list[float] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = _fake_frame_count(payload)
+                for idx in range(0, n, FRAME_STRIDE):
+                    h = hashlib.sha1(payload + idx.to_bytes(4, "big")).digest()
+                    doc_ids.append(doc_id)
+                    frame_idxs.append(idx)
+                    feats.append(round(int.from_bytes(h[:4], "big") / 2**32, 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(frame_idxs, dtype="int64"),
+                    "frame_feature": pd.Series(feats, dtype="float64"),
+                }
+            )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(sample_frames, "doc_id long, frame_idx long, frame_feature double")
