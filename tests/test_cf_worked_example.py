@@ -67,3 +67,16 @@ def test_history_cap_inactive_at_test_sfs(spark):
             .first()[0]
         )
         assert max_hist < itemcf.MAX_USER_HISTORY, (sf, max_hist)
+
+
+def test_als_fixed_seed_is_reproducible(spark):
+    """I10 has no oracle (iterative/approximate); its correctness surface is
+    reproducibility — same seed, same data, same session must produce the
+    identical recommendation set twice, or the rows-only driver check is
+    meaningless run to run."""
+    from recsys_spark_spark.cf.als import q_als_recommend
+
+    sf = "/root/testdata/sf0.001"
+    a = {tuple(r) for r in q_als_recommend(spark, sf).collect()}
+    b = {tuple(r) for r in q_als_recommend(spark, sf).collect()}
+    assert a == b and len(a) > 0
