@@ -47,7 +47,12 @@ def q_scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
 
 
-@query("q_source_csv_json")  # rows-only: round-trips through local tmp files
+@query(
+    "q_source_csv_json",
+    oracle="""
+SELECT n_nationkey, n_name AS name_csv, n_name AS name_json FROM nation
+""",
+)
 def q_source_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: csv + json sources with explicit schemas, round-tripped.
 
@@ -69,7 +74,14 @@ def q_source_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_source_orc")  # rows-only: round-trips through local tmp files
+@query(
+    "q_source_orc",
+    oracle="""
+SELECT s_nationkey, COUNT(*) AS n,
+       SUM(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT)) / 100.0 AS sum_bal
+FROM supplier WHERE s_acctbal > 0 GROUP BY 1
+""",
+)
 def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3b: ORC source/sink round-trip (the other columnar format the
     reference's Hive world reads natively). Spark's vectorized ORC reader
@@ -92,7 +104,10 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sink_parquet")  # rows-only: write+reread through local tmp files
+@query(
+    "q_sink_parquet",
+    oracle="SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1",
+)
 def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: partitioned parquet sink (the reference's Hive-sink analogue).
 
