@@ -82,6 +82,8 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    if not os.path.isdir(args.sf):  # accept the "sf0.01" shorthand
+        args.sf = os.path.join("/root/testdata", args.sf)
 
     queries, oracles = load_all()
     names = args.names or sorted(queries)
