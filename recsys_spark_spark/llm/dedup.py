@@ -466,6 +466,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     if memo is not None:
         return memo
     edges = q_dedup_near_bucketed(spark, sf_dir).select("d1", "d2")
+    out = connected_components(edges)
+    _CC_MEMO[key] = out
+    return out
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected edge list (d1, d2) →
+    (doc_id, cluster, is_rep) for every node with degree >= 1.
+
+    One shuffle-keyed join + aggregate per round, localCheckpoint per round
+    (lineage and upstream recomputation stay O(1) across iterations),
+    converges in O(component diameter) rounds; `max_rounds` is a safety
+    bound, not the expected count. Property-tested against a union-find
+    reference in tests/test_cf_property.py.
+    """
     sym = edges.union(edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
     # nodes that appear in at least one dup pair; singletons are not clusters
     labels = (
@@ -475,7 +490,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     sym = sym.localCheckpoint()
-    for _ in range(20):  # diameter bound; real dup chains are far shorter
+    for _ in range(max_rounds):
         neigh = (
             sym.join(labels, sym.d2 == labels.doc_id)
             .groupBy(F.col("d1").alias("doc_id"))
@@ -498,10 +513,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    out = labels.select(
+    return labels.select(
         "doc_id",
         F.col("label").alias("cluster"),
         (F.col("doc_id") == F.col("label")).alias("is_rep"),
     )
-    _CC_MEMO[key] = out
-    return out

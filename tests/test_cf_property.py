@@ -124,3 +124,37 @@ def test_recommend_matches_reference(spark, spark_df, pairs):
     assert got == want
     # invariant: nothing recommended was already seen
     assert all((u, i) not in pairs for (u, i) in got)
+
+
+def _uf_components(edges: set[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(1, 12), st.integers(1, 12)).filter(lambda e: e[0] < e[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    from recsys_spark_spark.llm.dedup import connected_components
+
+    df = spark.createDataFrame(sorted(edges), "d1 long, d2 long")
+    got = {r.doc_id: r.cluster for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
