@@ -509,7 +509,10 @@ def topk_user_neighbors(ui: DataFrame, k: int = TOP_K_NEIGHBORS) -> DataFrame:
     unorms = ui.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_items"))
     a = ui.select("item_id", F.col("user_id").alias("user_a"))
     b = ui.select("item_id", F.col("user_id").alias("user_b"))
-    pairs = a.join(b, "item_id").where(F.col("user_a") != F.col("user_b"))
+    # shuffle_hash for the same reason as the ItemCF fused self-join: no
+    # exploitable sort order, and default-config sessions (driver probe)
+    # don't set preferSortMergeJoin=false
+    pairs = a.join(b.hint("shuffle_hash"), "item_id").where(F.col("user_a") != F.col("user_b"))
     na = F.broadcast(unorms.select(F.col("user_id").alias("user_a"), F.col("n_items").alias("n_a")))
     nb = F.broadcast(unorms.select(F.col("user_id").alias("user_b"), F.col("n_items").alias("n_b")))
     sim = (
