@@ -168,3 +168,54 @@ def q_source_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum(rlong(F.col("value") * F.lit(1e6))) / F.lit(1e6)).alias("sum_value"),
     )
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1e6, 0) AS BIGINT)) / 1e6 AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+""",
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-M5: bucketed co-located join — both fact tables written
+    bucketBy(8, orderkey) + sortBy into the session catalog, then joined by
+    NAME with a merge hint: the scan's bucket layout satisfies the join's
+    clustering AND ordering, so the plan has no exchange and no sort on
+    either side. This is the 100 TB technique for a join run repeatedly on
+    the same key (the CF interaction build, nightly fact⋈fact): pay the
+    shuffle once at write time, never again at read time. The merge hint
+    opts out of broadcast so the *bucket* mechanism is what the plan (and
+    tests/test_plans.py) demonstrates."""
+    from recsys_spark_spark.functions.determinism import rlong
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    to, tl = f"bucketed_orders_{tag}", f"bucketed_lineitem_{tag}"
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    for name, src, key, cols in (
+        (to, "orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+        (tl, "lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice", "l_discount"]),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+        (
+            table(spark, sf_dir, src)
+            .select(*cols)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    o = spark.table(to)
+    l = spark.table(tl)
+    return (
+        o.join(l.hint("merge"), o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(rlong(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6))) / F.lit(1e6)).alias("revenue"),
+        )
+    )

@@ -163,3 +163,19 @@ def test_ivf_knn_broadcasts_probe_only(spark):
     plan = plan_of(spark, "q_sim_ivf_knn")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """q_join_bucketed pays the shuffle at write time (bucketBy) so the join
+    itself must read co-located buckets: both scans report Bucketed: true
+    and no exchange keyed by the join key may appear — the post-aggregation
+    exchange on the grouping key is the only shuffle allowed."""
+    plan = plan_of(spark, "q_join_bucketed")
+    assert plan.count("Bucketed: true") >= 2, plan[:1200]
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and ("o_orderkey" in ln or "l_orderkey" in ln)
+    ]
+    assert not bad, "bucketed join re-shuffled its join key:\n" + "\n".join(bad)
