@@ -80,3 +80,17 @@ def test_als_fixed_seed_is_reproducible(spark):
     a = {tuple(r) for r in q_als_recommend(spark, sf).collect()}
     b = {tuple(r) for r in q_als_recommend(spark, sf).collect()}
     assert a == b and len(a) > 0
+
+
+def test_lsh_queries_are_reproducible(spark):
+    """The MinHash-LSH and random-hyperplane-LSH queries are rows-only
+    (seeded MLlib hashing); their correctness surface is reproducibility —
+    identical output for identical input within a session."""
+    from recsys_spark_spark.registry import load_all
+
+    queries, _ = load_all()
+    sf = "/root/testdata/sf0.001"
+    for name in ("q_dedup_minhash_lsh", "q_sim_lsh_ann"):
+        a = {tuple(r) for r in queries[name](spark, sf).collect()}
+        b = {tuple(r) for r in queries[name](spark, sf).collect()}
+        assert a == b and len(a) > 0, name
