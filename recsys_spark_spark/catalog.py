@@ -46,19 +46,24 @@ _HANDLES: dict[tuple[str, str, str], DataFrame] = {}
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-        # default. Read it as raw nanos and truncate to µs (TimestampType's
-        # precision) — same value DuckDB sees minus sub-µs digits, which is
-        # why all event-time logic works at second granularity (SURVEY §7.5).
-        # The nanosAsLong conf is set once in session.get_spark; it is
-        # re-asserted here (idempotent) for externally-built sessions such as
-        # the driver's default-config probe.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+        # generations (Spark 4 refuses it by default; nanosAsLong reads it as
+        # raw int64) and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others
+        # (Spark reads TIMESTAMP_NTZ). Normalize BOTH to TimestampType at µs
+        # precision — with the session timeZone pinned to UTC the NTZ cast is
+        # wall-clock-identity, so every downstream query sees the same values
+        # DuckDB does regardless of which generation is on disk (SURVEY §7.5).
         from pyspark.sql import functions as F
 
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # nanos generation, via nanosAsLong
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type != "timestamp":  # timestamp_ntz generation
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
