@@ -478,7 +478,10 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     One shuffle-keyed join + aggregate per round, localCheckpoint per round
     (lineage and upstream recomputation stay O(1) across iterations),
     converges in O(component diameter) rounds; `max_rounds` is a safety
-    bound, not the expected count. Property-tested against a union-find
+    bound, not the expected count. If the bound is hit before the fixpoint
+    (a component whose diameter exceeds `max_rounds` — chain-shaped dup
+    clusters at large scale), labels would be silently wrong, so that case
+    raises instead of returning. Property-tested against a union-find
     reference in tests/test_cf_property.py.
     """
     sym = edges.union(edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
@@ -513,6 +516,12 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} rounds "
+            f"({changed} labels still changing); raise max_rounds — returning "
+            "here would yield wrong cluster labels"
+        )
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster"),

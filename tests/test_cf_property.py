@@ -158,3 +158,19 @@ def test_connected_components_match_union_find(spark, edges):
     df = spark.createDataFrame(sorted(edges), "d1 long, d2 long")
     got = {r.doc_id: r.cluster for r in connected_components(df).collect()}
     assert got == _uf_components(edges)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A chain's diameter exceeding max_rounds must be an error, not silently
+    wrong labels (ADVICE round 2)."""
+    import pytest
+
+    from recsys_spark_spark.llm.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 9)]  # diameter 8
+    df = spark.createDataFrame(chain, "d1 long, d2 long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_rounds=2)
+    # and with an adequate bound the same chain converges to one cluster
+    labels = {r.doc_id: r.cluster for r in connected_components(df, max_rounds=10).collect()}
+    assert set(labels.values()) == {1}
