@@ -1,0 +1,208 @@
+"""3.M temporal / warehouse maintenance operators — gap-fill, SCD2, CDC diff.
+
+Reference parity: the reference's nightly-batch shape (Hive in, Hive/MySQL out,
+reconstructed — SURVEY.md §1 [R:M]) implies the standard warehouse maintenance
+ops around the CF pipeline: filling calendar gaps in activity rollups, building
+type-2 dimension history, and diffing consecutive snapshots for incremental
+loads. Each is expressed as one declarative DataFrame plan:
+
+- gap-fill: per-key `sequence()` explode + left join — keyed by user, so at
+  100 TB it is partition-parallel with no global calendar table and no skew
+  (each user's span is bounded by the data retention window).
+- SCD2: gaps-and-islands (lag + running sum) in a single per-key window sort,
+  then one keyed aggregation — the canonical two-shuffle history build.
+- CDC diff: one co-partitioned full-outer hash join on the snapshot key; at
+  scale both snapshots come bucketed by the key so the join is exchange-free
+  (same layout argument as q_join_bucketed, operators/joins.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recsys_spark_spark.catalog import table
+from recsys_spark_spark.registry import query
+
+
+@query(
+    "q_ts_gapfill",
+    oracle="""
+WITH base AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+counts AS (SELECT user_id, day, COUNT(*) AS n FROM base GROUP BY 1, 2),
+spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM base GROUP BY 1),
+days AS (
+  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+)
+SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day_str,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM days d LEFT JOIN counts c ON d.user_id = c.user_id AND d.day = c.day
+""",
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: daily event counts per user with zero rows for
+    every missing day inside each user's [first, last] activity span.
+
+    The calendar is generated per key (`sequence(d0, d1, interval 1 day)` +
+    explode), not as a global dimension: at 100 TB this stays keyed by
+    user_id end-to-end — two hash aggregations and one left join, all on the
+    same key, no cross-join against a date table, no driver state. Day is
+    emitted as an ISO string because engines disagree on date dtypes across
+    the Arrow boundary (SURVEY.md §7.5 timestamp pitfalls)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    counts = e.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
+    spans = e.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = spans.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    return days.join(counts, ["user_id", "day"], "left").select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "q_scd2_events",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END AS chg
+  FROM ordered
+),
+islands AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT user_id, event_type, CAST(island AS BIGINT) AS island,
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS valid_from_s,
+       CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS valid_to_s,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, event_type, island
+""",
+)
+def q_scd2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: collapse each user's event stream into
+    validity intervals — one row per maximal run of a constant event_type,
+    with [valid_from, valid_to] bounds and the run length.
+
+    Gaps-and-islands: lag() marks type changes, a running sum over the same
+    (partition, order) numbers the runs, then one keyed aggregation emits the
+    intervals. Both window passes share a single per-user sort (same
+    partitionBy/orderBy → one Window physical node chain, no second
+    exchange), and the groupBy keys are a superset of the window partition
+    key, so the whole history build is TWO shuffles at any scale. Interval
+    bounds are emitted as epoch seconds: events.ts is nanos in parquet and
+    Spark truncates to micros, so raw timestamps can never be oracle-compared
+    (SURVEY.md §7.5); flooring to seconds is engine-portable."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    flagged = e.withColumn(
+        "chg",
+        F.when(prev.isNull() | (prev != F.col("event_type")), F.lit(1)).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        islands.groupBy("user_id", "event_type", "island")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("valid_from_s"),
+            F.unix_timestamp(F.max("ts")).alias("valid_to_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("island").cast("long").alias("island"),
+            "valid_from_s",
+            "valid_to_s",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_cdc_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus AS old_status, o_totalprice AS old_total, 1 AS in_old
+  FROM orders WHERE o_orderkey % 10 <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'R' ELSE o_orderstatus END AS new_status,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS new_total,
+         1 AS in_new
+  FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN in_old IS NULL THEN 'insert'
+            WHEN in_new IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       old_status, new_status, old_total, new_total
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE in_old IS NULL OR in_new IS NULL
+   OR old_status <> new_status OR old_total <> new_total
+""",
+)
+def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: given yesterday's and today's snapshot of a keyed
+    table, emit the change stream (insert / update / delete rows only) — the
+    incremental-load primitive behind every MERGE-based warehouse sync.
+
+    Snapshots are derived deterministically from `orders` by modulo rules
+    (keys ≡0 mod 10 exist only in the new snapshot → inserts; ≡0 mod 7 only
+    in the old → deletes; ≡0 mod 5 get a status/price rewrite → updates), so
+    the oracle is exact. The diff itself is ONE full-outer hash join on the
+    snapshot key plus a row-local classifier — no window, no global sort. At
+    100 TB both snapshots would be written bucketed by the key, making the
+    join exchange-free (the layout proven by q_join_bucketed); unchanged rows
+    are dropped before any downstream shuffle, so the change stream is
+    proportional to the delta, not the table."""
+    o = table(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("old_status"),
+        F.col("o_totalprice").alias("old_total"),
+        F.lit(1).alias("in_old"),
+    )
+    hot = F.col("o_orderkey") % 5 == 0
+    new = o.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(hot, F.lit("R")).otherwise(F.col("o_orderstatus")).alias("new_status"),
+        F.when(hot, F.col("o_totalprice") + 10.0).otherwise(F.col("o_totalprice")).alias("new_total"),
+        F.lit(1).alias("in_new"),
+    )
+    diff = old.join(new, "o_orderkey", "full")
+    changed = (
+        F.col("in_old").isNull()
+        | F.col("in_new").isNull()
+        | (F.col("old_status") != F.col("new_status"))
+        | (F.col("old_total") != F.col("new_total"))
+    )
+    return diff.where(changed).select(
+        "o_orderkey",
+        F.when(F.col("in_old").isNull(), "insert")
+        .when(F.col("in_new").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        "old_status",
+        "new_status",
+        "old_total",
+        "new_total",
+    )

@@ -165,6 +165,48 @@ def test_ivf_knn_broadcasts_probe_only(spark):
     assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
 
 
+def test_cdc_diff_is_single_join_no_window(spark):
+    """The CDC diff must stay ONE full-outer join on the snapshot key plus
+    row-local classification — a window or second join here would turn the
+    incremental-load primitive into a multi-pass job at 100 TB."""
+    plan = plan_of(spark, "q_cdc_diff")
+    joins = sum(
+        plan.count(k) for k in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert joins == 1, f"CDC diff grew to {joins} joins:\n{plan[:1500]}"
+    assert "Window" not in plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Chunking is a row-local fan-out (sequence + posexplode + substring):
+    any exchange in this plan means a 100 TB chunking pass would shuffle the
+    whole corpus for nothing."""
+    from recsys_spark_spark.plans.audit import executed_plan, shuffle_stage_count
+
+    df = QUERIES["q_chunk_fixed"](spark, SF_SMOKE)
+    assert shuffle_stage_count(executed_plan(df, materialize=True)) == 0
+
+
+def test_quantize_is_shuffle_free(spark):
+    """int8 quantization is per-row array math — must compile to a pure scan."""
+    from recsys_spark_spark.plans.audit import executed_plan, shuffle_stage_count
+
+    df = QUERIES["q_embed_quantize"](spark, SF_SMOKE)
+    assert shuffle_stage_count(executed_plan(df, materialize=True)) == 0
+
+
+def test_packing_windows_are_bucket_partitioned(spark):
+    """Sequence packing must never fall into a global (unpartitioned) window —
+    that would funnel the whole corpus through one task. The running sum has
+    to be keyed by the hash bucket."""
+    plan = plan_of(spark, "q_pack_sequences")
+    assert "Window" in plan
+    assert "partitionBy" not in plan or "bucket" in plan
+    for ln in plan.splitlines():
+        if "Window [" in ln:
+            assert "bucket" in ln, f"packing window lost its bucket key: {ln}"
+
+
 def test_bucketed_join_has_no_join_exchange(spark):
     """q_join_bucketed pays the shuffle at write time (bucketBy) so the join
     itself must read co-located buckets: both scans report Bucketed: true
