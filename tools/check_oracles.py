@@ -5,12 +5,18 @@ parquet, then compares row count, column names/types, and the full
 order-insensitive multiset of values (exact — stricter than any hash).
 
 Usage:
-    python tools/check_oracles.py [--sf /root/testdata/sf0.01] [name ...]
+    python tools/check_oracles.py [--sf /root/testdata/sf0.01] [--json out.json] [name ...]
+
+--json writes a driver-CORRECTNESS-shaped report (rows_match / schema_match /
+hash_match per query, "no_oracle" for rows-only queries) so each round's full
+local sweep can be committed as CORRECTNESS_LOCAL_r{N}.json alongside the
+driver's capped CORRECTNESS_r{N}.json.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -80,6 +86,7 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", dest="json_out", default=None)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     if not os.path.isdir(args.sf):  # accept the "sf0.01" shorthand
@@ -91,10 +98,13 @@ def main() -> int:
     con = duck_connection(args.sf)
 
     failures = 0
+    report: dict[str, dict] = {}
     for name in names:
         if name not in queries:
             print(f"FAIL {name}: not registered")
             failures += 1
+            report[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                            "spark_rows": None, "oracle_rows": None, "err": "not_registered"}
             continue
         t0 = time.time()
         try:
@@ -102,17 +112,28 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
             failures += 1
+            report[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                            "spark_rows": None, "oracle_rows": None, "err": "spark_raised"}
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
+            report[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                            "spark_rows": len(sdf), "oracle_rows": None, "err": "no_oracle"}
             continue
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception:
             print(f"FAIL {name}: oracle raised\n{traceback.format_exc()}")
             failures += 1
+            report[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                            "spark_rows": len(sdf), "oracle_rows": None, "err": "oracle_raised"}
             continue
         problems = compare(name, sdf, ddf)
+        schema_ok = not any(p.startswith("columns differ") for p in problems)
+        rows_ok = len(sdf) == len(ddf)
+        report[name] = {"rows_match": rows_ok, "schema_match": schema_ok,
+                        "hash_match": not problems, "spark_rows": len(sdf),
+                        "oracle_rows": len(ddf), "err": problems[0] if problems else None}
         if problems:
             failures += 1
             print(f"FAIL {name} [{time.time()-t0:.1f}s]")
@@ -121,6 +142,10 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(sdf)} rows match [{time.time()-t0:.1f}s]")
     print(f"\n{len(names) - failures}/{len(names)} passed")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"report written to {args.json_out}")
     return 1 if failures else 0
 
 
