@@ -673,3 +673,59 @@ def q_cf_user_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# I11: popularity baseline recommender
+# --------------------------------------------------------------------------
+
+POP_CANDIDATES = 20
+
+_POPULARITY_ORACLE = f"""
+WITH ui AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+), pop AS (
+  SELECT item_id, COUNT(*) AS n_users FROM ui GROUP BY 1
+), top_pop AS (
+  SELECT item_id, n_users FROM pop ORDER BY n_users DESC, item_id LIMIT {POP_CANDIDATES}
+), cand AS (
+  SELECT u.user_id, t.item_id, t.n_users
+  FROM (SELECT DISTINCT user_id FROM ui) u CROSS JOIN top_pop t
+  WHERE NOT EXISTS (SELECT 1 FROM ui s WHERE s.user_id = u.user_id AND s.item_id = t.item_id)
+)
+SELECT user_id, item_id, n_users, rnk FROM (
+  SELECT user_id, item_id, n_users,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_users DESC, item_id) AS BIGINT) AS rnk
+  FROM cand
+) WHERE rnk <= {TOP_N_RECS}
+"""
+
+
+@query("q_cf_popularity_rec", oracle=_POPULARITY_ORACLE)
+def q_cf_popularity_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I11: popularity baseline — top-N most-purchased items each user has
+    NOT interacted with. The non-personalized reference every CF evaluation
+    compares against (and the cold-start fallback the reference's pipeline
+    shape implies for users with no history).
+
+    Scale shape: item popularity is one keyed aggregate; the candidate list
+    is output-sized (POP_CANDIDATES rows) and BROADCAST to the users side,
+    so the per-user fan-out never shuffles the popularity table; the
+    seen-filter is a left-anti join on (user_id, item_id) against the
+    user-partitioned interaction matrix; the final per-user top-N window
+    rides the same user_id partitioning. One broadcast + the ui exchange the
+    whole CF family already shares — nothing new shuffles at 100 TB."""
+    ui = capped_interactions(spark, sf_dir).select("user_id", "item_id")
+    pop = ui.groupBy("item_id").agg(F.count(F.lit(1)).alias("n_users"))
+    top_pop = pop.orderBy(F.col("n_users").desc(), "item_id").limit(POP_CANDIDATES)
+    users = ui.select("user_id").distinct()
+    cand = users.crossJoin(F.broadcast(top_pop))
+    unseen = cand.join(ui, ["user_id", "item_id"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_users").desc(), "item_id")
+    return (
+        unseen.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOP_N_RECS)
+        .select("user_id", "item_id", "n_users", "rnk")
+    )

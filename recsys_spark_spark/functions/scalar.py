@@ -249,3 +249,36 @@ def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
     )
+
+
+@query(
+    "q_agg_percentile_exact",
+    oracle="""
+SELECT p_brand,
+       ROUND(quantile_cont(p_retailprice, 0.5), 6) AS median_price,
+       ROUND(quantile_cont(p_retailprice, 0.9), 6) AS p90_price,
+       ROUND(quantile_cont(p_retailprice, 0.99), 6) AS p99_price,
+       COUNT(*) AS n_parts
+FROM part
+GROUP BY p_brand
+""",
+)
+def q_agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9b: EXACT percentiles (median/p90/p99) per brand — the precise
+    complement to q_agg_stats' approx sketch (rows-only). Spark's
+    `percentile` and DuckDB's `quantile_cont` share the same definition
+    (linear interpolation at rank (n−1)·q over the sorted group), so the
+    result is exact-oracle-checkable; both sides round at 1e-6 to absorb
+    the one interpolation multiply.
+
+    Exact percentile requires the group's values together (sort-based
+    aggregate, one shuffle keyed by brand) — the deliberate trade vs the
+    mergeable approx sketch; at 100 TB use this for bounded-cardinality
+    groups and percentile_approx when groups don't fit an executor."""
+    p = table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.round(F.percentile("p_retailprice", 0.5), 6).alias("median_price"),
+        F.round(F.percentile("p_retailprice", 0.9), 6).alias("p90_price"),
+        F.round(F.percentile("p_retailprice", 0.99), 6).alias("p99_price"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )

@@ -14,6 +14,9 @@ The 100 TB dedup ladder:
                 cell, never globally.
   J3 MinHash  — MLlib MinHashLSH banded approximate join: the real scale
                 path, O(n·bands) candidates instead of O(n²).
+  J3b exact   — the same banded MinHash algorithm with an explicit
+                deterministic hash family: seed-free, engine-portable, and
+                therefore exact-oracle-checked end to end.
 """
 
 from __future__ import annotations
@@ -526,4 +529,136 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         "doc_id",
         F.col("label").alias("cluster"),
         (F.col("doc_id") == F.col("label")).alias("is_rep"),
+    )
+
+
+# --- J3b: exact-oracled MinHash-LSH (deterministic hash family) -------------
+#
+# MLlib's MinHashLSH (q_dedup_minhash_lsh above) is seed-dependent, so the
+# driver can only rows-check it. This variant implements the identical
+# shingle→minhash→band→bucket-join algorithm with an explicit, engine-portable
+# hash family, making the *scale path itself* exact-oracle-verifiable:
+#   shingle hash  s = last-8-hex(md5(shingle)) mod p        (p = 2^31 − 1)
+#   h_i(s)        = (a_i·s + b_i) mod p,  a_i = (i·2654435761 + 1) mod p,
+#                                         b_i = i·40503 + 7
+#   signature     = [min_s h_i(s)]  for i in 0..15
+#   bands         = 4 bands × 4 rows; bucket key = md5("m_j,m_j+1,m_j+2,m_j+3")
+# All arithmetic stays < 2^63 ((p−1)² ≈ 2^62), so both engines compute it
+# exactly. Candidates = pairs sharing ≥1 band bucket — O(n·bands), never O(n²).
+
+_MH_P = 2_147_483_647
+_MH_K = 16
+_MH_BAND = 4
+
+_MINHASH_EXACT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM toks, unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS u(s)
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(s), 25, 8)) AS BIGINT) % {_MH_P} AS sm
+  FROM sh
+), minh AS (
+  SELECT doc_id, CAST(gs.i AS BIGINT) AS i,
+         MIN(((gs.i * 2654435761 + 1) % {_MH_P} * sm + (gs.i * 40503 + 7)) % {_MH_P}) AS mh
+  FROM hashed, generate_series(0, {_MH_K - 1}) gs(i)
+  GROUP BY 1, 2
+), bands AS (
+  SELECT doc_id, CAST(i // {_MH_BAND} AS BIGINT) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bucket
+  FROM minh GROUP BY 1, 2
+), shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared_bands
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sig AS (
+  SELECT c.d1, c.d2, SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) AS n_eq
+  FROM shared c
+  JOIN minh m1 ON m1.doc_id = c.d1
+  JOIN minh m2 ON m2.doc_id = c.d2 AND m2.i = m1.i
+  GROUP BY 1, 2
+)
+SELECT s.d1, s.d2, sh2.n_shared_bands,
+       ROUND(n_eq / {_MH_K}.0, 6) AS est_jaccard
+FROM sig s JOIN shared sh2 ON sh2.d1 = s.d1 AND sh2.d2 = s.d2
+"""
+
+
+@query("q_dedup_minhash_exact", oracle=_MINHASH_EXACT_ORACLE)
+def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3b: MinHash-LSH with a deterministic hash family — the banded
+    candidate-generation scale path (same algorithm as MLlib's MinHashLSH)
+    made exactly reproducible and therefore exact-oracle-checked.
+
+    Plan shape at 100 TB: shingling is row-local; the signature build is ONE
+    shuffle keyed by (doc_id) [16 hash lanes fold in the same aggregate];
+    banding is a second keyed aggregate; the candidate join is keyed by
+    (band, bucket) — O(n·bands) rows, never all-pairs. Everything downstream
+    (signature agreement) touches only candidate pairs. No MLlib, no seed,
+    no Python UDF — the whole chain is hash-agg + hash-join."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = toks.select("doc_id", F.explode(F.array_distinct(bigrams)).alias("s"))
+    hashed = sh.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("s"), 25, 8), 16, 10).cast("long") % _MH_P).alias("sm"),
+    )
+    lanes = F.broadcast(spark.range(0, _MH_K).select(F.col("id").alias("i")))
+    minh = (
+        hashed.join(lanes)
+        .select(
+            "doc_id",
+            "i",
+            (
+                ((F.col("i") * 2654435761 + 1) % _MH_P * F.col("sm")
+                 + (F.col("i") * 40503 + 7)) % _MH_P
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        minh.withColumn("band", (F.col("i") / _MH_BAND).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                        lambda x: x["mh"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bucket")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("d1"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("d2"), "band", "bucket")
+    shared = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    m1 = minh.select(F.col("doc_id").alias("d1"), "i", F.col("mh").alias("mh1"))
+    m2 = minh.select(F.col("doc_id").alias("d2"), "i", F.col("mh").alias("mh2"))
+    sig = (
+        shared.select("d1", "d2")
+        .join(m1, "d1")
+        .join(m2, ["d2", "i"])
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.when(F.col("mh1") == F.col("mh2"), 1).otherwise(0)).alias("n_eq"))
+    )
+    return sig.join(shared, ["d1", "d2"]).select(
+        "d1",
+        "d2",
+        "n_shared_bands",
+        F.round(F.col("n_eq") / float(_MH_K), 6).alias("est_jaccard"),
     )

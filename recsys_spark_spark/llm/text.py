@@ -304,3 +304,44 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.groupBy("doc_id").agg(
         F.sum((F.col("th") * ((F.col("pos") % 31) + 1)) % 1000000007).cast("long").alias("fingerprint")
     )
+
+
+VOCAB_SIZE = 500
+
+
+@query(
+    "q_vocab_build",
+    oracle=f"""
+WITH tf AS (
+  SELECT t.token, COUNT(*) AS cnt
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+  GROUP BY 1
+)
+SELECT token, cnt, vocab_id FROM (
+  SELECT token, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS vocab_id
+  FROM tf
+) WHERE vocab_id <= {VOCAB_SIZE}
+""",
+)
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8c: tokenizer vocabulary build — the top-VOCAB_SIZE corpus tokens by
+    frequency, each assigned a dense integer id (frequency rank, ties broken
+    lexically). The artifact every downstream tokenize step joins against.
+
+    Term counting is one hash aggregate keyed by token (map-side partial
+    combine absorbs the heavy hitters); the global top-N runs as
+    TakeOrderedAndProject (orderBy+limit — never a full sort), and only the
+    N surviving rows pass through the id-assigning window, so the single
+    partition it needs holds VOCAB_SIZE rows regardless of corpus size. At
+    100 TB the vocabulary is output-sized (thousands of rows from trillions
+    of tokens) and broadcasts to the tokenize stage."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = tf.orderBy(F.col("cnt").desc(), "token").limit(VOCAB_SIZE)
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    return top.withColumn("vocab_id", F.row_number().over(w).cast("long"))

@@ -137,6 +137,52 @@ def q_scd2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ts_ffill",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id, event_type, ts,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT event_id, user_id, event_type,
+       v AS val_raw,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS val_ffill
+FROM base
+""",
+)
+def q_ts_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill: carry each user's last valid reading across invalid
+    rows (error events null out `value`; `last(... ignorenulls)` over a
+    running frame propagates the most recent non-null) — the standard
+    sensor-stream repair step before resampling or feature extraction.
+
+    One per-key window sort, no joins: at 100 TB the fill is keyed by
+    user_id and partition-parallel; rows before a user's first valid reading
+    stay NULL (both engines agree — no implicit default). `value` is copied,
+    never recomputed, so float parity with the oracle is bit-exact."""
+    e = table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    base = e.select("event_id", "user_id", "event_type", "ts", v.alias("v"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("v").alias("val_raw"),
+        F.last("v", ignorenulls=True).over(w).alias("val_ffill"),
+    )
+
+
+@query(
     "q_cdc_diff",
     oracle="""
 WITH old AS (

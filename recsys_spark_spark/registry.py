@@ -29,16 +29,16 @@ ORACLES: dict[str, str] = {}
 #     covering the flagship and every query the round-2 rlong/dround rounding
 #     rewrite touched EXCEPT sinks (landed at 51-55) and operators/* (pushed
 #     out of the window by that same reorder).
-#   round 3 window (this order): NEW round-3 code first — temporal(3) +
+#   round 3 window (this order): NEW round-3 code first — temporal(4) +
 #     chunking(3) — then sinks(5) + the rounding-rewrite modules the driver
 #     has not re-checked since the round-2 change: scans(6) filters(4)
-#     joins(11) aggregates(11) windows(6) = 49, with sorts' first entry
-#     (q_orderby_limit) landing at position 50. sorts' remaining two and
-#     sets (untouched by the rewrite, r01-green) overflow the window and
-#     rotate in next round. functions.scalar (no rlong usage, r01-green,
-#     unchanged) and the r02-green cf/llm/streaming/udf families sit after
-#     the window; the FULL registry is still locally swept every round with
-#     an exact multiset compare — stricter than the driver's hash —
+#     joins(11) aggregates(11) windows(6) = exactly 50. sorts(3) and sets(4)
+#     overflow the window and rotate in next round (sorts is
+#     rounding-touched — covered meanwhile by the committed local sweeps at
+#     sf0.01 AND sf0.1 plus test_plans.py; sets was untouched, r01-green).
+#     functions.scalar and the r02-green cf/llm/streaming/udf families sit
+#     after the window; the FULL registry is still locally swept every round
+#     with an exact multiset compare — stricter than the driver's hash —
 #     (tools/check_oracles.py --json, committed as
 #     CORRECTNESS_LOCAL_r{N}.json + BASELINE.md note).
 _QUERY_MODULES = (

@@ -272,3 +272,31 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("click_id", "error_id", "user_id", "click_ts", "error_ts")
     )
+
+
+@query(
+    "q_stream_profile",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) / 1e6 AS sum_value,
+       CAST(FLOOR(epoch(MAX(date_trunc('second', ts)))) AS BIGINT) AS last_event_s
+FROM events
+GROUP BY user_id
+""",
+)
+def q_stream_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6b batch twin: per-user running activity profile (event count,
+    order-independent scaled-int value sum, last-seen second). The streaming
+    twin folds the same three counters through keyed state — the Spark 4
+    transformWithStateInPandas processor (streams.stream_profile) where its
+    protobuf dependency exists, else the applyInPandasWithState twin
+    (streams.stream_profile_applyinpandas; identical fold) — asserted
+    equivalent in tests/test_streaming.py. State is one fixed-width tuple
+    per user: bounded, partitioned by key, RocksDB-backed at scale."""
+    ev = events_with_sec(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(rlong(F.col("value") * F.lit(1e6))) / F.lit(1e6)).alias("sum_value"),
+        F.unix_timestamp(F.max("sec")).alias("last_event_s"),
+    )

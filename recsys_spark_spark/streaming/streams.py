@@ -188,3 +188,125 @@ def stream_stream_join(events: DataFrame) -> DataFrame:
             "error_ts >= click_ts AND error_ts < click_ts + INTERVAL 5 MINUTES"
         ),
     ).select("click_id", "error_id", "user_id", "click_ts", "error_ts")
+
+
+# --- K6b: transformWithStateInPandas (Spark 4 stateful API) ----------------
+
+_PROFILE_OUT = "user_id long, n_events long, sum_value double, last_event_s long"
+_PROFILE_STATE = "n long, sv long, last_s long"
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas runs its state server over protobuf; the
+    dependency ships with real Spark distributions but is absent in this
+    container — gate the API behind the import so callers can fall back to
+    the applyInPandasWithState twin (identical fold, older API)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _make_profile_processor():
+    """Build the StatefulProcessor lazily: the class only exists on Spark 4,
+    and constructing it at import time would couple module import to the
+    streaming API version."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ProfileProcessor(StatefulProcessor):
+        """Per-user (n_events, scaled value sum, last-seen second) counters in
+        a single fixed-width ValueState tuple. The value sum folds the
+        JVM-side pre-scaled longs (rlong(value*1e6) computed before the
+        stateful op), so state stays exact/order-independent and matches the
+        batch twin's scaled-integer aggregate bit-for-bit."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "profile", "n long, sv long, last_s long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, sv, last_s = self._state.get() if self._state.exists() else (0, 0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                sv += int(pdf["v_scaled"].sum())
+                last_s = max(last_s, int(pdf["sec_s"].max()))
+            self._state.update((n, sv, last_s))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [sv / 1e6],
+                    "last_event_s": [last_s],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return ProfileProcessor()
+
+
+def stream_profile(events: DataFrame) -> DataFrame:
+    """K6b: per-user running profile via the Spark 4 transformWithState API —
+    the successor of applyInPandasWithState (K6), with explicit typed state
+    handles (ValueState) instead of a single opaque tuple. Requires the
+    RocksDB state store provider (set in the test harness; the default at
+    cluster scale)."""
+    ev = events.select(
+        "user_id",
+        rlong(F.col("value") * F.lit(1e6)).cast("long").alias("v_scaled"),
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("sec_s"),
+    )
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_profile_processor(),
+        outputStructType=_PROFILE_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def _profile_update(
+    key: Tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState twin of ProfileProcessor — the identical fold
+    over (n, scaled-sum, last-second), usable where protobuf (and thus
+    transformWithStateInPandas) is unavailable."""
+    n, sv, last_s = state.get if state.exists else (0, 0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        sv += int(pdf["v_scaled"].sum())
+        last_s = max(last_s, int(pdf["sec_s"].max()))
+    state.update((n, sv, last_s))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [sv / 1e6],
+            "last_event_s": [last_s],
+        }
+    )
+
+
+def stream_profile_applyinpandas(events: DataFrame) -> DataFrame:
+    """K6b fallback twin: the same per-user profile fold through
+    applyInPandasWithState (no protobuf requirement)."""
+    ev = events.select(
+        "user_id",
+        rlong(F.col("value") * F.lit(1e6)).cast("long").alias("v_scaled"),
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("sec_s"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _profile_update,
+        outputStructType=_PROFILE_OUT,
+        stateStructType=_PROFILE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

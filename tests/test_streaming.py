@@ -218,6 +218,44 @@ def test_foreachbatch_upsert_sink(spark, stream_src):
     shutil.rmtree(target, ignore_errors=True)
 
 
+def test_profile_stateful_stream_equals_batch(spark, stream_src):
+    """K6b: the per-user profile fold through keyed state must converge to the
+    batch twin. Runs the Spark 4 transformWithStateInPandas processor where
+    its protobuf dependency exists (real Spark distributions); in this
+    container (no protobuf, no pip) it exercises the applyInPandasWithState
+    twin — the identical fold through the older stateful API.
+    transformWithState additionally requires the RocksDB state store
+    provider; restore the previous provider afterwards so other streaming
+    tests keep their default."""
+    use_tws = streams.tws_available()
+    fn = streams.stream_profile if use_tws else streams.stream_profile_applyinpandas
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    if use_tws:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    try:
+        got = run_stream(spark, stream_src, fn, "update", "t_profile")
+        # emissions per user have strictly increasing n_events → the row with
+        # the max n_events is the final state (works even for negative values)
+        from pyspark.sql.window import Window as W
+
+        wlast = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        final = (
+            got.withColumn("rn", F.row_number().over(wlast))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        want = QUERIES["q_stream_profile"](spark, SF_SMOKE)
+        assert as_multiset(final) == as_multiset(want)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_stream_stream_join_equals_batch(spark, stream_src):
     """K7: watermarked stream-stream interval join emits exactly the batch
     interval-join rows (append mode) once all input is processed."""
