@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "recsys_spark_spark.operators.windows",
     "recsys_spark_spark.operators.sorts",
     "recsys_spark_spark.operators.sets",
+    "recsys_spark_spark.operators.extras",
     "recsys_spark_spark.functions.scalar",
     "recsys_spark_spark.cf.itemcf",
     "recsys_spark_spark.cf.evaluate",
