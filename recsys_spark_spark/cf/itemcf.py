@@ -713,8 +713,10 @@ def q_cf_popularity_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: item popularity is one keyed aggregate; the candidate list
     is output-sized (POP_CANDIDATES rows) and BROADCAST to the users side,
     so the per-user fan-out never shuffles the popularity table; the
-    seen-filter is a left-anti join on (user_id, item_id) against the
-    user-partitioned interaction matrix; the final per-user top-N window
+    seen-filter reuses the flagship's membership-test shape (collect_set per
+    user + shuffled-hash join on user_id + array_contains — see recommend()
+    for why an anti-join on the composite key costs extra exchanges and why
+    the seen side must never broadcast); the final per-user top-N window
     rides the same user_id partitioning. One broadcast + the ui exchange the
     whole CF family already shares — nothing new shuffles at 100 TB."""
     ui = capped_interactions(spark, sf_dir).select("user_id", "item_id")
@@ -722,7 +724,12 @@ def q_cf_popularity_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_pop = pop.orderBy(F.col("n_users").desc(), "item_id").limit(POP_CANDIDATES)
     users = ui.select("user_id").distinct()
     cand = users.crossJoin(F.broadcast(top_pop))
-    unseen = cand.join(ui, ["user_id", "item_id"], "left_anti")
+    seen = ui.groupBy("user_id").agg(F.collect_set("item_id").alias("_seen"))
+    unseen = (
+        cand.join(seen.hint("shuffle_hash"), "user_id")
+        .where(~F.array_contains(F.col("_seen"), F.col("item_id")))
+        .drop("_seen")
+    )
     w = Window.partitionBy("user_id").orderBy(F.col("n_users").desc(), "item_id")
     return (
         unseen.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -207,6 +207,40 @@ def test_packing_windows_are_bucket_partitioned(spark):
             assert "bucket" in ln, f"packing window lost its bucket key: {ln}"
 
 
+def test_minhash_exact_never_goes_allpairs(spark):
+    """The exact MinHash-LSH must generate candidates through the banded
+    bucket join — a CartesianProduct means the O(n·bands) scale story
+    collapsed to O(n²) — and must read the persisted signature table (the
+    materialized-artifact shape): without it every consumer branch replays
+    the full shingle→hash→min chain (observed as 6 duplicated lane joins)."""
+    plan = plan_of(spark, "q_dedup_minhash_exact")
+    assert "CartesianProduct" not in plan
+    # all three signature consumers (banding, both agreement sides) must read
+    # the cache — the plan PRINT repeats the cached subtree under each
+    # InMemoryTableScan, so count cache reads, not the lane-fanout joins
+    assert plan.count("InMemoryTableScan") >= 3, "signature table not persisted"
+
+
+def test_popularity_rec_broadcasts_candidates_not_users(spark):
+    """q_cf_popularity_rec must broadcast the POP_CANDIDATES-row top list,
+    and its seen-filter must keep the flagship's membership-test shape:
+    array_contains over a shuffled-hash user_id join — never a broadcast
+    join keyed by user_id (user-history-scale data through the driver)."""
+    plan = plan_of(spark, "q_cf_popularity_rec")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "array_contains" in plan, "popularity lost its seen-membership filter"
+    bad = [ln for ln in join_lines(plan, "BroadcastHashJoin") if "user_id" in ln]
+    assert not bad, "a user_id-keyed join reverted to broadcast:\n" + "\n".join(bad)
+
+
+def test_vocab_build_topn_is_take_ordered(spark):
+    """The vocabulary global top-N must be TakeOrderedAndProject (never a
+    full sort), and the id-assigning window runs after the limit — over
+    VOCAB_SIZE rows, not the corpus."""
+    plan = plan_of(spark, "q_vocab_build")
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_bucketed_join_has_no_join_exchange(spark):
     """q_join_bucketed pays the shuffle at write time (bucketBy) so the join
     itself must read co-located buckets: both scans report Bucketed: true

@@ -121,6 +121,26 @@ def test_packing_offsets_are_contiguous_per_bucket(spark):
         assert g["seq_id"].is_monotonic_increasing
 
 
+def test_ffill_matches_pandas_groupby_ffill(spark):
+    out = QUERIES["q_ts_ffill"](spark, SF_SMOKE).toPandas()
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .selectExpr(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            "CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v",
+        )
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ev["want"] = ev.groupby("user_id")["v"].ffill()
+    merged = out.merge(ev[["event_id", "want"]], on="event_id")
+    both_nan = merged["val_ffill"].isna() & merged["want"].isna()
+    assert (both_nan | (merged["val_ffill"] == merged["want"])).all()
+
+
 def test_quantization_error_bounded_by_half_step(spark):
     out = QUERIES["q_embed_quantize"](spark, SF_SMOKE).toPandas()
     # |x - round(x/s)*s| ≤ s/2 per dim, so the mean is too (+1e-6 rounding slack)
