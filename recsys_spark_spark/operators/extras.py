@@ -177,3 +177,102 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("w1", "w2", "c12", F.round(F.col("c12") / F.col("c1"), 6).alias("p_next"), "rnk")
     )
+
+
+@query(
+    "q_data_profile",
+    oracle="""
+SELECT 'o_orderkey' AS col, COUNT(*) AS n, COUNT(*) - COUNT(o_orderkey) AS n_null,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_s, CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR), CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority),
+       CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+FROM orders
+""",
+)
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling audit: per column — row count, null count, exact
+    distinct cardinality, min/max (stringified for a uniform schema) — the
+    table-health snapshot a pipeline runs before promoting a new partition.
+
+    One aggregate per column over a single scan (Catalyst merges the UNION
+    branches' scans via exchange reuse; each COUNT(DISTINCT) expands
+    independently). Numeric extremes are rounded before stringification so
+    both engines print identically. At 100 TB the same query shape runs
+    per-partition for incremental profiling; swap COUNT(DISTINCT) for
+    approx_count_distinct (D3) when exactness isn't required."""
+    o = table(spark, sf_dir, "orders")
+
+    def prof(col: str, minmax_expr=None) -> DataFrame:
+        mn = minmax_expr(F.min(col)) if minmax_expr else F.min(col)
+        mx = minmax_expr(F.max(col)) if minmax_expr else F.max(col)
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            mn.cast("string").alias("min_s"),
+            mx.cast("string").alias("max_s"),
+        )
+
+    rounded = lambda c: F.round(c, 2)  # noqa: E731
+    return (
+        prof("o_orderkey")
+        .unionByName(prof("o_orderstatus"))
+        .unionByName(prof("o_totalprice", rounded))
+        .unionByName(prof("o_orderpriority"))
+    )
+
+
+@query(
+    "q_fk_audit",
+    oracle="""
+SELECT 'orders->customer' AS fk, COUNT(*) AS n_orphans
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem->orders', COUNT(*)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem->part', COUNT(*)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+""",
+)
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts per foreign-key edge of the
+    star schema (rows whose FK has no parent) — the constraint check a
+    warehouse load runs since parquet enforces nothing.
+
+    Each edge is a left-anti join + count; the dimension sides broadcast
+    where small, the fact-fact edge shuffles on the join key once. A clean
+    load reports zeros — the exact oracle proves the zeros are computed,
+    not assumed."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+    p = table(spark, sf_dir, "part")
+
+    def orphans(fact: DataFrame, dim: DataFrame, fk, pk, label: str) -> DataFrame:
+        return (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(o, c, "o_custkey", "c_custkey", "orders->customer")
+        .unionByName(orphans(l, o, "l_orderkey", "o_orderkey", "lineitem->orders"))
+        .unionByName(orphans(l, p, "l_partkey", "p_partkey", "lineitem->part"))
+    )
