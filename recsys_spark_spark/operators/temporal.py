@@ -252,3 +252,95 @@ def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_total",
         "new_total",
     )
+
+
+# (applicationId, sf_dir) -> persisted minute-tier rollup. The hour and day
+# tiers re-aggregate these partials instead of rescanning events; a real
+# hypertable materializes each tier the same way.
+_MINUTE_TIER: dict[tuple[str, str], DataFrame] = {}
+
+
+def minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finest rollup tier: per-minute event count + scaled-int value sum.
+    The scaled-integer partial (functions/determinism.py discipline) is what
+    makes the cascade EXACTLY mergeable: upper tiers sum longs, so any
+    regrouping — minute→hour→day here, or partition-wise partials on a
+    cluster — produces bit-identical results."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MINUTE_TIER.get(key)
+    if cached is not None:
+        lvl = cached.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            cached.persist()
+        return cached
+    from recsys_spark_spark.functions.determinism import rlong
+
+    e = table(spark, sf_dir, "events")
+    df = (
+        e.groupBy(F.date_trunc("minute", "ts").alias("minute_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(rlong(F.col("value") * F.lit(1e6))).alias("sv"),
+        )
+        .persist()
+    )
+    _MINUTE_TIER[key] = df
+    return df
+
+
+@query(
+    "q_ts_rollup_cascade",
+    oracle="""
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS b, COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS sv
+  FROM events GROUP BY 1
+), hour AS (
+  SELECT date_trunc('hour', b) AS b, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sv) AS BIGINT) AS sv
+  FROM minute GROUP BY 1
+), day AS (
+  SELECT date_trunc('day', b) AS b, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sv) AS BIGINT) AS sv
+  FROM hour GROUP BY 1
+)
+SELECT 'minute' AS resolution, strftime(b, '%Y-%m-%d %H:%M') AS bucket, n, sv / 1e6 AS sum_value FROM minute
+UNION ALL
+SELECT 'hour', strftime(b, '%Y-%m-%d %H:%M'), n, sv / 1e6 FROM hour
+UNION ALL
+SELECT 'day', strftime(b, '%Y-%m-%d %H:%M'), n, sv / 1e6 FROM day
+""",
+)
+def q_ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: minute → hour → day
+    rollups where each coarser tier re-aggregates the FINER TIER'S PARTIALS
+    (persisted minute tier; see minute_rollup) instead of rescanning the
+    fact table — the downsampling layout behind time-series stores'
+    continuous aggregates.
+
+    Events are scanned once; the hour tier aggregates ~minutes rows and the
+    day tier ~hours rows — both output-sized. Exact mergeability comes from
+    the scaled-integer sum discipline: partials are longs, so
+    minute→hour→day equals a direct events→day aggregation bit-for-bit (the
+    oracle computes every tier through the same cascade). At 100 TB each
+    tier is a materialized, date-partitioned table and refresh touches only
+    the changed partitions."""
+    minute = minute_rollup(spark, sf_dir)
+    hour = minute.groupBy(F.date_trunc("hour", "minute_b").alias("hour_b")).agg(
+        F.sum("n").alias("n"), F.sum("sv").alias("sv")
+    )
+    day = hour.groupBy(F.date_trunc("day", "hour_b").alias("day_b")).agg(
+        F.sum("n").alias("n"), F.sum("sv").alias("sv")
+    )
+
+    def tier(df: DataFrame, bucket_col: str, label: str) -> DataFrame:
+        return df.select(
+            F.lit(label).alias("resolution"),
+            F.date_format(bucket_col, "yyyy-MM-dd HH:mm").alias("bucket"),
+            F.col("n"),
+            (F.col("sv") / F.lit(1e6)).alias("sum_value"),
+        )
+
+    return (
+        tier(minute, "minute_b", "minute")
+        .unionByName(tier(hour, "hour_b", "hour"))
+        .unionByName(tier(day, "day_b", "day"))
+    )
