@@ -276,3 +276,74 @@ def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphans(l, o, "l_orderkey", "o_orderkey", "lineitem->orders"))
         .unionByName(orphans(l, p, "l_partkey", "p_partkey", "lineitem->part"))
     )
+
+
+_WALK_STEPS = 8
+
+_WALK_SQL_SPARK = f"""
+WITH RECURSIVE toks AS (
+  SELECT split(text, ' ') AS t FROM documents
+), big AS (
+  SELECT p.w1 AS w1, p.w2 AS w2
+  FROM toks LATERAL VIEW explode(transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))) ex AS p
+  WHERE size(t) >= 2
+), counts AS (
+  SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY w1, w2
+), best AS (
+  SELECT w1, w2 FROM (
+    SELECT w1, w2, ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn FROM counts
+  ) WHERE rn = 1
+), seed AS (
+  SELECT w1 FROM counts GROUP BY w1 ORDER BY SUM(c) DESC, w1 LIMIT 1
+), walk(step, token) AS (
+  SELECT CAST(0 AS BIGINT) AS step, w1 AS token FROM seed
+  UNION ALL
+  SELECT r.step + CAST(1 AS BIGINT), b.w2 FROM walk r JOIN best b ON b.w1 = r.token WHERE r.step < {_WALK_STEPS}
+)
+SELECT step, token FROM walk
+"""
+
+
+@query(
+    "q_sql_recursive_walk",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), big AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS gs(i)
+), counts AS (
+  SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY 1, 2
+), best AS (
+  SELECT w1, w2 FROM (
+    SELECT w1, w2, ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn FROM counts
+  ) WHERE rn = 1
+), seed AS (
+  SELECT w1 FROM counts GROUP BY w1 ORDER BY SUM(c) DESC, w1 LIMIT 1
+), walk(step, token) AS (
+  SELECT CAST(0 AS BIGINT) AS step, w1 AS token FROM seed
+  UNION ALL
+  SELECT r.step + CAST(1 AS BIGINT), b.w2 FROM walk r JOIN best b ON b.w1 = r.token WHERE r.step < {_WALK_STEPS}
+)
+SELECT step, token FROM walk
+""",
+)
+def q_sql_recursive_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+J8e: SQL-mode recursive CTE (Spark 4's WITH RECURSIVE) doing greedy
+    decoding over the bigram LM — from the corpus's most frequent head token,
+    follow the argmax continuation for WALK_STEPS steps (the deterministic
+    skeleton of count-LM text generation).
+
+    The recursion is LINEAR (one row per level, bounded by the step counter),
+    which is the shape Spark's recursive CTE executes well — each level is a
+    tiny join against the precomputed best-continuation table. The cyclic
+    walk (the corpus loops join→key→filter→…) is safe because the depth
+    bound, not row dedup, terminates it: Spark 4.1 supports only UNION ALL in
+    recursive CTEs, so an unbounded transitive closure over a cyclic graph
+    cannot terminate — that is why the connected-components operator
+    (llm/dedup.py) keeps its iterative min-label loop on the Spark side
+    while only the DuckDB oracle states the fixpoint as a recursive CTE."""
+    from recsys_spark_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_WALK_SQL_SPARK)
