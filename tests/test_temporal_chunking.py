@@ -141,6 +141,37 @@ def test_ffill_matches_pandas_groupby_ffill(spark):
     assert (both_nan | (merged["val_ffill"] == merged["want"])).all()
 
 
+def test_rollup_cascade_is_exactly_mergeable(spark):
+    """The cascade's defining property: day tier built from hour partials
+    (which were built from minute partials) must equal aggregating events
+    directly to days — exactly, because partials are scaled-int longs."""
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.functions.determinism import rlong
+
+    out = QUERIES["q_ts_rollup_cascade"](spark, SF_SMOKE).toPandas()
+    day = out[out["resolution"] == "day"].set_index("bucket").sort_index()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    # catalog.table handles ts dtype; go through the registered query's input
+    from recsys_spark_spark.catalog import table
+
+    direct = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(rlong(F.col("value") * F.lit(1e6))) / F.lit(1e6)).alias("sum_value"),
+        )
+        .toPandas()
+        .set_index("bucket")
+        .sort_index()
+    )
+    assert (day["n"] == direct["n"]).all()
+    assert (day["sum_value"] == direct["sum_value"]).all()  # bit-exact, not approx
+    # tier row counts: every minute belongs to exactly one hour and day
+    assert len(out[out["resolution"] == "minute"]) >= len(out[out["resolution"] == "hour"]) >= len(day)
+
+
 def test_quantization_error_bounded_by_half_step(spark):
     out = QUERIES["q_embed_quantize"](spark, SF_SMOKE).toPandas()
     # |x - round(x/s)*s| ≤ s/2 per dim, so the mean is too (+1e-6 rounding slack)
