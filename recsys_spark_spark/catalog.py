@@ -62,6 +62,13 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":  # nanos generation, via nanosAsLong
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         if ts_type != "timestamp":  # timestamp_ntz generation
+            # the NTZ→timestamp cast interprets wall-clock values in the
+            # SESSION time zone; an externally-built session (the driver's
+            # default-config probe) may not have the UTC pin, which would
+            # shift every instant by the host TZ offset vs the oracle —
+            # pin it here, like nanosAsLong above
+            if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -48,7 +48,14 @@ def q_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare; both engines' substring/len are character-based (UTF-8 safe for
     the zh documents)."""
     d = table(spark, sf_dir, "documents")
-    starts = F.expr(f"sequence(0, cast(n_chars - 1 as int), {CHUNK_STRIDE})")
+    # sequence(0, -1, +step) THROWS on Spark for an empty document while
+    # DuckDB's generate_series returns an empty set — guard to an empty list
+    # so a zero-length doc yields no chunks on both sides (same guard shape
+    # as the bigram extraction in llm/dedup.py)
+    starts = F.when(
+        F.col("n_chars") > 0,
+        F.expr(f"sequence(0, cast(n_chars - 1 as int), {CHUNK_STRIDE})"),
+    ).otherwise(F.expr("array()").cast("array<int>"))
     ex = d.select("doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start"))
     chunk = F.col("text").substr(F.col("start") + 1, F.lit(CHUNK_CHARS))
     return ex.select(

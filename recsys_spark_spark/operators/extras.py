@@ -208,33 +208,49 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct cardinality, min/max (stringified for a uniform schema) — the
     table-health snapshot a pipeline runs before promoting a new partition.
 
-    One aggregate per column over a single scan (Catalyst merges the UNION
-    branches' scans via exchange reuse; each COUNT(DISTINCT) expands
-    independently). Numeric extremes are rounded before stringification so
-    both engines print identically. At 100 TB the same query shape runs
-    per-partition for incremental profiling; swap COUNT(DISTINCT) for
-    approx_count_distinct (D3) when exactness isn't required."""
+    ONE aggregate over ONE scan computes every measure for every column
+    (the multi-column COUNT(DISTINCT)s plan as a single Expand-based
+    aggregate — rows multiply by #distinct-columns inside the stage, but
+    the fact table is read once); the per-column layout is then a row-local
+    explode of a 1-row struct array. A per-column UNION of aggregates would
+    instead scan the table once per column (ReuseExchange cannot merge the
+    branches — their distinct expansions differ). Numeric extremes are
+    rounded before stringification so both engines print identically. At
+    100 TB swap COUNT(DISTINCT) for approx_count_distinct (D3) when
+    exactness isn't required."""
     o = table(spark, sf_dir, "orders")
-
-    def prof(col: str, minmax_expr=None) -> DataFrame:
-        mn = minmax_expr(F.min(col)) if minmax_expr else F.min(col)
-        mx = minmax_expr(F.max(col)) if minmax_expr else F.max(col)
-        return o.agg(
-            F.lit(col).alias("col"),
-            F.count(F.lit(1)).alias("n"),
-            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
-            F.countDistinct(col).alias("n_distinct"),
-            mn.cast("string").alias("min_s"),
-            mx.cast("string").alias("max_s"),
-        )
-
     rounded = lambda c: F.round(c, 2)  # noqa: E731
-    return (
-        prof("o_orderkey")
-        .unionByName(prof("o_orderstatus"))
-        .unionByName(prof("o_totalprice", rounded))
-        .unionByName(prof("o_orderpriority"))
+    cols = [
+        ("o_orderkey", None),
+        ("o_orderstatus", None),
+        ("o_totalprice", rounded),
+        ("o_orderpriority", None),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c, mm in cols:
+        mn = mm(F.min(c)) if mm else F.min(c)
+        mx = mm(F.max(c)) if mm else F.max(c)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"__null_{c}"),
+            F.countDistinct(c).alias(f"__dist_{c}"),
+            mn.cast("string").alias(f"__min_{c}"),
+            mx.cast("string").alias(f"__max_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n").alias("n"),
+                F.col(f"__null_{c}").alias("n_null"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_s"),
+                F.col(f"__max_{c}").alias("max_s"),
+            )
+            for c, _ in cols
+        ]
     )
+    return wide.select(F.explode(structs).alias("p")).select("p.*")
 
 
 @query(

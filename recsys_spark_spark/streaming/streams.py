@@ -226,9 +226,7 @@ def _make_profile_processor():
         batch twin's scaled-integer aggregate bit-for-bit."""
 
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState(
-                "profile", "n long, sv long, last_s long"
-            )
+            self._state = handle.getValueState("profile", _PROFILE_STATE)
 
         def handleInputRows(self, key, rows, timerValues):
             n, sv, last_s = self._state.get() if self._state.exists() else (0, 0, 0)

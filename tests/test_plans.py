@@ -201,7 +201,6 @@ def test_packing_windows_are_bucket_partitioned(spark):
     to be keyed by the hash bucket."""
     plan = plan_of(spark, "q_pack_sequences")
     assert "Window" in plan
-    assert "partitionBy" not in plan or "bucket" in plan
     for ln in plan.splitlines():
         if "Window [" in ln:
             assert "bucket" in ln, f"packing window lost its bucket key: {ln}"
@@ -235,10 +234,16 @@ def test_popularity_rec_broadcasts_candidates_not_users(spark):
 
 def test_vocab_build_topn_is_take_ordered(spark):
     """The vocabulary global top-N must be TakeOrderedAndProject (never a
-    full sort), and the id-assigning window runs after the limit — over
-    VOCAB_SIZE rows, not the corpus."""
+    full sort), and the id-assigning window must consume the LIMIT's output
+    (VOCAB_SIZE rows) — in the plan tree the Window node sits ABOVE the
+    TakeOrderedAndProject, i.e. appears earlier in the explain text. A
+    window below the limit would rank the whole corpus in one partition."""
     plan = plan_of(spark, "q_vocab_build")
     assert "TakeOrderedAndProject" in plan
+    assert "Window" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), (
+        "id-assigning window moved below the limit — it would rank the full corpus"
+    )
 
 
 def test_bucketed_join_has_no_join_exchange(spark):

@@ -78,10 +78,11 @@ def test_cdc_diff_classification(spark):
     # updates are the mod-5 rewrite rows present in both snapshots
     assert (upd % 5 == 0).all() and (upd % 10 != 0).all() and (upd % 7 != 0).all()
     assert keys.is_unique
-    # unchanged rows must be absent
+    # every update row changed at least one field (row-wise OR)
     both = out[out["change_type"] == "update"]
-    assert (both["old_status"] != both["new_status"]).all() or (
-        both["old_total"] != both["new_total"]
+    assert (
+        (both["old_status"] != both["new_status"])
+        | (both["old_total"] != both["new_total"])
     ).all()
 
 
