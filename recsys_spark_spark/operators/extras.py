@@ -363,3 +363,64 @@ def q_sql_recursive_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_WALK_SQL_SPARK)
+
+
+@query(
+    "q_join_dpp",
+    oracle="""
+WITH fact AS (
+  SELECT *, CAST(year(o_orderdate) AS INTEGER) AS o_year FROM orders
+), dim AS (
+  SELECT o_year FROM (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, COUNT(*) AS cnt
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1 ORDER BY cnt DESC, o_year LIMIT 2
+  )
+)
+SELECT f.o_year, COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS revenue
+FROM fact f JOIN dim d ON f.o_year = d.o_year
+GROUP BY f.o_year
+""",
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: dynamic partition pruning — the runtime half of the 100 TB
+    partition-layout story. The fact table is written partitioned by
+    o_year; the dim side (the two busiest urgent-order years) is only known
+    at RUNTIME, so static pruning can't help — Catalyst instead injects a
+    dynamicpruningexpression into the fact scan's PartitionFilters, reusing
+    the dim's broadcast to skip every non-matching partition directory
+    before reading a byte of it (tests/test_plans.py pins the plan). At
+    100 TB with date-partitioned facts this is the difference between
+    scanning two partitions and scanning the lake whenever the partition
+    set comes from a query rather than a literal."""
+    import os
+
+    from recsys_spark_spark.operators.scans import TMP_DIR
+
+    out = os.path.join(TMP_DIR, "dpp_fact")
+    fact_src = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    # idempotent partitioned layout per sf_dir (cheap at test SFs)
+    fact_src.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "o_year")
+        .limit(2)
+        .select("o_year")
+    )
+    from recsys_spark_spark.functions.determinism import rlong
+
+    return (
+        fact.join(F.broadcast(dim), "o_year")
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(rlong(F.col("o_totalprice") * 100)) / F.lit(100.0)).alias("revenue"),
+        )
+    )

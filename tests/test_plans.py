@@ -246,6 +246,17 @@ def test_vocab_build_topn_is_take_ordered(spark):
     )
 
 
+def test_dpp_prunes_fact_partitions_at_runtime(spark):
+    """q_join_dpp's fact scan must carry a dynamicpruning subquery on the
+    partition column — the runtime partition-skip that makes a
+    date-partitioned 100 TB fact join read only the dim-selected
+    partitions. Without it the partitioned layout decays to a full scan."""
+    plan = plan_of(spark, "q_join_dpp")
+    assert "dynamicpruning" in plan.lower(), (
+        "dynamic partition pruning did not fire:\n" + plan[:1500]
+    )
+
+
 def test_bucketed_join_has_no_join_exchange(spark):
     """q_join_bucketed pays the shuffle at write time (bucketBy) so the join
     itself must read co-located buckets: both scans report Bucketed: true
