@@ -13,6 +13,7 @@ from pyspark.sql.window import Window
 
 from recsys_spark_spark.catalog import table
 from recsys_spark_spark.registry import query
+from recsys_spark_spark.functions.determinism import rlong
 
 
 @query(
@@ -345,3 +346,88 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = tf.orderBy(F.col("cnt").desc(), "token").limit(VOCAB_SIZE)
     w = Window.orderBy(F.col("cnt").desc(), "token")
     return top.withColumn("vocab_id", F.row_number().over(w).cast("long"))
+
+
+BM25_QUERY = ("data", "join", "key")  # fixed query term set (present in corpus)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 10
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t.token
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dlen) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM tok WHERE token IN ('data', 'join', 'key')
+  GROUP BY 1, 2
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT t.doc_id,
+         SUM(CAST(ROUND(
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+           (t.tf * ({BM25_K1} + 1)) /
+           (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dlen / s.avgdl))
+           * 1e9, 0) AS BIGINT)) / 1e9 AS raw
+  FROM tf t
+  JOIN df d ON d.token = t.token
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, ROUND(raw, 6) AS bm25 FROM scored
+ORDER BY raw DESC, doc_id LIMIT {BM25_TOP}
+""",
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9b: BM25 retrieval scoring (Robertson-Spärck Jones) — top-10
+    documents for a fixed query term set; the lexical ranker a RAG corpus
+    pipeline runs next to embedding ANN (J4-J6).
+
+    Everything is integer-derived (tf, df, N, dlen) except the final
+    per-document float expression, which both engines evaluate in the same
+    per-row operation order; the per-TERM contributions then sum through
+    the scaled-integer discipline (functions/determinism.py) so the
+    per-document total is partition-order-independent, and the result
+    rounds at 1e-6 for the oracle. Plan shape:
+    the token explode filters to the query terms BEFORE the tf aggregate
+    (tiny), df and the corpus stats are output-sized broadcasts, and the
+    per-document score sum is keyed by doc_id; the global top-10 is
+    TakeOrderedAndProject. At 100 TB the df/stats side is the precomputed
+    vocabulary statistics table (q_vocab_build) and scoring stays one
+    broadcast join + one keyed aggregate."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    tf = (
+        tok.where(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dlen") / F.col("avgdl"))
+    contrib = idf * (F.col("tf") * (BM25_K1 + 1)) / denom
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg((F.sum(rlong(contrib * F.lit(1e9))) / F.lit(1e9)).alias("raw"))
+    )
+    return (
+        scored.orderBy(F.col("raw").desc(), "doc_id")
+        .limit(BM25_TOP)
+        .select("doc_id", F.round("raw", 6).alias("bm25"))
+    )
