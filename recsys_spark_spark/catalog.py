@@ -44,6 +44,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _HANDLES: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _ensure_utc(spark: SparkSession) -> None:
+    """Pin the session time zone before ANY table is served. Every
+    timestamp/date that crosses to Python (toPandas/collect) renders in the
+    SESSION zone, and the NTZ cast in the events loader interprets
+    wall-clock values in it — an externally-built default-config session on
+    a non-UTC host would shift every instant and date vs the DuckDB oracle
+    (which reads the parquet values as naive UTC). Applies to all tables
+    and all parquet generations, not just the events NTZ branch."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
@@ -62,13 +74,6 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":  # nanos generation, via nanosAsLong
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         if ts_type != "timestamp":  # timestamp_ntz generation
-            # the NTZ→timestamp cast interprets wall-clock values in the
-            # SESSION time zone; an externally-built session (the driver's
-            # default-config probe) may not have the UTC pin, which would
-            # shift every instant by the host TZ offset vs the oracle —
-            # pin it here, like nanosAsLong above
-            if spark.conf.get("spark.sql.session.timeZone") != "UTC":
-                spark.conf.set("spark.sql.session.timeZone", "UTC")
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -77,6 +82,7 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    _ensure_utc(spark)
     key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _HANDLES.get(key)
     if df is None:

@@ -489,7 +489,6 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     """
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
-    changed = -1  # defined even if the loop body were skipped
     sym = edges.union(edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
     # nodes that appear in at least one dup pair; singletons are not clusters
     labels = (

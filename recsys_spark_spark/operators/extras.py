@@ -10,11 +10,16 @@ table (the classic statistical-LM building block).
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from recsys_spark_spark.catalog import table
+from recsys_spark_spark.functions.determinism import rlong
+from recsys_spark_spark.operators.scans import TMP_DIR
 from recsys_spark_spark.registry import query
 
 
@@ -394,16 +399,16 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB with date-partitioned facts this is the difference between
     scanning two partitions and scanning the lake whenever the partition
     set comes from a query rather than a literal."""
-    import os
-
-    from recsys_spark_spark.operators.scans import TMP_DIR
-
-    out = os.path.join(TMP_DIR, "dpp_fact")
-    fact_src = table(spark, sf_dir, "orders").withColumn(
-        "o_year", F.year("o_orderdate").cast("int")
-    )
-    # idempotent partitioned layout per sf_dir (cheap at test SFs)
-    fact_src.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    # per-sf_dir layout path: a shared fixed path would let a later
+    # invocation for ANOTHER sf_dir overwrite the directory a still-lazy
+    # earlier DataFrame reads from; write-once per sf_dir (the _SUCCESS
+    # marker makes a completed layout detectable)
+    out = os.path.join(TMP_DIR, f"dpp_fact_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        fact_src = table(spark, sf_dir, "orders").withColumn(
+            "o_year", F.year("o_orderdate").cast("int")
+        )
+        fact_src.write.mode("overwrite").partitionBy("o_year").parquet(out)
     fact = spark.read.parquet(out)
     dim = (
         table(spark, sf_dir, "orders")
@@ -414,8 +419,6 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(2)
         .select("o_year")
     )
-    from recsys_spark_spark.functions.determinism import rlong
-
     return (
         fact.join(F.broadcast(dim), "o_year")
         .groupBy("o_year")

@@ -134,4 +134,3 @@ def q_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT n_name, COUNT(*) AS n_customers "
         "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
     )
-

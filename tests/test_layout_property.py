@@ -1,26 +1,30 @@
-"""Property-based checks for the training-data layout operators — Spark
-plans vs independent pure-Python references on hypothesis-generated corpora.
+"""Property-based checks for the training-data layout operators — the REAL
+registered queries run against hypothesis-generated corpora written as
+temporary documents tables, compared to independent pure-Python references.
 
 The DuckDB oracles prove parity on the fixture data; these prove the
 *logic* on adversarial shapes the fixtures don't contain: empty documents,
 single-char documents, documents exactly at a chunk boundary, token budgets
-smaller/larger than any document, corpora where every doc hashes into one
-packing bucket.
+vs tiny documents, and exact-duplicate documents (which MinHash must pair
+with estimate 1.0).
 """
 
 from __future__ import annotations
 
+import hashlib
 import math
+import os
+import shutil
+import uuid
 
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from pyspark.sql import functions as F
+from recsys_spark_spark.registry import load_all
 
+QUERIES, _ = load_all()
 
-CHUNK = 120
-STRIDE = 100
+TMP = "/root/repo/.tmp/proptest"
 
 
 def _spark():
@@ -29,129 +33,107 @@ def _spark():
     return get_spark(app_name="recsys-spark-tests", shuffle_partitions=8)
 
 
+def _write_docs(spark, texts):
+    """Write a hypothesis corpus as a documents table; returns its sf_dir.
+    A unique directory per example keeps catalog/table-handle and minhash
+    signature memos from serving stale data."""
+    sf_dir = os.path.join(TMP, uuid.uuid4().hex[:12])
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    return sf_dir
+
+
 docs_strategy = st.lists(
     st.text(alphabet="ab c", min_size=0, max_size=300),
     min_size=1,
-    max_size=12,
+    max_size=10,
 )
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(texts=docs_strategy)
-def test_chunking_matches_python_reference(texts):
-    """Chunk boundaries/counts/lengths from the Spark expression chain must
-    equal a direct Python slicing reference, including empty documents
-    (which produce zero chunks, not an error)."""
+def test_chunk_fixed_matches_python_reference(texts):
+    """q_chunk_fixed (the registered query) must equal direct Python slicing,
+    including zero-length documents (zero chunks, not an error)."""
     spark = _spark()
     from recsys_spark_spark.llm.chunking import CHUNK_CHARS, CHUNK_STRIDE
 
-    rows = [(i, t, len(t)) for i, t in enumerate(texts)]
-    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
-    starts = F.when(
-        F.col("n_chars") > 0,
-        F.expr(f"sequence(0, cast(n_chars - 1 as int), {CHUNK_STRIDE})"),
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    chunk = F.col("text").substr(F.col("start") + 1, F.lit(CHUNK_CHARS))
-    out = (
-        df.select("doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start"))
-        .select("doc_id", "chunk_idx", "start", F.length(chunk).alias("chunk_len"))
-        .toPandas()
-    )
-    expect = []
-    for i, t in enumerate(texts):
-        for ci, s in enumerate(range(0, len(t), CHUNK_STRIDE)):
-            expect.append((i, ci, s, len(t[s : s + CHUNK_CHARS])))
-    got = sorted(map(tuple, out.itertuples(index=False)))
-    assert got == sorted(expect)
-
-
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
-@given(
-    sizes=st.lists(st.integers(min_value=0, max_value=4000), min_size=1, max_size=40),
-    budget=st.integers(min_value=1, max_value=1024),
-)
-def test_packing_matches_python_reference(sizes, budget):
-    """Contiguous packing offsets/sequence ids must equal a running-sum
-    Python reference for ANY budget, including budgets smaller than a
-    document (the doc then spans multiple sequences and its seq_id is where
-    its first token lands)."""
-    spark = _spark()
-    rows = [(i, n) for i, n in enumerate(sizes)]
-    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
-    from pyspark.sql.window import Window
-
-    w = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = (
-        df.withColumn("start_tok", (F.sum("n_tok").over(w) - F.col("n_tok")).cast("long"))
-        .withColumn("seq_id", F.floor(F.col("start_tok") / float(budget)).cast("long"))
-        .toPandas()
-        .sort_values("doc_id")
-    )
-    cum = 0
-    for i, n in enumerate(sizes):
-        row = out.iloc[i]
-        assert row["start_tok"] == cum
-        assert row["seq_id"] == cum // budget
-        cum += n
-
-
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
-@given(texts=st.lists(st.text(alphabet="xy z", min_size=0, max_size=60), min_size=1, max_size=8))
-def test_minhash_estimates_are_valid_and_symmetric(texts):
-    """On arbitrary corpora the exact-MinHash candidate pairs must report
-    est_jaccard in [0, 1], n_shared_bands in [1, 4], d1 < d2, and identical
-    documents (same shingle set) must estimate 1.0."""
-    spark = _spark()
-    import pandas as pd
-
-    from recsys_spark_spark.llm import dedup as dd
-
-    rows = [(i, t) for i, t in enumerate(texts)]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    # inline signature build (the helper is bound to the documents table)
-    toks = df.select("doc_id", F.split("text", " ").alias("t"))
-    bigrams = F.when(
-        F.size("t") >= 2,
-        F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = toks.select("doc_id", F.explode(F.array_distinct(bigrams)).alias("s"))
-    hashed = sh.select(
-        "doc_id",
-        (F.conv(F.substring(F.md5("s"), 25, 8), 16, 10).cast("long") % dd._MH_P).alias("sm"),
-    )
-    lanes = F.broadcast(spark.range(0, dd._MH_K).select(F.col("id").alias("i")))
-    minh = (
-        hashed.join(lanes)
-        .select(
-            "doc_id",
-            "i",
-            (
-                ((F.col("i") * 2654435761 + 1) % dd._MH_P * F.col("sm")
-                 + (F.col("i") * 40503 + 7)) % dd._MH_P
-            ).alias("h"),
+    sf_dir = _write_docs(spark, texts)
+    try:
+        out = QUERIES["q_chunk_fixed"](spark, sf_dir).toPandas()
+        got = sorted(
+            (int(r.doc_id), int(r.chunk_idx), int(r.start), int(r.chunk_len))
+            for r in out.itertuples(index=False)
         )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
-        .toPandas()
-    )
-    if minh.empty:
-        return
-    sigs = {
-        int(doc): tuple(g.sort_values("i")["mh"]) for doc, g in minh.groupby("doc_id")
-    }
-    # identical shingle sets -> identical signatures -> est 1.0 in every lane
-    for a in sigs:
-        for b in sigs:
-            if a < b and sigs[a] == sigs[b]:
-                eq = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
-                assert eq == dd._MH_K
-    # est_jaccard bounds for every pair that shares a band
-    for a in sigs:
-        for b in sigs:
-            if a < b:
-                eq = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
-                assert 0 <= eq / dd._MH_K <= 1
+        expect = sorted(
+            (i, ci, s, len(t[s : s + CHUNK_CHARS]))
+            for i, t in enumerate(texts)
+            for ci, s in enumerate(range(0, len(t), CHUNK_STRIDE))
+        )
+        assert got == expect
+    finally:
+        shutil.rmtree(sf_dir, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=docs_strategy)
+def test_pack_sequences_matches_python_reference(texts):
+    """q_pack_sequences (the registered query, with its real md5 bucketing)
+    must equal a per-bucket running-sum Python reference."""
+    spark = _spark()
+    from recsys_spark_spark.llm.chunking import PACK_BUCKETS, PACK_BUDGET
+
+    sf_dir = _write_docs(spark, texts)
+    try:
+        out = QUERIES["q_pack_sequences"](spark, sf_dir).toPandas()
+        ref = {}
+        cums = {}
+        for i, t in enumerate(texts):
+            bucket = (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % PACK_BUCKETS
+            )
+            n_tok = math.ceil(len(t) / 4)
+            start = cums.get(bucket, 0)
+            ref[i] = (bucket, n_tok, start, start // PACK_BUDGET)
+            cums[bucket] = start + n_tok
+        for r in out.itertuples(index=False):
+            assert ref[int(r.doc_id)] == (
+                int(r.bucket),
+                int(r.n_tok),
+                int(r.start_tok),
+                int(r.seq_id),
+            ), f"doc {r.doc_id}"
+        assert len(out) == len(texts)
+    finally:
+        shutil.rmtree(sf_dir, ignore_errors=True)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(st.text(alphabet="xy z", min_size=0, max_size=60), min_size=1, max_size=6))
+def test_minhash_exact_pairs_duplicates_with_full_agreement(texts):
+    """q_dedup_minhash_exact (the registered query) on a corpus that
+    CONTAINS an exact duplicate pair: the duplicate pair must surface with
+    est_jaccard 1.0 and all bands shared; every reported pair must satisfy
+    d1 < d2, n_shared_bands in [1, BANDS], est_jaccard in [0, 1]."""
+    spark = _spark()
+    from recsys_spark_spark.llm.dedup import _MH_BAND, _MH_K
+
+    n_bands = _MH_K // _MH_BAND
+    # plant a guaranteed duplicate pair with at least one bigram
+    base = ["x y x z", "x y x z"] + texts
+    sf_dir = _write_docs(spark, base)
+    try:
+        out = QUERIES["q_dedup_minhash_exact"](spark, sf_dir).toPandas()
+        assert (out["d1"] < out["d2"]).all()
+        assert out.duplicated(["d1", "d2"]).sum() == 0
+        assert out["n_shared_bands"].between(1, n_bands).all()
+        assert out["est_jaccard"].between(0.0, 1.0).all()
+        dup = out[(out["d1"] == 0) & (out["d2"] == 1)]
+        assert len(dup) == 1, "planted duplicate pair not found"
+        assert dup.iloc[0]["est_jaccard"] == 1.0
+        assert dup.iloc[0]["n_shared_bands"] == n_bands
+    finally:
+        shutil.rmtree(sf_dir, ignore_errors=True)
