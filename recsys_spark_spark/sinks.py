@@ -112,7 +112,7 @@ def q_sink_kv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_catalog_managed_table",
     oracle="""
-SELECT c_mktsegment, COUNT(*) AS n, SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS bal_cents
+SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents
 FROM customer WHERE c_acctbal > 0 GROUP BY 1
 """,
 )

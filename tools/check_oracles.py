@@ -56,6 +56,33 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
 
 
+# DuckDB output types the driver's typed hash cannot reconcile with Spark's:
+# HUGEINT (int128, e.g. un-cast SUM(BIGINT)) and DECIMAL (e.g. un-cast
+# SUM/AVG over DECIMAL) hash differently from Spark's int64/float64 even when
+# every value is numerically equal. canonicalize() below widens all integer
+# dtypes to Int64 and so MASKS this class of bug — check the declared DuckDB
+# schema BEFORE normalization (this exact gap let q_catalog_managed_table go
+# driver-red in round 3 while passing locally).
+_BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def oracle_type_problems(con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    """DESCRIBE the oracle and flag output types the driver hash can't match."""
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception as e:  # DESCRIBE can fail on some statements; non-fatal
+        return [f"DESCRIBE failed ({e}); cannot audit oracle output types"]
+    out = []
+    for col, typ, *_ in desc:
+        if any(b in typ.upper() for b in _BANNED_DUCK_TYPES):
+            out.append(
+                f"oracle col {col!r} has DuckDB type {typ} — the driver's typed "
+                f"hash will mismatch Spark even on equal values; CAST the "
+                f"outer expression to BIGINT/DOUBLE in the oracle SQL"
+            )
+    return out
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     if sorted(spark_df.columns) != sorted(duck_df.columns):
@@ -128,7 +155,7 @@ def main() -> int:
             report[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
                             "spark_rows": len(sdf), "oracle_rows": None, "err": "oracle_raised"}
             continue
-        problems = compare(name, sdf, ddf)
+        problems = oracle_type_problems(con, oracles[name]) + compare(name, sdf, ddf)
         schema_ok = not any(p.startswith("columns differ") for p in problems)
         rows_ok = len(sdf) == len(ddf)
         report[name] = {"rows_match": rows_ok, "schema_match": schema_ok,
