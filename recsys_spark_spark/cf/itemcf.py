@@ -718,8 +718,15 @@ def q_cf_popularity_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
     for why an anti-join on the composite key costs extra exchanges and why
     the seen side must never broadcast); the final per-user top-N window
     rides the same user_id partitioning. One broadcast + the ui exchange the
-    whole CF family already shares — nothing new shuffles at 100 TB."""
-    ui = capped_interactions(spark, sf_dir).select("user_id", "item_id")
+    whole CF family already shares — nothing new shuffles at 100 TB.
+
+    Uses the UNCAPPED interaction matrix: the cap exists solely to bound the
+    co-occurrence self-join (absent here), and capping the seen-filter would
+    recommend items a heavy user has already interacted with once their
+    history exceeds MAX_USER_HISTORY — a silent divergence from the oracle's
+    uncapped NOT EXISTS at larger scale factors. Exchange reuse collapses
+    the three branches' identical user_id repartition into one shuffle."""
+    ui = interactions(spark, sf_dir).select("user_id", "item_id")
     pop = ui.groupBy("item_id").agg(F.count(F.lit(1)).alias("n_users"))
     top_pop = pop.orderBy(F.col("n_users").desc(), "item_id").limit(POP_CANDIDATES)
     users = ui.select("user_id").distinct()

@@ -352,6 +352,9 @@ BM25_QUERY = ("data", "join", "key")  # fixed query term set (present in corpus)
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP = 10
+# single definition of the term list for BOTH the Spark query and the oracle —
+# editing BM25_QUERY must not desynchronize them
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
 
 @query(
@@ -366,7 +369,7 @@ WITH tok AS (
   SELECT COUNT(*) AS n_docs, AVG(dlen) AS avgdl FROM dl
 ), tf AS (
   SELECT doc_id, token, COUNT(*) AS tf
-  FROM tok WHERE token IN ('data', 'join', 'key')
+  FROM tok WHERE token IN ({_BM25_TERMS_SQL})
   GROUP BY 1, 2
 ), df AS (
   SELECT token, COUNT(*) AS df FROM tf GROUP BY 1

@@ -399,11 +399,24 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB with date-partitioned facts this is the difference between
     scanning two partitions and scanning the lake whenever the partition
     set comes from a query rather than a literal."""
-    # per-sf_dir layout path: a shared fixed path would let a later
+    # per-source layout path: a shared fixed path would let a later
     # invocation for ANOTHER sf_dir overwrite the directory a still-lazy
-    # earlier DataFrame reads from; write-once per sf_dir (the _SUCCESS
-    # marker makes a completed layout detectable)
-    out = os.path.join(TMP_DIR, f"dpp_fact_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    # earlier DataFrame reads from; write-once per source (the _SUCCESS
+    # marker makes a completed layout detectable). The key fingerprints the
+    # source parquet's mtime+size, not just its path — a regenerated testdata
+    # set at the same path must NOT be served a stale layout while the oracle
+    # reads the fresh file.
+    src = os.path.join(sf_dir, "orders.parquet")
+    if os.path.isdir(src):
+        stats = sorted(
+            (f, os.path.getmtime(p), os.path.getsize(p))
+            for f in os.listdir(src)
+            if os.path.isfile(p := os.path.join(src, f))
+        )
+    else:
+        stats = [(src, os.path.getmtime(src), os.path.getsize(src))]
+    fp = hashlib.md5(f"{sf_dir}:{stats}".encode()).hexdigest()[:12]
+    out = os.path.join(TMP_DIR, f"dpp_fact_{fp}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         fact_src = table(spark, sf_dir, "orders").withColumn(
             "o_year", F.year("o_orderdate").cast("int")

@@ -223,7 +223,16 @@ def _make_profile_processor():
         a single fixed-width ValueState tuple. The value sum folds the
         JVM-side pre-scaled longs (rlong(value*1e6) computed before the
         stateful op), so state stays exact/order-independent and matches the
-        batch twin's scaled-integer aggregate bit-for-bit."""
+        batch twin's scaled-integer aggregate bit-for-bit.
+
+        CAVEAT (also noted in BASELINE.md): this branch cannot execute in
+        this container — protobuf is absent, tws_available() is False — so
+        the ValueState.get()/update tuple-shape assumptions here are code-
+        reviewed but not exercised by any committed test run. Before claiming
+        the tws path on a full Spark distro, run
+        tests/test_streaming.py::test_profile_stateful_stream_equals_batch
+        there (it auto-selects this processor when protobuf exists). The
+        applyInPandasWithState twin below folds identically and IS covered."""
 
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState("profile", _PROFILE_STATE)

@@ -174,3 +174,19 @@ def test_connected_components_raises_on_non_convergence(spark):
     # and with an adequate bound the same chain converges to one cluster
     labels = {r.doc_id: r.cluster for r in connected_components(df, max_rounds=10).collect()}
     assert set(labels.values()) == {1}
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_user_history_below_cap_on_fixtures(spark, sf_dir):
+    """The CF oracles assume capped == uncapped interactions, which holds only
+    while no user's distinct item count reaches MAX_USER_HISTORY. Guard that
+    assumption per fixture so a regenerated/denser testdata set fails loudly
+    here instead of silently diverging from the oracle (ADVICE round 3)."""
+    from pyspark.sql import functions as F
+
+    ui = itemcf.interactions(spark, sf_dir)
+    max_hist = ui.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    assert max_hist < itemcf.MAX_USER_HISTORY, (
+        f"{sf_dir}: a user has {max_hist} distinct items >= cap "
+        f"{itemcf.MAX_USER_HISTORY}; capped CF oracles are no longer exact"
+    )

@@ -271,3 +271,26 @@ def test_bucketed_join_has_no_join_exchange(spark):
         and ("o_orderkey" in ln or "l_orderkey" in ln)
     ]
     assert not bad, "bucketed join re-shuffled its join key:\n" + "\n".join(bad)
+
+
+def test_dpp_layout_refreshes_when_source_changes(spark, tmp_path):
+    """The q_join_dpp partitioned-layout cache is keyed by a fingerprint of
+    the SOURCE parquet (mtime+size), not just its path: regenerating testdata
+    at the same path must produce a fresh layout, not serve stale partitions
+    while the oracle reads the new file (ADVICE round 3)."""
+    import shutil
+
+    from recsys_spark_spark.operators.extras import q_join_dpp
+
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    shutil.copy("/root/testdata/sf0.001/orders.parquet", sf + "/orders.parquet")
+    before = {(r.o_year, r.n_orders) for r in q_join_dpp(spark, sf).collect()}
+
+    # regenerate the source at the SAME path with half the rows
+    import pandas as pd
+
+    pdf = pd.read_parquet(sf + "/orders.parquet")
+    pdf.iloc[: len(pdf) // 2].to_parquet(sf + "/orders.parquet", index=False)
+    after = {(r.o_year, r.n_orders) for r in q_join_dpp(spark, sf).collect()}
+    assert before != after, "stale partitioned layout served after source regeneration"
