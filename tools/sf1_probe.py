@@ -1,0 +1,147 @@
+"""One-off sf1 scale probe (VERDICT round 3 #5): measure, don't extrapolate.
+
+Builds a 10x replica of /root/testdata/sf0.1 (disjoint user/order/doc/vec key
+ranges per copy, shared item catalog — "10x the users, same catalog", which
+makes co-occurrence denser, the adversarial direction for the CF flagship),
+then runs the flagship + the most expensive headline queries at BOTH sf0.1
+and sf1 in one session and diffs their physical plan shapes.
+
+What "scales" means here, concretely:
+- wall-time grows sub-linearly vs the 10x data (fixed cost amortizes, cores
+  saturate) and nothing blows up super-linearly;
+- the PLAN is unchanged: same exchange count, same broadcast decisions — no
+  AQE demotion of a broadcast to sort-merge, no new shuffle appearing only
+  at the larger size.
+
+Usage: python tools/sf1_probe.py [--out SF1_PROBE.json]
+The generated replica lives in /tmp/sf1_probe_data (regenerated only if its
+_SUCCESS marker is missing). Results feed BASELINE.md's "sf1 probe" section.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from recsys_spark_spark.registry import load_all  # noqa: E402
+from recsys_spark_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sf1_probe_data"
+COPIES = 10
+# key offsets chosen above every sf0.1 max key (orderkey<~1.6M, custkey<150k,
+# event_id<100k, user_id<15k, doc_id<5k, vec_id<2k)
+OFF = {
+    "o_orderkey": 10_000_000,
+    "o_custkey": 1_000_000,
+    "event_id": 10_000_000,
+    "user_id": 1_000_000,
+    "doc_id": 1_000_000,
+    "vec_id": 1_000_000,
+}
+
+PROBE_QUERIES = (
+    "q_cf_recommend",
+    "q_join_multiway",
+    "q_topk_per_group",
+    "q_text_tfidf",
+    "q_sim_cosine_knn",
+    "q_agg_groupby",
+)
+
+
+def generate(spark) -> None:
+    if os.path.exists(os.path.join(DST, "_SUCCESS")):
+        return
+    os.makedirs(DST, exist_ok=True)
+    copies = F.broadcast(spark.range(0, COPIES).select(F.col("id").alias("_copy")))
+
+    def rep(name: str, offsets: dict[str, int]):
+        df = spark.read.parquet(f"{SRC}/{name}.parquet").crossJoin(copies)
+        for col, off in offsets.items():
+            df = df.withColumn(col, F.col(col) + F.col("_copy") * F.lit(off))
+        df.drop("_copy").write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+
+    # replicated fact/user tables: disjoint key universes per copy
+    rep("orders", {"o_orderkey": OFF["o_orderkey"], "o_custkey": OFF["o_custkey"]})
+    rep("lineitem", {"l_orderkey": OFF["o_orderkey"]})
+    rep("customer", {"c_custkey": OFF["o_custkey"]})
+    rep("events", {"event_id": OFF["event_id"], "user_id": OFF["user_id"]})
+    rep("documents", {"doc_id": OFF["doc_id"]})
+    rep("embeddings", {"vec_id": OFF["vec_id"]})
+    # shared dimensions: copied once, unchanged
+    for name in ("region", "nation", "supplier", "part"):
+        spark.read.parquet(f"{SRC}/{name}.parquet").write.mode("overwrite").parquet(
+            f"{DST}/{name}.parquet"
+        )
+    open(os.path.join(DST, "_SUCCESS"), "w").close()
+
+
+def plan_digest(df) -> dict:
+    """Operator-shape summary of the formatted physical plan — the properties
+    that must NOT change between sf0.1 and sf1."""
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    ops = re.findall(r"^\s*[*+\-:]*\s*\(?\d*\)?\s*([A-Za-z]+[A-Za-z ]*?)\s*(?:\(|$)", plan, re.M)
+    counts = {}
+    for key in ("Exchange", "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin", "HashAggregate", "Window", "Sort",
+                "TakeOrderedAndProject", "WindowGroupLimit"):
+        counts[key] = len(re.findall(rf"\b{key}\b", plan))
+    return counts
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="sf1-probe", shuffle_partitions=32)
+    t0 = time.time()
+    generate(spark)
+    gen_s = round(time.time() - t0, 1)
+
+    queries, _ = load_all()
+    report: dict = {"gen_sec": gen_s, "copies": COPIES, "queries": {}}
+    for name in PROBE_QUERIES:
+        fn = queries[name]
+        entry: dict = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+            df = fn(spark, sf_dir)
+            entry.setdefault("plan", {})[label] = plan_digest(df)
+            t = time.time()
+            n = df.toPandas().shape[0]
+            entry.setdefault("sec", {})[label] = round(time.time() - t, 2)
+            entry.setdefault("rows", {})[label] = n
+        entry["ratio"] = (
+            round(entry["sec"]["sf1"] / entry["sec"]["sf0.1"], 2)
+            if entry["sec"]["sf0.1"] > 0
+            else None
+        )
+        entry["plan_unchanged"] = entry["plan"]["sf0.1"] == entry["plan"]["sf1"]
+        report["queries"][name] = entry
+        print(
+            f"{name}: sf0.1={entry['sec']['sf0.1']}s sf1={entry['sec']['sf1']}s "
+            f"ratio={entry['ratio']}x plan_unchanged={entry['plan_unchanged']}",
+            flush=True,
+        )
+        if not entry["plan_unchanged"]:
+            d1, d2 = entry["plan"]["sf0.1"], entry["plan"]["sf1"]
+            print("  plan diff:", {k: (d1[k], d2[k]) for k in d1 if d1[k] != d2[k]}, flush=True)
+
+    out = args.out or "SF1_PROBE.json"
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print("written", out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
