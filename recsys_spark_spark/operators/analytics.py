@@ -1,0 +1,390 @@
+"""3.M analytics extensions (round 4) — the product-analytics layer a
+recommender deployment runs beside the CF pipeline: cohort retention, event
+funnels, value histograms, item-transition mining, and graph ranking over
+the item co-occurrence graph.
+
+Every query is exact-oracled (DuckDB), including PageRank: a fixed-iteration
+power method with per-iteration scaled-integer rounding is a deterministic
+function of the data, so the oracle unrolls the same five iterations as
+chained CTEs — no seed, no convergence tolerance, no float drift.
+
+No reference file:line citations are possible (the /root/reference checkout
+is empty — SURVEY.md §0); capability keys follow SURVEY.md §3.M.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recsys_spark_spark.catalog import table
+from recsys_spark_spark.functions.determinism import rlong
+from recsys_spark_spark.registry import query
+
+# --------------------------------------------------------------------------
+# M61: cohort retention
+# --------------------------------------------------------------------------
+
+RETENTION_MAX_OFFSET = 6
+
+
+@query(
+    "q_cohort_retention",
+    oracle=f"""
+WITH fo AS (
+  SELECT o_custkey AS user_id, date_trunc('month', MIN(o_orderdate)) AS cohort
+  FROM orders GROUP BY 1
+), act AS (
+  SELECT DISTINCT o_custkey AS user_id, date_trunc('month', o_orderdate) AS m
+  FROM orders
+), j AS (
+  SELECT f.cohort,
+         (year(a.m) * 12 + month(a.m)) - (year(f.cohort) * 12 + month(f.cohort)) AS offs,
+         a.user_id
+  FROM act a JOIN fo f ON a.user_id = f.user_id
+)
+SELECT cohort AS cohort_month,
+       CAST(offs AS BIGINT) AS month_offset,
+       COUNT(DISTINCT user_id) AS n_active
+FROM j WHERE offs <= {RETENTION_MAX_OFFSET}
+GROUP BY 1, 2
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M61: classic cohort-retention triangle — users grouped by first-order
+    month, counted as active at each month offset (0..6). The standing
+    product-analytics query next to any recommender.
+
+    Scale shape: both building blocks (first-order month, distinct active
+    months) are aggregates keyed by user; the join is user-keyed on the same
+    partitioning, and the output is cohort×offset-sized (tiny). Month
+    arithmetic is integer (year*12+month), identical in both engines — no
+    interval/daylight semantics in play."""
+    o = table(spark, sf_dir, "orders")
+    mcol = F.date_trunc("month", F.col("o_orderdate"))
+    fo = o.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    act = o.select(
+        F.col("o_custkey").alias("user_id"), mcol.alias("m")
+    ).distinct()
+    mnum = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    j = act.join(fo, "user_id").select(
+        "cohort", (mnum(F.col("m")) - mnum(F.col("cohort"))).alias("offs"), "user_id"
+    )
+    return (
+        j.where(F.col("offs") <= RETENTION_MAX_OFFSET)
+        .groupBy(
+            F.col("cohort").alias("cohort_month"),
+            F.col("offs").cast("long").alias("month_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+# --------------------------------------------------------------------------
+# M62: event funnel
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click_after_view,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+""",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M62: strictly-ordered conversion funnel view → click → purchase —
+    each stage counts users whose first qualifying event happens AFTER
+    their previous stage's first event (not merely users who did both).
+
+    Scale shape: three user-keyed min-aggregates chained by user-keyed
+    joins — every stage rides one HashPartitioning(user_id); the result is
+    one row. The stage predicate (e.ts > prior stage ts) is evaluated in
+    the join, so no event ever needs a per-user sort."""
+    ev = table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prior: DataFrame, prior_col: str, out: str) -> DataFrame:
+        e = ev.where(F.col("event_type") == event_type)
+        return (
+            e.join(prior, "user_id")
+            .where(F.col("ts") > F.col(prior_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = first_after("click", v, "t_view", "t_click")
+    p = first_after("purchase", c, "t_click", "t_purchase")
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+# --------------------------------------------------------------------------
+# M63: value histogram
+# --------------------------------------------------------------------------
+
+HIST_BIN_WIDTH = 25_000.0
+
+
+@query(
+    "q_histogram",
+    oracle=f"""
+SELECT CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH!r}) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders GROUP BY 1
+""",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M63: fixed-width histogram of order value — the binning primitive
+    behind every distribution dashboard (width_bucket semantics, floor-of-
+    division form so both engines bin with the same double op).
+
+    Scale shape: single map-side-combinable aggregate on a computed key;
+    output is bin-count-sized. The scaled-integer sum keeps per-bin totals
+    partition-order-independent."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(HIST_BIN_WIDTH)).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(rlong(F.col("o_totalprice") * 100)).alias("sum_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# M64: item transition mining
+# --------------------------------------------------------------------------
+
+TRANSITIONS_TOP = 20
+
+
+@query(
+    "q_item_transitions",
+    oracle=f"""
+WITH uo AS (
+  SELECT o_custkey AS u, o_orderkey AS k,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+), pairs AS (
+  SELECT a.u, a.k AS k1, b.k AS k2 FROM uo a JOIN uo b ON a.u = b.u AND b.rn = a.rn + 1
+), t AS (
+  SELECT l1.l_partkey AS item_from, l2.l_partkey AS item_to, COUNT(*) AS n
+  FROM pairs
+  JOIN lineitem l1 ON l1.l_orderkey = pairs.k1
+  JOIN lineitem l2 ON l2.l_orderkey = pairs.k2
+  GROUP BY 1, 2
+)
+SELECT item_from, item_to, n, rnk FROM (
+  SELECT item_from, item_to, n,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, item_from, item_to) AS BIGINT) AS rnk
+  FROM t
+) WHERE rnk <= {TRANSITIONS_TOP}
+""",
+)
+def q_item_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M64: first-order item transitions — for each user's consecutive order
+    pair (n-th → n+1-th by order date), count item(from)→item(to) moves and
+    rank the top transitions — the "customers who bought X next bought Y"
+    table.
+
+    Scale shape: the order sequence is a per-user window (rides the user
+    partitioning), consecutive pairs a self-join on (user, rn) — both sides
+    already partitioned; the item fan-out joins are orderkey-keyed; the
+    final top-k is TakeOrderedAndProject. The per-user rn+1 self-join is
+    O(orders), never O(orders^2). This is the Markov-chain statistic a
+    sequential recommender trains on."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    uo = o.select(
+        F.col("o_custkey").alias("u"),
+        F.col("o_orderkey").alias("k"),
+        F.row_number().over(w).alias("rn"),
+    )
+    nxt = uo.select(F.col("u"), F.col("k").alias("k2"), (F.col("rn") - 1).alias("rn"))
+    pairs = uo.join(nxt, ["u", "rn"]).select(F.col("k").alias("k1"), "k2")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    t = (
+        pairs.join(l.select(F.col("l_orderkey").alias("k1"), F.col("l_partkey").alias("item_from")), "k1")
+        .join(l.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("item_to")), "k2")
+        .groupBy("item_from", "item_to")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), "item_from", "item_to")
+    return (
+        t.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= TRANSITIONS_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# M65: PageRank over the item co-occurrence graph
+# --------------------------------------------------------------------------
+
+PR_ITERATIONS = 5
+PR_DAMPING = 0.85
+PR_TOP = 20
+
+_PR_EDGES_SQL = """
+ui AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+  SELECT a.i AS src, b.i AS dst FROM ui a JOIN ui b ON a.u = b.u AND a.i <> b.i
+  GROUP BY 1, 2
+), deg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_nodes FROM deg
+)"""
+
+
+def _pr_oracle() -> str:
+    """Unrolled power iteration: pr0 → pr1 → ... with per-iteration
+    scaled-integer rounding, so every iteration's state is a BIGINT both
+    engines agree on exactly."""
+    steps = [
+        f"pr0 AS (SELECT src AS node, CAST(ROUND(1e9 / n_nodes, 0) AS BIGINT) AS pr_s FROM deg, n)"
+    ]
+    for it in range(1, PR_ITERATIONS + 1):
+        steps.append(
+            f"""pr{it} AS (
+  SELECT d.src AS node,
+         CAST(ROUND((1 - {PR_DAMPING!r}) * 1e9 / n.n_nodes, 0) AS BIGINT)
+         + COALESCE(s.in_s, 0) AS pr_s
+  FROM deg d CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(CAST(ROUND({PR_DAMPING!r} * p.pr_s / d2.outdeg, 0) AS BIGINT)) AS in_s
+    FROM edges e
+    JOIN pr{it - 1} p ON p.node = e.src
+    JOIN deg d2 ON d2.src = e.src
+    GROUP BY 1
+  ) s ON s.node = d.src
+)"""
+        )
+    return f"""
+WITH {_PR_EDGES_SQL.strip()},
+{", ".join(steps)}
+SELECT node AS item_id, ROUND(pr_s / 1e9, 6) AS pagerank, rnk FROM (
+  SELECT node, pr_s,
+         CAST(ROW_NUMBER() OVER (ORDER BY pr_s DESC, node) AS BIGINT) AS rnk
+  FROM pr{PR_ITERATIONS}
+) WHERE rnk <= {PR_TOP}
+"""
+
+
+@query("q_graph_pagerank", oracle=_pr_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M65: PageRank (Brin/Page 1998) over the item co-occurrence graph —
+    "centrally important" items under random-walk semantics, the graph
+    cousin of popularity. A fixed number of power iterations with
+    per-iteration scaled-int rounding makes the result a deterministic
+    function of the data, hence exact-oracled (the oracle unrolls the same
+    iterations as chained CTEs).
+
+    Scale shape (the Pregel-in-DataFrame pattern): edges are built once
+    from one user-keyed self-join (distinct pairs, never a global cross
+    join) and the rank vector is node-sized; each iteration is one
+    src-keyed join (contributions) + one dst-keyed aggregate — 2 exchanges
+    per iteration with a FIXED count of iterations, no driver-side state,
+    no lineage blow-up at 5 steps. At 100 TB edges partition by src and
+    every iteration reuses that partitioning; the damping base term is a
+    broadcast scalar."""
+    import math
+
+    edges = _pr_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_nodes = deg.count()  # scalar: node count (items with >=1 edge)
+    # half-away-from-zero like DuckDB ROUND / determinism.rlong — Python's
+    # built-in round() is banker's and would diverge on .5 boundaries
+    half_away = lambda v: int(math.floor(v + 0.5))  # noqa: E731 (positive v)
+    base_s = F.lit(half_away((1 - PR_DAMPING) * 1e9 / n_nodes)).cast("long")
+    pr = deg.select(
+        F.col("src").alias("node"),
+        F.lit(half_away(1e9 / n_nodes)).cast("long").alias("pr_s"),
+    )
+    ej = edges.join(deg, "src")  # (src, dst, outdeg) — reused every step
+    for _ in range(PR_ITERATIONS):
+        contrib = (
+            ej.join(pr, ej.src == pr.node)
+            .select(
+                F.col("dst").alias("node"),
+                rlong(F.lit(PR_DAMPING) * F.col("pr_s") / F.col("outdeg")).alias("c_s"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c_s").alias("in_s"))
+        )
+        pr = (
+            deg.select(F.col("src").alias("node"))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (base_s + F.coalesce("in_s", F.lit(0))).alias("pr_s"),
+            )
+        )
+    wr = Window.orderBy(F.col("pr_s").desc(), "node")
+    return (
+        pr.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= PR_TOP)
+        .select(
+            F.col("node").alias("item_id"),
+            F.round(F.col("pr_s") / F.lit(1e9), 6).alias("pagerank"),
+            "rnk",
+        )
+    )
+
+
+# (applicationId, sf_dir) -> persisted edge list; same memo-persist pattern
+# (and clearCache recovery) as itemcf._CAPPED — the edge list feeds deg, the
+# deg.count() action, and all PR_ITERATIONS contribution joins.
+_PR_EDGES: dict[tuple[str, str], DataFrame] = {}
+
+
+def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PR_EDGES.get(key)
+    if cached is not None:
+        lvl = cached.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            cached.persist()
+        return cached
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ui = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    a = ui.select("u", F.col("i").alias("src"))
+    b = ui.select("u", F.col("i").alias("dst"))
+    edges = (
+        a.join(b, "u").where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    ).persist()
+    _PR_EDGES[key] = edges
+    return edges

@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     "recsys_spark_spark.operators.sorts",
     "recsys_spark_spark.operators.sets",
     "recsys_spark_spark.operators.extras",
+    "recsys_spark_spark.operators.analytics",
     "recsys_spark_spark.functions.scalar",
     "recsys_spark_spark.cf.itemcf",
     "recsys_spark_spark.cf.evaluate",

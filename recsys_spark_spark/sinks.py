@@ -1,8 +1,11 @@
 """External-sink analogs — the reference's MySQL / Redis / Hive write paths
 (SURVEY.md §1 [R:M]) re-expressed for a lake-native deployment.
 
-No external DBs exist in this sandbox (and no JDBC driver jars), so each sink
-keeps the *write-path semantics* testable against files:
+No external DB *servers* exist in this sandbox, so each sink keeps the
+*write-path semantics* testable against files — except the JDBC path itself,
+which IS real: Spark bundles Apache Derby, so q_jdbc_roundtrip below drives
+the genuine spark JDBC source/sink (DataFrameWriter.jdbc → embedded Derby →
+partitioned JDBC read with pushed filters). The remaining analogs:
 
 - keyed batch UPSERT (MySQL `INSERT .. ON DUPLICATE KEY UPDATE` shape): the
   idempotent merge a `foreachBatch` streaming sink or nightly batch publisher
@@ -217,5 +220,70 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             (F.sum(rlong(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6))) / F.lit(1e6)).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_jdbc_roundtrip",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer WHERE c_nationkey < 10
+GROUP BY 1
+""",
+)
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink/Source-M5: REAL JDBC round-trip — the MySQL-shaped path run
+    against an actual RDBMS (embedded Apache Derby, whose jars ship inside
+    Spark). Writes `customer` through DataFrameWriter's JDBC sink, reads it
+    back through the JDBC source as a PARTITIONED scan (4 range-partitions
+    on c_custkey — the parallel-read contract a production MySQL/Postgres
+    source uses) with the c_nationkey filter PUSHED into the database
+    (PushedFilters in the scan; verified in tests/test_plans.py), then
+    aggregates Spark-side.
+
+    At 100 TB the JDBC side is the small operational store, never the lake:
+    this query is the template for dimension syncs — partitioned pull,
+    filter pushed to the DB, heavy lifting (joins/aggs) in Spark. The Derby
+    DB dir is per-session+source (applicationId+sf_dir fingerprint), and the
+    write runs fresh per invocation — no stale-cache class, and no
+    cross-process embedded-Derby lock contention."""
+    import hashlib
+
+    fp = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+    ).hexdigest()[:10]
+    url = f"jdbc:derby:{os.path.join(TMP_DIR, 'derby_' + fp)};create=true"
+    opts = {"url": url, "driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    cust = table(spark, sf_dir, "customer")
+    (
+        cust.write.format("jdbc")
+        .options(**opts, dbtable="customer_jdbc")
+        .mode("overwrite")
+        .save()
+    )
+    lo, hi = cust.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    back = (
+        spark.read.format("jdbc")
+        .options(
+            **opts,
+            dbtable="customer_jdbc",
+            partitionColumn="c_custkey",
+            lowerBound=str(lo),
+            upperBound=str(hi + 1),
+            numPartitions="4",
+        )
+        .load()
+    )
+    from recsys_spark_spark.functions.determinism import rlong
+
+    return (
+        back.where(F.col("c_nationkey") < 10)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(rlong(F.col("c_acctbal") * 100)).alias("bal_cents"),
         )
     )

@@ -294,3 +294,15 @@ def test_dpp_layout_refreshes_when_source_changes(spark, tmp_path):
     pdf.iloc[: len(pdf) // 2].to_parquet(sf + "/orders.parquet", index=False)
     after = {(r.o_year, r.n_orders) for r in q_join_dpp(spark, sf).collect()}
     assert before != after, "stale partitioned layout served after source regeneration"
+
+
+def test_jdbc_scan_pushes_filter_and_partitions(spark):
+    """q_jdbc_roundtrip's read side must be a 4-partition JDBC scan with the
+    c_nationkey predicate pushed INTO the database — the parallel-pull +
+    DB-side-filter contract of a production JDBC dimension sync."""
+    plan = plan_of(spark, "q_jdbc_roundtrip")
+    assert "JDBCRelation" in plan, plan[:1200]
+    assert "numPartitions=4" in plan, plan[:1200]
+    assert "PushedFilters:" in plan and "LessThan(c_nationkey,10)" in plan.replace(" ", ""), (
+        plan[:1500]
+    )
