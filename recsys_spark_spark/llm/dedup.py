@@ -692,3 +692,60 @@ def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_eq") / float(_MH_K), 6).alias("est_jaccard"),
         )
     )
+
+
+_CONTAM_TAU = 0.5
+
+_CONTAMINATION_ORACLE = f"""
+WITH pairs AS ({_MINHASH_EXACT_ORACLE}),
+src AS (SELECT doc_id, source FROM documents),
+labeled AS (
+  SELECT LEAST(s1.source, s2.source) AS src1,
+         GREATEST(s1.source, s2.source) AS src2
+  FROM pairs p
+  JOIN src s1 ON s1.doc_id = p.d1
+  JOIN src s2 ON s2.doc_id = p.d2
+  WHERE p.est_jaccard >= {_CONTAM_TAU!r}
+)
+SELECT src1, src2, COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN src1 <> src2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+FROM labeled GROUP BY 1, 2
+"""
+
+
+@query("q_dedup_contamination", oracle=_CONTAMINATION_ORACLE)
+def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3c: cross-source contamination matrix — for every (source, source)
+    pair, how many near-duplicate document pairs span it. THE pre-training
+    audit query: a benchmark/eval source sharing near-dups with a train
+    source means leakage, and per-source-pair counts localize which ingest
+    feeds overlap. Built on the deterministic banded-MinHash candidates
+    (q_dedup_minhash_exact) so the matrix is exact-oracled.
+
+    Scale shape: candidate pairs are O(n*bands) (never all-pairs); the two
+    source lookups are doc_id-keyed joins against the (doc_id, source)
+    projection — at 100 TB that projection is a thin column read off the
+    documents table, the joins ride the candidates' doc_id keys, and the
+    output is source-pair-sized (tiny). LEAST/GREATEST folds the symmetric
+    pair so each contamination edge counts once."""
+    pairs = q_dedup_minhash_exact(spark, sf_dir).where(
+        F.col("est_jaccard") >= _CONTAM_TAU
+    )
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    s1 = src.select(F.col("doc_id").alias("d1"), F.col("source").alias("_s1"))
+    s2 = src.select(F.col("doc_id").alias("d2"), F.col("source").alias("_s2"))
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            F.least("_s1", "_s2").alias("src1"),
+            F.greatest("_s1", "_s2").alias("src2"),
+        )
+        .groupBy("src1", "src2")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("src1") != F.col("src2"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cross"),
+        )
+    )
