@@ -306,3 +306,26 @@ def test_jdbc_scan_pushes_filter_and_partitions(spark):
     assert "PushedFilters:" in plan and "LessThan(c_nationkey,10)" in plan.replace(" ", ""), (
         plan[:1500]
     )
+
+
+def test_item_transitions_topk_avoids_global_sort(spark):
+    """q_item_transitions' final top-k must be rank-limited
+    (TakeOrderedAndProject or WindowGroupLimit), not a full global sort of
+    the transition table — at 100 TB the transition table is items^2-sized
+    in the worst case."""
+    plan = plan_of(spark, "q_item_transitions")
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, plan[:1200]
+
+
+def test_pagerank_reuses_persisted_edges(spark):
+    """q_graph_pagerank's five iterations must read the edge list from the
+    persisted InMemoryRelation (one scan per contribution join), not replay
+    the user-keyed self-join lineage per iteration."""
+    from recsys_spark_spark.operators.analytics import PR_ITERATIONS
+
+    plan = plan_of(spark, "q_graph_pagerank")
+    assert plan.count("InMemoryTableScan") >= PR_ITERATIONS, plan[:1200]
+    # the expensive edge build (self-join on user) must appear at most once
+    # outside the cached subtree repetitions: every contribution join is
+    # keyed on src/node, so no per-iteration user-keyed exchange may remain
+    assert "crossJoin" not in plan
