@@ -316,3 +316,182 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rlong(F.col("value") * F.lit(1e6))) / F.lit(1e6)).alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# M68: interval-overlap join (banded, exact)
+# --------------------------------------------------------------------------
+
+_IV_GAP_S = 1800  # session gap, matches q_stream_session semantics
+
+
+@query(
+    "q_join_interval",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, date_trunc('second', ts) AS sec FROM events
+), flagged AS (
+  SELECT user_id, sec, event_id,
+         CASE WHEN lag(sec) OVER w IS NULL
+                   OR date_diff('second', lag(sec) OVER w, sec) >= {_IV_GAP_S}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+), numbered AS (
+  SELECT user_id, sec,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sn
+  FROM flagged
+), iv AS (
+  SELECT user_id, MIN(sec) AS s, MAX(sec) AS e FROM numbered GROUP BY user_id, sn
+), pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, a.s AS s_a, b.s AS s_b,
+         GREATEST(a.s, b.s) AS o_start,
+         date_diff('second', GREATEST(a.s, b.s), LEAST(a.e, b.e)) AS o_sec
+  FROM iv a JOIN iv b
+    ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+)
+SELECT date_trunc('day', o_start) AS day,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(o_sec) AS BIGINT) AS overlap_s
+FROM pairs GROUP BY 1
+""",
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M68: interval-overlap join — which pairs of users had concurrently
+    active sessions, per day. Sessions are the 30-min-gap intervals of
+    q_stream_session; a pair overlaps iff s_a <= e_b AND s_b <= e_a.
+
+    Scale shape: the naive overlap join is all-pairs O(n²). Here each
+    interval is EXPLODED onto the hour bands it spans (sequence of
+    date_trunc-hour stamps), the self-join is an equi-join on the band, and
+    duplicate hits (a pair overlapping across several shared hours) are
+    collapsed with one distinct. Banding is EXACT, not approximate: two
+    overlapping intervals share at least the hour containing their overlap
+    start, so every true pair is found in >=1 common band. Candidates per
+    band are bounded by concurrent-session count, never by table size — the
+    shape that survives 100 TB of events. The oracle states the same result
+    via the plain quadratic join (DuckDB IEJoin handles sf-test sizes)."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "sec", F.date_trunc("second", "ts")
+    )
+    order = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    prev = F.lag("sec").over(order)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            prev.isNull()
+            | ((F.unix_timestamp("sec") - F.unix_timestamp(prev)) >= _IV_GAP_S),
+            1,
+        ).otherwise(0),
+    )
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv = (
+        flagged.withColumn("sn", F.sum("is_new").over(cum))
+        .groupBy("user_id", "sn")
+        .agg(F.min("sec").alias("s"), F.max("sec").alias("e"))
+        .select("user_id", "s", "e")
+    )
+    banded = iv.withColumn(
+        "band",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s"),
+                F.date_trunc("hour", "e"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.s").alias("s_a"),
+            F.col("b.s").alias("s_b"),
+            F.greatest("a.s", "b.s").alias("o_start"),
+            (
+                F.unix_timestamp(F.least("a.e", "b.e"))
+                - F.unix_timestamp(F.greatest("a.s", "b.s"))
+            ).alias("o_sec"),
+        )
+        .distinct()  # a pair found in every shared hour band -> once
+    )
+    return pairs.groupBy(F.date_trunc("day", "o_start").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("o_sec").cast("long").alias("overlap_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# M69: blocked fuzzy (edit-distance) join
+# --------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 2
+
+
+@query(
+    "q_join_fuzzy",
+    oracle=f"""
+WITH p AS (
+  SELECT p_partkey, p_name,
+         string_split(p_name, ' ')[1] AS w1,
+         substring(string_split(p_name, ' ')[2], 1, 1) AS c2
+  FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM p a JOIN p b
+  ON a.w1 = b.w1 AND a.c2 = b.c2 AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+""",
+)
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M69: fuzzy string-similarity join — part-name pairs within
+    Levenshtein distance 2, candidates blocked on (first word, first char
+    of second word). The entity-resolution workhorse.
+
+    Scale shape: edit distance has no equi decomposition, so the scalable
+    form is block -> equi-join on the block key -> verify with the exact
+    distance on candidates only. The block key deliberately trades recall
+    for cost (an edit in the blocked characters escapes the block) — the
+    same documented trade as q_dedup_near_sql vs q_dedup_near_bucketed;
+    tightening recall = more block keys (e.g. deletion-neighborhoods),
+    never an all-pairs join. Both engines implement classic Levenshtein, so
+    the verify predicate is exact and engine-portable."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split("p_name", " ").getItem(0).alias("w1"),
+        F.substring(F.split("p_name", " ").getItem(1), 1, 1).alias("c2"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.w1") == F.col("b.w1"))
+            & (F.col("a.c2") == F.col("b.c2"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= _FUZZY_MAX_DIST
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("long")
+            .alias("dist"),
+        )
+    )
