@@ -388,3 +388,69 @@ def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     _PR_EDGES[key] = edges
     return edges
+
+
+# --------------------------------------------------------------------------
+# M70: daily + rolling-window distinct actives (DAU / WAU)
+# --------------------------------------------------------------------------
+
+ROLLING_DAYS = 7
+
+
+@query(
+    "q_active_users",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+), days AS (
+  SELECT DISTINCT d FROM ud
+), contrib AS (
+  SELECT ud.user_id, ud.d + to_days(CAST(gs.i AS INTEGER)) AS target
+  FROM ud, generate_series(0, {ROLLING_DAYS - 1}) gs(i)
+), dau AS (
+  SELECT d, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1
+), wau AS (
+  SELECT c.target AS d, COUNT(DISTINCT c.user_id) AS wau
+  FROM contrib c JOIN days ON days.d = c.target
+  GROUP BY 1
+)
+SELECT dau.d AS day, dau.dau, wau.wau
+FROM dau JOIN wau ON dau.d = wau.d
+""",
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M70: DAU and rolling 7-day distinct actives per day — the
+    standing engagement dashboard query. Rolling COUNT(DISTINCT) has no
+    window-frame form in either engine, and the textbook self-range-join is
+    O(days x users). The scalable shape used here: each distinct (user, day)
+    row CONTRIBUTES to the 7 target days it can keep active, so the rolling
+    distinct is a plain explode (x7, constant factor) + one keyed
+    countDistinct — shuffle keyed by day, no range join, no re-scan. The
+    oracle states the same contribution construction with generate_series.
+
+    At 100 TB the (user, day) distinct table is the standing daily-activity
+    silver table; the x7 explode is a map-side constant and the per-day
+    distinct count is the only shuffle."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.lit(ROLLING_DAYS - 1)
+            )
+        ).alias("i"),
+        "d",
+    ).select("user_id", (F.col("d") + F.make_interval(days=F.col("i"))).alias("target"))
+    dau = ud.groupBy(F.col("d")).agg(F.countDistinct("user_id").alias("dau"))
+    wau = (
+        contrib.join(F.broadcast(days), contrib.target == days.d)
+        .groupBy("target")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, dau.d == wau.target).select(
+        dau.d.alias("day"), "dau", "wau"
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from recsys_spark_spark.catalog import table
+from recsys_spark_spark.functions.determinism import rlong
 from recsys_spark_spark.registry import query
 
 
@@ -343,4 +344,60 @@ def q_ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         tier(minute, "minute_b", "minute")
         .unionByName(tier(hour, "hour_b", "hour"))
         .unionByName(tier(day, "day_b", "day"))
+    )
+
+
+# --------------------------------------------------------------------------
+# M71: incremental aggregate maintenance (base + delta merge == recompute)
+# --------------------------------------------------------------------------
+
+INCR_CUTOFF = "1997-01-01"
+
+
+@query(
+    "q_incr_agg",
+    oracle="""
+SELECT date_trunc('month', o_orderdate) AS month,
+       o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M71: incremental materialized-aggregate maintenance. The standing
+    monthly rollup is computed as BASE (orders before the cutoff, the
+    'already materialized' state) merged with DELTA (the new batch at/after
+    the cutoff) by re-aggregating the union of partials — never by
+    recomputing from raw history. The oracle states the direct recompute
+    over all rows, so the green row IS the proof that the merge operator
+    (sum of counts, sum of cent-sums) reconstructs the full aggregate
+    exactly — the mergeability contract that makes the rollup maintainable
+    at 100 TB (each refresh touches only the delta partitions; the base is
+    output-sized, month x priority).
+
+    All metrics are decomposable sums over exact integers (counts, cents),
+    so merge order cannot drift the result."""
+    o = table(spark, sf_dir, "orders")
+    cents = rlong(F.col("o_totalprice") * 100)
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            F.col("o_orderpriority").alias("priority"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).cast("long").alias("cents"),
+        )
+
+    base = rollup(o.where(F.col("o_orderdate") < F.lit(INCR_CUTOFF)))
+    delta = rollup(o.where(F.col("o_orderdate") >= F.lit(INCR_CUTOFF)))
+    return (
+        base.unionByName(delta)
+        .groupBy("month", "priority")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
     )
