@@ -98,3 +98,108 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= PER_CLASS)
         .select("doc_id", "lang", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# M72: domain-weighted corpus mixing
+# --------------------------------------------------------------------------
+
+# Per-source keep rate (percent). Formula-generated so both the Spark query
+# and the oracle interpolate from the SAME dict — editing it cannot
+# desynchronize them. Rates span 10..95 to exercise both down- and
+# up-weighted domains.
+MIX_RATES = {f"src{i}": 10 + (i * 17) % 86 for i in range(20)}
+
+_MIX_CASE_SQL = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {r}" for s, r in MIX_RATES.items()
+) + " ELSE 0 END"
+
+
+@query(
+    "q_corpus_mix",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT doc_id, source, n_chars,
+         {_BUCKET_SQL.format(key="doc_id")} AS bucket,
+         {_MIX_CASE_SQL} AS rate
+  FROM documents
+)
+SELECT doc_id, source, bucket, CAST(rate AS BIGINT) AS rate
+FROM bucketed WHERE bucket < rate
+""",
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M72: domain-weighted corpus mixing — the data-mixture step of a
+    pre-training pipeline: each source (domain) is down-/up-weighted to a
+    target keep-rate, membership decided by the row's content-addressed
+    bucket (md5(doc_id) mod 100 < rate(source)).
+
+    Properties a mixture job needs at 100 TB, all structural here: the
+    decision is a pure per-row expression (filtered scan, no shuffle, no
+    RNG state); membership is stable under corpus growth (a doc's bucket
+    never changes); rates are auditable (emitted per row); and re-weighting
+    is a re-run with a different dict, not a new shuffle. The rate table is
+    a broadcast-sized literal CASE on both sides."""
+    d = table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(r))
+            for s, r in MIX_RATES.items()
+        ],
+        F.lit(0),
+    )
+    b = d.select(
+        "doc_id",
+        "source",
+        _md5_bucket(F.col("doc_id")).alias("bucket"),
+        rate.cast("long").alias("rate"),
+    )
+    return b.where(F.col("bucket") < F.col("rate"))
+
+
+# --------------------------------------------------------------------------
+# M73: stratified train/val/test split
+# --------------------------------------------------------------------------
+
+SPLIT_VAL_PCT = 10
+SPLIT_TEST_PCT = 10
+
+
+@query(
+    "q_split_train_test",
+    oracle=f"""
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CASE WHEN {_BUCKET_SQL.format(key="doc_id")} < {100 - SPLIT_VAL_PCT - SPLIT_TEST_PCT} THEN 'train'
+              WHEN {_BUCKET_SQL.format(key="doc_id")} < {100 - SPLIT_TEST_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM assigned GROUP BY 1, 2
+""",
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M73: deterministic stratified 80/10/10 split with a per-stratum
+    audit (docs + chars per language x split). Content-addressed
+    assignment means a document's split NEVER changes as the corpus grows —
+    the property that prevents silent train/test leakage across dataset
+    versions (the failure mode q_dedup_contamination detects after the
+    fact, prevented here by construction). The audit aggregate is the
+    output; the split itself is a shuffle-free per-row expression."""
+    d = table(spark, sf_dir, "documents")
+    bucket = _md5_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 100 - SPLIT_VAL_PCT - SPLIT_TEST_PCT, "train")
+        .when(bucket < 100 - SPLIT_TEST_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
