@@ -434,3 +434,44 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BM25_TOP)
         .select("doc_id", F.round("raw", 6).alias("bm25"))
     )
+
+
+# --------------------------------------------------------------------------
+# M74: PII-style redaction scrub with audit counts
+# --------------------------------------------------------------------------
+
+# Redaction targets: digit runs (ids, counters) and quoted string payloads
+# would be added the same way for real PII classes (emails, phones); digit
+# runs are the class the synthetic corpus actually contains. The regex is
+# kept to character-class primitives with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB).
+_REDACT_PATTERN = "[0-9]+"
+_REDACT_TOKEN = "<NUM>"
+
+
+@query(
+    "q_text_redact",
+    oracle=f"""
+SELECT event_id,
+       regexp_replace(props, '{_REDACT_PATTERN}', '{_REDACT_TOKEN}', 'g') AS redacted,
+       CAST(len(regexp_extract_all(props, '{_REDACT_PATTERN}')) AS BIGINT) AS n_redacted
+FROM events
+""",
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M74: redaction scrub — replace every digit run in the event payload
+    with a sentinel token and emit a per-row audit count (how many spans
+    were redacted). The compliance pass every training-data pipeline runs
+    before text leaves the raw zone.
+
+    Scale shape: pure per-row JVM regex expressions — a shuffle-free
+    filtered-scan-speed pass; the audit count rides the same scan (no
+    second pass). At 100 TB this runs as a mapping over the raw files with
+    the count aggregated downstream for the compliance report; nothing here
+    keys, sorts, or collects."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", _REDACT_PATTERN, _REDACT_TOKEN).alias("redacted"),
+        F.regexp_count("props", F.lit(_REDACT_PATTERN)).cast("long").alias("n_redacted"),
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from recsys_spark_spark.catalog import table
 from recsys_spark_spark.functions.determinism import davg, dsum, oavg, osum, rlong
@@ -336,3 +337,46 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").alias("retailprice"),
         F.col("p_size").cast("double").alias("size"),
     ).unpivot("p_partkey", ["retailprice", "size"], "metric", "value")
+
+
+# --------------------------------------------------------------------------
+# M75: per-group mode (most frequent value)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+WITH counted AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS mode_event, cnt
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY cnt DESC, event_type) AS rn
+  FROM counted
+) WHERE rn = 1
+""",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M75: per-group MODE — each user's most frequent event type, ties
+    broken to the lexically smallest value so the answer is deterministic
+    (Spark's builtin `mode` leaves ties unspecified, so it is deliberately
+    NOT used).
+
+    Scale shape: mode decomposes into a keyed count (map-side partial
+    combine does the heavy lifting: cardinality is groups x distinct
+    values, not rows) followed by a per-group top-1 window over that tiny
+    counted table — WindowGroupLimit prunes it to one row per group before
+    the sort completes."""
+    ev = table(spark, sf_dir, "events")
+    counted = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), "event_type")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), "cnt")
+    )

@@ -190,3 +190,55 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         (F.sum("cents").over(w) / F.lit(100)).alias("spend_30d"),
     )
+
+
+# --------------------------------------------------------------------------
+# M76: running count-distinct over a window
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_window_count_distinct",
+    oracle="""
+WITH flagged AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderpriority
+                                      ORDER BY o_orderdate, o_orderkey) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(first_seen) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS distinct_priorities_so_far
+FROM flagged
+""",
+)
+def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M76: running COUNT(DISTINCT) per key — how many distinct order
+    priorities each customer has used up to each order. Neither engine
+    supports DISTINCT aggregates in a running window frame, so the portable
+    (and scalable) form is the first-occurrence trick: flag the first time
+    each (customer, priority) appears — one row_number window — then a
+    running SUM of the flag. Two sorts over the same customer partitioning
+    (AQE reuses the exchange); no per-row set state, which is what a naive
+    collect_set-over-frame would keep."""
+    o = table(spark, sf_dir, "orders")
+    first_w = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    run_w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = o.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(first_w) == 1, 1).otherwise(0),
+    )
+    return flagged.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("first_seen").over(run_w).cast("long").alias("distinct_priorities_so_far"),
+    )
