@@ -34,7 +34,9 @@ def _scaled_dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
-_KNN_ORACLE = f"""
+# Shared CTE chain producing per-vector cosine scores vs the probe — used by
+# the q_sim_cosine_knn oracle AND by q_rank_fusion's oracle (llm/retrieval.py).
+COSINE_SCORED_CTES = f"""
 WITH probe AS (
   SELECT embedding AS pv FROM embeddings WHERE vec_id = {PROBE_VEC_ID}
 ), pe AS (
@@ -56,7 +58,9 @@ WITH probe AS (
          ROUND((dot_s / 1e12) / (SQRT(nv_s / 1e12) * SQRT(np_s / 1e12)), 6) AS cosine
   FROM sums, pn
   WHERE vec_id <> {PROBE_VEC_ID}
-)
+)"""
+
+_KNN_ORACLE = COSINE_SCORED_CTES + f"""
 SELECT vec_id, cosine, rnk FROM (
   SELECT vec_id, cosine,
          CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
@@ -65,19 +69,16 @@ SELECT vec_id, cosine, rnk FROM (
 """
 
 
-@query("q_sim_cosine_knn", oracle=_KNN_ORACLE)
-def q_sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4: brute-force cosine top-10 vs the probe vector (vec_id=0).
-
-    The probe is a 1-row broadcast; the scan is embarrassingly parallel; only
-    the final top-k is a (tiny) global sort — the right brute-force plan at
-    any scale. zip_with+aggregate keeps the fold JVM-side (no UDF)."""
+def cosine_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector cosine scores vs the probe (vec_id, cosine) — the Spark
+    twin of COSINE_SCORED_CTES, shared by q_sim_cosine_knn and
+    q_rank_fusion (llm/retrieval.py)."""
     e = table(spark, sf_dir, "embeddings")
     probe = F.broadcast(
         e.where(F.col("vec_id") == PROBE_VEC_ID).select(F.col("embedding").alias("pv"))
     )
     np_s = _scaled_dot(F.col("pv"), F.col("pv"))
-    scored = (
+    return (
         e.where(F.col("vec_id") != PROBE_VEC_ID)
         .crossJoin(probe)
         .select(
@@ -92,6 +93,16 @@ def q_sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+@query("q_sim_cosine_knn", oracle=_KNN_ORACLE)
+def q_sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: brute-force cosine top-10 vs the probe vector (vec_id=0).
+
+    The probe is a 1-row broadcast; the scan is embarrassingly parallel; only
+    the final top-k is a (tiny) global sort — the right brute-force plan at
+    any scale. zip_with+aggregate keeps the fold JVM-side (no UDF)."""
+    scored = cosine_scored(spark, sf_dir)
     w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -357,9 +357,10 @@ BM25_TOP = 10
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
 
-@query(
-    "q_text_bm25",
-    oracle=f"""
+# Shared CTE chain producing per-document raw BM25 scores — used by the
+# q_text_bm25 oracle AND by q_rank_fusion's oracle (llm/retrieval.py), so
+# the lexical scorer has ONE definition across queries.
+BM25_SCORED_CTES = f"""
 WITH tok AS (
   SELECT doc_id, t.token
   FROM documents, unnest(string_split(text, ' ')) AS t(token)
@@ -385,28 +386,13 @@ WITH tok AS (
   JOIN dl l ON l.doc_id = t.doc_id
   CROSS JOIN stats s
   GROUP BY t.doc_id
-)
-SELECT doc_id, ROUND(raw, 6) AS bm25 FROM scored
-ORDER BY raw DESC, doc_id LIMIT {BM25_TOP}
-""",
-)
-def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9b: BM25 retrieval scoring (Robertson-Spärck Jones) — top-10
-    documents for a fixed query term set; the lexical ranker a RAG corpus
-    pipeline runs next to embedding ANN (J4-J6).
+)"""
 
-    Everything is integer-derived (tf, df, N, dlen) except the final
-    per-document float expression, which both engines evaluate in the same
-    per-row operation order; the per-TERM contributions then sum through
-    the scaled-integer discipline (functions/determinism.py) so the
-    per-document total is partition-order-independent, and the result
-    rounds at 1e-6 for the oracle. Plan shape:
-    the token explode filters to the query terms BEFORE the tf aggregate
-    (tiny), df and the corpus stats are output-sized broadcasts, and the
-    per-document score sum is keyed by doc_id; the global top-10 is
-    TakeOrderedAndProject. At 100 TB the df/stats side is the precomputed
-    vocabulary statistics table (q_vocab_build) and scoring stays one
-    broadcast join + one keyed aggregate."""
+
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document raw BM25 scores (doc_id, raw) for the fixed query term
+    set — the Spark twin of BM25_SCORED_CTES, shared by q_text_bm25 and
+    q_rank_fusion (llm/retrieval.py)."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
@@ -429,6 +415,35 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg((F.sum(rlong(contrib * F.lit(1e9))) / F.lit(1e9)).alias("raw"))
     )
+    return scored
+
+
+@query(
+    "q_text_bm25",
+    oracle=BM25_SCORED_CTES
+    + f"""
+SELECT doc_id, ROUND(raw, 6) AS bm25 FROM scored
+ORDER BY raw DESC, doc_id LIMIT {BM25_TOP}
+""",
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9b: BM25 retrieval scoring (Robertson-Spärck Jones) — top-10
+    documents for a fixed query term set; the lexical ranker a RAG corpus
+    pipeline runs next to embedding ANN (J4-J6).
+
+    Everything is integer-derived (tf, df, N, dlen) except the final
+    per-document float expression, which both engines evaluate in the same
+    per-row operation order; the per-TERM contributions then sum through
+    the scaled-integer discipline (functions/determinism.py) so the
+    per-document total is partition-order-independent, and the result
+    rounds at 1e-6 for the oracle. Plan shape:
+    the token explode filters to the query terms BEFORE the tf aggregate
+    (tiny), df and the corpus stats are output-sized broadcasts, and the
+    per-document score sum is keyed by doc_id; the global top-10 is
+    TakeOrderedAndProject. At 100 TB the df/stats side is the precomputed
+    vocabulary statistics table (q_vocab_build) and scoring stays one
+    broadcast join + one keyed aggregate."""
+    scored = bm25_scored(spark, sf_dir)
     return (
         scored.orderBy(F.col("raw").desc(), "doc_id")
         .limit(BM25_TOP)

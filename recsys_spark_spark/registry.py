@@ -66,6 +66,7 @@ _QUERY_MODULES = (
     "recsys_spark_spark.llm.similarity",
     "recsys_spark_spark.llm.multimodal",
     "recsys_spark_spark.llm.text",
+    "recsys_spark_spark.llm.retrieval",
     "recsys_spark_spark.llm.sampling",
     "recsys_spark_spark.llm.pipeline",
     "recsys_spark_spark.streaming.batch_twins",
