@@ -188,3 +188,68 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rlong(F.col("q_scale") * F.lit(1e9)) / F.lit(1e9)).alias("q_scale_r"),
         (err_scaled / (F.size("embedding") * F.lit(1e6))).alias("mean_abs_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# M78: length-bucketed micro-batching (padding-efficient batch layout)
+# --------------------------------------------------------------------------
+
+LB_BUCKET_TOKENS = 64  # length-bucket width in tokens
+LB_BATCH_SIZE = 8  # docs per micro-batch
+
+
+@query(
+    "q_batch_by_length",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, CAST(CEIL(n_chars / 4.0) AS BIGINT) AS n_tok
+  FROM documents
+), bucketed AS (
+  SELECT doc_id, n_tok, n_tok // {LB_BUCKET_TOKENS} AS lbucket,
+         ROW_NUMBER() OVER (PARTITION BY n_tok // {LB_BUCKET_TOKENS}
+                            ORDER BY n_tok, doc_id) AS pos
+  FROM sized
+), batched AS (
+  SELECT doc_id, n_tok, lbucket, (pos - 1) // {LB_BATCH_SIZE} AS batch_no
+  FROM bucketed
+)
+SELECT lbucket, CAST(batch_no AS BIGINT) AS batch_no,
+       COUNT(*) AS batch_docs,
+       CAST(MAX(n_tok) AS BIGINT) AS pad_to,
+       CAST(MAX(n_tok) * COUNT(*) - SUM(n_tok) AS BIGINT) AS wasted_tokens
+FROM batched
+GROUP BY 1, 2
+""",
+)
+def q_batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M78: length-bucketed micro-batching — documents grouped into
+    token-length buckets, sequence-ordered within each bucket, and cut
+    into fixed-size batches; output reports each batch's pad-to length and
+    wasted (padding) tokens. The layout step that makes training batches
+    padding-efficient: batching random docs pads everything to the longest
+    doc, bucketing first bounds waste to the bucket width.
+
+    Scale shape: one window per length bucket (buckets are independent —
+    partition-parallel, same shape as q_pack_sequences' bucketed streams);
+    the batch aggregate is keyed by (bucket, batch). Nothing global: no
+    total order across buckets is needed, so no single-partition sort
+    exists at any scale."""
+    d = table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.ceil(F.col("n_chars") / 4.0).cast("long").alias("n_tok")
+    )
+    bucketed = sized.withColumn(
+        "lbucket", (F.col("n_tok") / LB_BUCKET_TOKENS).cast("long")
+    )
+    w = Window.partitionBy("lbucket").orderBy("n_tok", "doc_id")
+    batched = bucketed.withColumn(
+        "batch_no",
+        ((F.row_number().over(w) - 1) / LB_BATCH_SIZE).cast("long"),
+    )
+    return batched.groupBy("lbucket", "batch_no").agg(
+        F.count(F.lit(1)).alias("batch_docs"),
+        F.max("n_tok").alias("pad_to"),
+        (F.max("n_tok") * F.count(F.lit(1)) - F.sum("n_tok"))
+        .cast("long")
+        .alias("wasted_tokens"),
+    )

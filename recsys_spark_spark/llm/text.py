@@ -490,3 +490,90 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("props", _REDACT_PATTERN, _REDACT_TOKEN).alias("redacted"),
         F.regexp_count("props", F.lit(_REDACT_PATTERN)).cast("long").alias("n_redacted"),
     )
+
+
+# --------------------------------------------------------------------------
+# M79: bigram collocations by pointwise mutual information
+# --------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 50
+
+
+@query(
+    "q_text_pmi",
+    oracle=f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), big AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS gs(i)
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS c_xy FROM big GROUP BY 1, 2
+), uni AS (
+  SELECT w1 AS w, COUNT(*) AS c FROM big GROUP BY 1
+), uni2 AS (
+  SELECT w2 AS w, COUNT(*) AS c FROM big GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS total FROM big
+), pmi AS (
+  SELECT bc.w1, bc.w2, bc.c_xy,
+         ROUND(ln((bc.c_xy * n.total) / (u1.c * u2.c)), 6) AS pmi
+  FROM bc
+  JOIN uni u1 ON u1.w = bc.w1
+  JOIN uni2 u2 ON u2.w = bc.w2
+  CROSS JOIN n
+  WHERE bc.c_xy >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, c_xy, pmi,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rnk
+FROM pmi QUALIFY rnk <= {PMI_TOP}
+""",
+)
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M79: collocation mining — top bigrams by pointwise mutual
+    information, PMI = ln(c_xy·N / (c_x·c_y)) over adjacent token pairs,
+    with a min-count floor (rare pairs have unstable PMI). The phrase
+    detector of a tokenizer/vocab pipeline (word2vec-style phrase joins).
+
+    Determinism: every PMI input is an exact integer count; the ln argument
+    is an exact-integer ratio whose products stay below 2^53, so both
+    engines evaluate ln on the SAME double and round at 1e-6 (same
+    discipline as q_text_bm25's idf). Bigram formation is the same
+    row-local array fan-out as q_text_bigram_lm — shuffle-free, never a
+    positional self-join. Scale shape: explode → three keyed counts (bigram, left
+    unigram, right unigram) + broadcast total, join keyed on the words; the
+    global top-50 is rank-pruned, never a full sort."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t"))
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    big = toks.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = big.groupBy(F.col("w1").alias("w")).agg(F.count(F.lit(1)).alias("c1"))
+    uni2 = big.groupBy(F.col("w2").alias("w")).agg(F.count(F.lit(1)).alias("c2"))
+    total = big.agg(F.count(F.lit(1)).alias("total"))
+    pmi = (
+        bc.where(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(F.broadcast(uni), bc.w1 == uni.w)
+        .join(F.broadcast(uni2), bc.w2 == uni2.w)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log((F.col("c_xy") * F.col("total")) / (F.col("c1") * F.col("c2"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return (
+        pmi.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= PMI_TOP)
+    )

@@ -454,3 +454,55 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dau.join(wau, dau.d == wau.target).select(
         dau.d.alias("day"), "dau", "wau"
     )
+
+
+# --------------------------------------------------------------------------
+# M80: join-key skew audit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_skew_audit",
+    oracle="""
+WITH per_key AS (
+  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM per_key
+)
+SELECT CAST(length(bin(cnt)) AS BIGINT) AS log2_bucket,
+       COUNT(*) AS n_keys,
+       CAST(MAX(cnt) AS BIGINT) AS max_rows_per_key,
+       CAST(SUM(cnt) AS BIGINT) AS rows_in_bucket,
+       ROUND(SUM(cnt) / CAST(tot.total AS DOUBLE), 6) AS row_share
+FROM per_key, tot
+GROUP BY 1, tot.total
+""",
+)
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M80: join-key skew audit — the distribution of rows-per-key for the
+    CF fan-out key (l_partkey), bucketed by power of two (bucket =
+    bit-length of the per-key count). The operational report that decides
+    WHEN the salted-join / AQE-skew machinery (q_join_salted) is needed: a
+    heavy tail here (one bucket holding a large row_share with few keys)
+    means an unsalted shuffle join will straggle.
+
+    Scale shape: one keyed count with map-side combine (output is
+    key-cardinality-sized), then a bucket rollup of that — the audit never
+    touches raw rows twice; the grand total rides a 1-row broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = F.broadcast(per_key.agg(F.sum("cnt").cast("long").alias("total")))
+    return (
+        per_key.crossJoin(tot)
+        .groupBy(
+            F.length(F.bin("cnt")).cast("long").alias("log2_bucket"),
+            F.col("total"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").cast("long").alias("max_rows_per_key"),
+            F.sum("cnt").cast("long").alias("rows_in_bucket"),
+            F.round(F.sum("cnt") / F.col("total").cast("double"), 6).alias("row_share"),
+        )
+        .drop("total")
+    )

@@ -329,3 +329,42 @@ def test_pagerank_reuses_persisted_edges(spark):
     # outside the cached subtree repetitions: every contribution join is
     # keyed on src/node, so no per-iteration user-keyed exchange may remain
     assert "crossJoin" not in plan
+
+
+def test_interval_join_is_banded_equi_not_cartesian(spark):
+    # the overlap join must ride the hour-band equi key: a BNLJ/cartesian
+    # here means the banding decomposition was lost and the plan is O(n^2)
+    plan = plan_of(spark, "q_join_interval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_join_blocks_before_levenshtein(spark):
+    plan = plan_of(spark, "q_join_fuzzy")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the distance predicate must be a post-join filter on candidates,
+    # not part of a nested-loop condition
+    assert "levenshtein" in plan
+
+
+def test_rank_fusion_prunes_before_fusing(spark):
+    # both input rankings are depth-limited BEFORE the fusion join: the
+    # rank <= N predicate must survive as a WindowGroupLimit or a filter
+    # over row_number, never a full-corpus sort feeding the join
+    plan = plan_of(spark, "q_rank_fusion")
+    assert "WindowGroupLimit" in plan or "rnk" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_active_users_rolling_is_single_day_keyed_shuffle(spark):
+    # the x7 contribution explode must not introduce a join back to events:
+    # one distinct, one explode, day-keyed aggregates only
+    plan = plan_of(spark, "q_active_users")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "explode" in plan.lower()
+
+
+def test_redact_is_shuffle_free(spark):
+    plan = plan_of(spark, "q_text_redact")
+    assert shuffle_stage_count(plan) == 0
