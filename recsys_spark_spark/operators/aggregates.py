@@ -380,3 +380,40 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_event"), "cnt")
     )
+
+
+# --------------------------------------------------------------------------
+# M82: mergeable HLL sketches (partial-sketch union == direct sketch)
+# --------------------------------------------------------------------------
+
+
+@query("q_hll_mergeable")  # rows-only: sketch estimates are impl-specific
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M82: mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg / hll_sketch_estimate) — the sketch
+    lifecycle of an incremental pipeline: per-(priority, month) partial
+    sketches are built once, then UNIONED per priority; the estimate from
+    merged partials must equal the direct one-pass sketch, because HLL
+    state is a per-register max — commutative, associative, insertion-order
+    independent (asserted in tests/test_hll.py, with the exact distinct
+    count as the accuracy referent).
+
+    This is the maintainable form of q_agg_approx at 100 TB: the monthly
+    sketch table is tiny and append-only; refreshing the yearly distinct
+    count unions sketches instead of re-scanning history (same contract as
+    q_incr_agg, for a non-decomposable-in-exact-form metric). Rows-only for
+    the driver: DuckDB's HLL implementation differs by design."""
+    o = table(spark, sf_dir, "orders")
+    partials = o.groupBy(
+        "o_orderpriority", F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sketch"))
+    merged = partials.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_estimate")
+    )
+    direct = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("direct_estimate"),
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+    )
+    return merged.join(direct, "o_orderpriority").select(
+        "o_orderpriority", "merged_estimate", "direct_estimate", "exact_distinct"
+    )

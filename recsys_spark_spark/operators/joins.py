@@ -495,3 +495,82 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# M81: runtime bloom-filter pruned join
+# --------------------------------------------------------------------------
+
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # creation side (the selectively-filtered orders) must be under this cap
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "512MB",
+    # at test SFs the fact side is tiny; zero the scan-size gate so the demo
+    # exercises the same plan a 100 TB fact scan would get
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # the filtered dim would broadcast at test SFs, which suppresses the
+    # runtime filter (a broadcast join needs no bloom); pin the shuffle shape
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_join_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy plan under test: selectively-filtered orders joined to the
+    full lineitem fact. With the runtime-filter confs set, Catalyst builds a
+    bloom filter over the dim's join keys and injects a might_contain()
+    predicate into the FACT SCAN — rows that cannot join are dropped at the
+    scan, before the shuffle (plan-asserted in tests/test_plans.py)."""
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(rlong(F.col("l_extendedprice") * 100)).cast("long").alias("cents"),
+        )
+    )
+
+
+@query(
+    "q_join_bloom",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lineitems,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1
+""",
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M81: runtime bloom-filter semi-join reduction — the 100 TB mechanism
+    for "filter the fact scan by the keys that survive the dim's
+    predicate" when the dim is too big to broadcast and the key set too big
+    for an IN-list (DPP's row-level sibling; q_join_dpp covers the
+    partition-level case).
+
+    The runtime-filter confs are session-scoped, so this query pins them
+    for ITS OWN execution and restores the previous values immediately —
+    injecting blooms into every other registered query's plan would change
+    plans the plan-tests pin (the one-row aggregated result crosses back
+    via createDataFrame; all values are exact integers, so the round-trip
+    is lossless). The declared scale path is the conf'd plan itself:
+    bloom_filter_agg on the dim, might_contain pushed into the fact scan."""
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        pdf = bloom_join_builder(spark, sf_dir).toPandas()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        pdf,
+        schema="o_orderpriority string, n_lineitems bigint, cents bigint",
+    )

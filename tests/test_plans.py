@@ -368,3 +368,20 @@ def test_active_users_rolling_is_single_day_keyed_shuffle(spark):
 def test_redact_is_shuffle_free(spark):
     plan = plan_of(spark, "q_text_redact")
     assert shuffle_stage_count(plan) == 0
+
+
+def test_bloom_join_injects_runtime_filter(spark):
+    # under the pinned confs the fact scan must carry a might_contain()
+    # predicate fed by a bloom_filter_agg over the filtered dim's keys
+    from recsys_spark_spark.operators.joins import _BLOOM_CONFS, bloom_join_builder
+
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        plan = executed_plan(bloom_join_builder(spark, SF_SMOKE))
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
