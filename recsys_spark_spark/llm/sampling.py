@@ -203,3 +203,65 @@ def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# M84: deterministic weighted sampling (priority / A-ES form)
+# --------------------------------------------------------------------------
+
+WEIGHTED_K = 25
+_FINE_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5(CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000"
+)
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ({_FINE_BUCKET_SQL.format(key="doc_id")} + 0.5) / 1e6 AS u
+  FROM documents
+), prio AS (
+  SELECT doc_id, source, n_chars,
+         ROUND(ln(u) / n_chars, 9) AS priority
+  FROM keyed
+)
+SELECT doc_id, source, n_chars, priority,
+       CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS BIGINT) AS rnk
+FROM prio QUALIFY rnk <= {WEIGHTED_K}
+""",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M84: weighted sampling without replacement, Efraimidis-Spirakis
+    priority form — each row gets priority u^(1/w) (ranked equivalently by
+    ln(u)/w), the top-K by priority IS a weighted sample with w = n_chars
+    (longer docs proportionally likelier). u is content-addressed
+    (md5(doc_id) over 1e6 buckets, +0.5 to stay off ln(0)), so the sample
+    is deterministic across engines and reruns AND stable under corpus
+    growth — the reservoir-sampling replacement for distributed pipelines:
+    no sequential reservoir state, just a per-row expression + top-K
+    (TakeOrderedAndProject, never a full sort). ln is rounded at 1e-9 on
+    both sides before ranking (same ulp discipline as TF-IDF's idf) with
+    doc_id as the total tie-break."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % 1000000
+        )
+        + 0.5
+    ) / F.lit(1e6)
+    prio = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 9).alias("priority"),
+    )
+    w = Window.orderBy(F.col("priority").desc(), "doc_id")
+    return (
+        prio.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= WEIGHTED_K)
+    )

@@ -417,3 +417,49 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(direct, "o_orderpriority").select(
         "o_orderpriority", "merged_estimate", "direct_estimate", "exact_distinct"
     )
+
+
+# --------------------------------------------------------------------------
+# M86: equal-depth quantile binning
+# --------------------------------------------------------------------------
+
+QBINS = 10
+
+
+@query(
+    "q_quantile_bins",
+    oracle=f"""
+WITH binned AS (
+  SELECT o_totalprice,
+         CAST(NTILE({QBINS}) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bin
+  FROM orders
+)
+SELECT bin, COUNT(*) AS n,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM binned GROUP BY 1
+""",
+)
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M86: equal-depth (quantile) binning — orders cut into 10
+    equal-population price bins with per-bin bounds and mass; the
+    feature-engineering twin of q_histogram's equal-width bins. NTILE is
+    ordered by (price, orderkey) so bin boundaries are total-order
+    deterministic even across duplicate prices.
+
+    Scale note: NTILE over a global order is a single-partition sort — fine
+    here because binning SPEC (the 9 cut points) is what a pipeline
+    computes, and at 100 TB the cut points come from approx_percentile
+    (q_agg_approx's KLL path) with this exact form as the small-data/audit
+    referent; the oracle pins the exact semantics."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    binned = o.select(
+        "o_totalprice", F.ntile(QBINS).over(w).cast("long").alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.sum(rlong(F.col("o_totalprice") * 100)).cast("long").alias("cents"),
+    )

@@ -506,3 +506,74 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("total")
     )
+
+
+# --------------------------------------------------------------------------
+# M83: last-touch attribution
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, date_trunc('second', ts) AS sec
+  FROM events
+), purchases AS (
+  SELECT * FROM ev WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_id, p.user_id, p.sec AS purchase_sec,
+       t.event_id AS touch_id, t.event_type AS touch_type,
+       CAST(date_diff('second', t.sec, p.sec) AS BIGINT) AS lag_s
+FROM purchases p
+LEFT JOIN LATERAL (
+  SELECT e.event_id, e.event_type, e.sec
+  FROM ev e
+  WHERE e.user_id = p.user_id
+    AND e.event_type IN ('view', 'click')
+    AND (e.sec < p.sec OR (e.sec = p.sec AND e.event_id < p.event_id))
+  ORDER BY e.sec DESC, e.event_id DESC LIMIT 1
+) t ON TRUE
+""",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M83: last-touch attribution — every purchase attributed to the
+    user's most recent preceding marketing touch (view/click), with the
+    touch-to-purchase lag. The revenue-attribution join of any funnel
+    analysis.
+
+    Scale shape: the oracle states the semantics as a per-purchase LATERAL
+    top-1 (quadratic per user); the engine computes it as ONE pass — a
+    running max over a struct (sec, event_id, type) of marketing touches,
+    carried along each user's event stream by a window frame ending at the
+    PREVIOUS row. Struct max is field-lexicographic, so the (sec,
+    event_id) prefix makes the carried touch exactly the LATERAL's
+    (ORDER BY sec DESC, event_id DESC LIMIT 1) — including same-second
+    tie-breaks. One user-keyed sort at any scale, no self-join."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.date_trunc("second", "ts").alias("sec")
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.struct(
+            F.col("sec").alias("t_sec"),
+            F.col("event_id").alias("t_id"),
+            F.col("event_type").alias("t_type"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = ev.withColumn("last_touch", F.max(touch).over(w))
+    return carried.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("sec").alias("purchase_sec"),
+        F.col("last_touch.t_id").alias("touch_id"),
+        F.col("last_touch.t_type").alias("touch_type"),
+        (
+            F.unix_timestamp("sec") - F.unix_timestamp("last_touch.t_sec")
+        ).alias("lag_s"),
+    )

@@ -574,3 +574,63 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf,
         schema="o_orderpriority string, n_lineitems bigint, cents bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# M85: regional-revenue star join (TPC-H Q5 shape)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_join_regional_revenue",
+    oracle=f"""
+SELECT n_name,
+       {osum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND year(o_orderdate) = 1995
+GROUP BY 1
+""",
+)
+def q_join_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M85: the TPC-H Q5 shape — revenue per supplier nation for orders
+    whose customer is in the SAME nation (local commerce), one year of
+    orders, through a 6-table join. The classic join-ordering stress test:
+    two facts (lineitem, orders) and four dims, plus a non-equi residual
+    (c_nationkey = s_nationkey) that links the two dim arms.
+
+    Plan intent: orders is filtered by year BEFORE its join (pushed scan
+    predicate); supplier/customer/nation/region broadcast (dim-sized);
+    the only shuffle key is l_orderkey = o_orderkey — the same
+    one-fact-exchange shape as q_join_multiway, with the nation equality
+    applied as a post-broadcast filter, never a shuffle of its own. At
+    100 TB both facts arrive partitioned by orderkey (bucketing twin:
+    q_join_bucketed) and the exchange disappears."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1995)
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            (F.sum(rlong(rev * F.lit(1e6))) / F.lit(1e6)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
