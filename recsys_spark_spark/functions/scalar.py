@@ -282,3 +282,48 @@ def q_agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("p_retailprice", 0.99), 6).alias("p99_price"),
         F.count(F.lit(1)).alias("n_parts"),
     )
+
+
+# --------------------------------------------------------------------------
+# M87: semi-structured VariantType (Spark 4) over JSON payloads
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_json_variant",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM events
+GROUP BY 1
+""",
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H10: Spark 4 VariantType — event payloads parsed ONCE into the
+    binary variant encoding (parse_json), then path-extracted with typed
+    casts (variant_get) including a missing-path probe. The
+    semi-structured column story at scale: variant parse happens at
+    ingest, every downstream extraction is a cheap binary traversal
+    instead of a per-query JSON re-parse (get_json_object, the H7 path,
+    re-parses the string on every call).
+
+    All extracted values are integers, so the aggregate is exact and the
+    DuckDB oracle (json_extract_string + cast) matches bit-for-bit."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get(F.col("v"), "$.k", "bigint").alias("k"),
+        F.try_variant_get(F.col("v"), "$.missing", "bigint").alias("m"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.sum(F.when(F.col("m").isNull(), 1).otherwise(0)).cast("long").alias("n_missing"),
+    )

@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "recsys_spark_spark.operators.temporal",
     "recsys_spark_spark.llm.chunking",
     "recsys_spark_spark.sinks",
+    "recsys_spark_spark.datasource",
     "recsys_spark_spark.operators.scans",
     "recsys_spark_spark.operators.filters",
     "recsys_spark_spark.operators.joins",
