@@ -385,3 +385,14 @@ def test_bloom_join_injects_runtime_filter(spark):
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
     assert "bloom_filter_agg" in plan
     assert "might_contain" in plan
+
+
+def test_regional_revenue_broadcasts_all_dims(spark):
+    # Q5 shape: four dim arms broadcast; the only permissible exchanges are
+    # the fact-side join key and the final aggregate — never a cartesian,
+    # never a dim-sized shuffle
+    plan = plan_of(spark, "q_join_regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert shuffle_stage_count(plan) <= 3
