@@ -743,3 +743,78 @@ def q_cf_popularity_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOP_N_RECS)
         .select("user_id", "item_id", "n_users", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# M89: incremental co-occurrence maintenance
+# --------------------------------------------------------------------------
+
+COOC_CUTOFF = "1997-01-01"
+
+
+@query(
+    "q_cf_incremental_cooc",
+    oracle="""
+WITH ui AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), pc AS (
+  SELECT a.i AS i, b.i AS j, COUNT(*) AS c
+  FROM ui a JOIN ui b ON a.u = b.u AND a.i <> b.i
+  GROUP BY 1, 2
+)
+SELECT i AS item_i, COUNT(*) AS n_partners, CAST(SUM(c) AS BIGINT) AS total_cooc
+FROM pc GROUP BY 1
+""",
+)
+def q_cf_incremental_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M89: incremental maintenance of the CF co-occurrence matrix — the
+    self-join aggregate that makes naive refreshes O(history²). Each
+    (user, item) edge is assigned to OLD (first seen before the cutoff)
+    or NEW (first seen at/after); the full pair table decomposes exactly as
+    (old+new)² - diag = old×old  +  old×new + new×old + new×new,
+    so the refresh computes only the three delta terms (each bounded by the
+    DELTA's size per user, not the history's) and merges them with the
+    standing base counts. The oracle recomputes co-occurrence from scratch,
+    so the green row proves the decomposition reconstructs it exactly —
+    per-item aggregate output keeps the comparison item-sized while any
+    mispairing anywhere changes the sums.
+
+    At 100 TB this is the difference between "similarity refresh touches
+    yesterday's orders" and "similarity refresh re-reads years of history"
+    (same maintenance contract as q_incr_agg, for a SELF-JOIN aggregate).
+    All joins are user-keyed on one partitioning; counts are exact ints."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    first_seen = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .agg(F.min("o_orderdate").alias("m"))
+    )
+    old = first_seen.where(F.col("m") < F.lit(COOC_CUTOFF)).select("u", "i")
+    new = first_seen.where(F.col("m") >= F.lit(COOC_CUTOFF)).select("u", "i")
+
+    def pairs(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.select("u", F.col("i").alias("pi"))
+            .join(b.select("u", F.col("i").alias("pj")), "u")
+            .where(F.col("pi") != F.col("pj"))
+            .groupBy(F.col("pi").alias("i"), F.col("pj").alias("j"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    base = pairs(old, old)
+    delta = (
+        pairs(old, new)
+        .unionByName(pairs(new, old))
+        .unionByName(pairs(new, new))
+    )
+    merged = (
+        base.unionByName(delta)
+        .groupBy("i", "j")
+        .agg(F.sum("c").alias("c"))
+    )
+    return merged.groupBy(F.col("i").alias("item_i")).agg(
+        F.count(F.lit(1)).alias("n_partners"),
+        F.sum("c").cast("long").alias("total_cooc"),
+    )
