@@ -265,3 +265,98 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         prio.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= WEIGHTED_K)
     )
+
+
+# --------------------------------------------------------------------------
+# M90: deterministic negative sampling (training-pair generation)
+# --------------------------------------------------------------------------
+
+NEG_K = 5  # negatives kept per user
+NEG_CANDIDATES = 15  # candidate draws per user (headroom for seen/collisions)
+
+
+@query(
+    "q_sample_negatives",
+    oracle=f"""
+WITH seen AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), n_items AS (
+  SELECT COUNT(*) AS n FROM part
+), cand AS (
+  SELECT s.u, gs.k,
+         CAST(('0x' || substring(md5(s.u || '-' || gs.k), 1, 8)) AS BIGINT)
+           % n_items.n AS cand_i
+  FROM (SELECT DISTINCT u FROM seen) s,
+       generate_series(1, {NEG_CANDIDATES}) gs(k),
+       n_items
+), fresh AS (
+  SELECT c.u, c.cand_i, MIN(c.k) AS first_k
+  FROM cand c
+  LEFT JOIN seen ON seen.u = c.u AND seen.i = c.cand_i
+  WHERE seen.i IS NULL
+  GROUP BY 1, 2
+)
+SELECT u AS user_id, cand_i AS neg_item, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT u, cand_i,
+         ROW_NUMBER() OVER (PARTITION BY u ORDER BY first_k, cand_i) AS rnk
+  FROM fresh
+) WHERE rnk <= {NEG_K}
+""",
+)
+def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M90: deterministic negative sampling — K catalog items per user the
+    user has NEVER interacted with, drawn by content-addressed hashing
+    (md5(user||draw) mod |catalog|), de-duplicated, seen-filtered, kept in
+    draw order. The training-pair generator for BPR/two-tower losses,
+    without RNG state: the same user always gets the same negatives, on
+    any engine, at any partitioning, across reruns — which makes training
+    data diffable and leakage auditable.
+
+    Scale shape: the candidate fan-out is a constant ×{NEG_CANDIDATES}
+    explode of the user table; the seen-filter is a user-keyed anti-join
+    (the composite-key shape) on the SAME u partitioning as the draw; the
+    final per-user top-K is a rank-pushdown window. Nothing scans the
+    catalog per user — the draw is arithmetic on |catalog|, a 1-row
+    broadcast."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    seen = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    n_items = F.broadcast(table(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("n")))
+    cand = (
+        seen.select("u")
+        .distinct()
+        .select("u", F.explode(F.sequence(F.lit(1), F.lit(NEG_CANDIDATES))).alias("k"))
+        .crossJoin(n_items)
+        .select(
+            "u",
+            "k",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("-", F.col("u"), F.col("k"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("cand_i"),
+        )
+    )
+    fresh = (
+        cand.join(
+            seen.withColumnRenamed("i", "cand_i"), ["u", "cand_i"], "left_anti"
+        )
+        .groupBy("u", "cand_i")
+        .agg(F.min("k").alias("first_k"))
+    )
+    w = Window.partitionBy("u").orderBy("first_k", "cand_i")
+    return (
+        fresh.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= NEG_K)
+        .select(F.col("u").alias("user_id"), F.col("cand_i").alias("neg_item"), "rnk")
+    )
