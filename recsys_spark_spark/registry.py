@@ -137,6 +137,18 @@ _R4_WINDOW = (
     "q_dedup_clusters",
 )
 
+# Round-5 rotation candidates (none of these have ever been in a driver
+# window): the M68-M90 additions registered after the _R4_WINDOW pin —
+# q_join_interval, q_join_fuzzy, q_active_users, q_incr_agg, q_corpus_mix,
+# q_split_train_test, q_text_redact, q_agg_mode, q_window_count_distinct,
+# q_rank_fusion, q_text_pmi, q_batch_by_length, q_skew_audit, q_join_bloom,
+# q_hll_mergeable (rows-only), q_attribution_last_touch, q_sample_weighted,
+# q_join_regional_revenue, q_quantile_bins, q_json_variant,
+# q_source_python_ds, q_cf_incremental_cooc, q_sample_negatives — plus the
+# r4-modified q_text_bm25 / q_sim_cosine_knn (scorer refactor). That is 25
+# entries; fill the remaining window with the streaming family (last
+# driver-checked r2).
+
 _loaded = False
 
 

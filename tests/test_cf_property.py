@@ -190,3 +190,31 @@ def test_user_history_below_cap_on_fixtures(spark, sf_dir):
         f"{sf_dir}: a user has {max_hist} distinct items >= cap "
         f"{itemcf.MAX_USER_HISTORY}; capped CF oracles are no longer exact"
     )
+
+
+def test_negative_samples_disjoint_from_seen(spark):
+    """Beyond oracle parity: no sampled negative may collide with ANY item
+    its user interacted with, and each user gets at most NEG_K distinct
+    negatives."""
+    from recsys_spark_spark.registry import load_all
+
+    QUERIES, _ = load_all()
+    from pyspark.sql import functions as F
+
+    from recsys_spark_spark.catalog import table
+    from recsys_spark_spark.llm.sampling import NEG_K
+    from tests.conftest import SF_SMOKE
+
+    neg = QUERIES["q_sample_negatives"](spark, SF_SMOKE)
+    o = table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    seen = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("neg_item")
+        )
+        .distinct()
+    )
+    assert neg.join(seen, ["user_id", "neg_item"]).count() == 0
+    per_user = neg.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    assert per_user <= NEG_K
