@@ -250,14 +250,19 @@ PR_ITERATIONS = 5
 PR_DAMPING = 0.85
 PR_TOP = 20
 
+# MATERIALIZED is load-bearing at sf>=0.1: DuckDB inlines plain CTEs, so the
+# ~20M-row edge self-join would be recomputed inside every unrolled
+# iteration (6x the work and enough temp spill to fill the disk — observed
+# as an IOException during the r4 sf0.1 sweep). Materializing pins each
+# building block to one evaluation; results are identical.
 _PR_EDGES_SQL = """
-ui AS (
+ui AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS u, l_partkey AS i
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT a.i AS src, b.i AS dst FROM ui a JOIN ui b ON a.u = b.u AND a.i <> b.i
   GROUP BY 1, 2
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1
 ), n AS (
   SELECT COUNT(*) AS n_nodes FROM deg
@@ -269,11 +274,11 @@ def _pr_oracle() -> str:
     scaled-integer rounding, so every iteration's state is a BIGINT both
     engines agree on exactly."""
     steps = [
-        f"pr0 AS (SELECT src AS node, CAST(ROUND(1e9 / n_nodes, 0) AS BIGINT) AS pr_s FROM deg, n)"
+        f"pr0 AS MATERIALIZED (SELECT src AS node, CAST(ROUND(1e9 / n_nodes, 0) AS BIGINT) AS pr_s FROM deg, n)"
     ]
     for it in range(1, PR_ITERATIONS + 1):
         steps.append(
-            f"""pr{it} AS (
+            f"""pr{it} AS MATERIALIZED (
   SELECT d.src AS node,
          CAST(ROUND((1 - {PR_DAMPING!r}) * 1e9 / n.n_nodes, 0) AS BIGINT)
          + COALESCE(s.in_s, 0) AS pr_s
