@@ -396,3 +396,29 @@ def test_regional_revenue_broadcasts_all_dims(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert shuffle_stage_count(plan) <= 3
+
+
+def test_corpus_mix_is_shuffle_free(spark):
+    # mixing membership is a pure per-row expression — a filtered scan
+    plan = plan_of(spark, "q_corpus_mix")
+    assert shuffle_stage_count(plan) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_topk_is_rank_limited(spark):
+    # the global top-K by priority must be rank-pruned, not a full sort
+    plan = plan_of(spark, "q_sample_weighted")
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
+
+
+def test_negative_sampling_seen_filter_is_anti_join(spark):
+    plan = plan_of(spark, "q_sample_negatives")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_cooc_has_no_cartesian(spark):
+    # all four pair terms are user-keyed equi self-joins
+    plan = plan_of(spark, "q_cf_incremental_cooc")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
