@@ -751,6 +751,32 @@ def q_cf_popularity_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COOC_CUTOFF = "1997-01-01"
 
+# (applicationId, sf_dir) -> persisted first-seen edge table; same lifecycle
+# pattern as analytics._PR_EDGES — the 4 pair terms below each reference it,
+# and without a persist the orders-lineitem aggregate would re-execute per
+# term (observed by the round-4 review; exchange reuse does not cover the
+# differently-filtered old/new subtrees).
+_FIRST_SEEN: dict[tuple[str, str], DataFrame] = {}
+
+
+def _first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _FIRST_SEEN.get(key)
+    if cached is not None:
+        lvl = cached.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            cached.persist()
+        return cached
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    fs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .agg(F.min("o_orderdate").alias("m"))
+    ).persist()
+    _FIRST_SEEN[key] = fs
+    return fs
+
 
 @query(
     "q_cf_incremental_cooc",
@@ -784,13 +810,7 @@ def q_cf_incremental_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     yesterday's orders" and "similarity refresh re-reads years of history"
     (same maintenance contract as q_incr_agg, for a SELF-JOIN aggregate).
     All joins are user-keyed on one partitioning; counts are exact ints."""
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    first_seen = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
-        .agg(F.min("o_orderdate").alias("m"))
-    )
+    first_seen = _first_seen(spark, sf_dir)
     old = first_seen.where(F.col("m") < F.lit(COOC_CUTOFF)).select("u", "i")
     new = first_seen.where(F.col("m") >= F.lit(COOC_CUTOFF)).select("u", "i")
 

@@ -93,10 +93,7 @@ def q_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     regenerates the identical rows with generate_series.
 
     sf_dir is unused by design: the source IS the data."""
-    try:
-        spark.dataSource.register(SyntheticEventsDataSource)
-    except Exception:
-        pass  # already registered in this session
+    spark.dataSource.register(SyntheticEventsDataSource)  # re-register is a no-op overwrite
     df = (
         spark.read.format("synthetic_events")
         .option("n", str(PYDS_ROWS))

@@ -8,9 +8,12 @@ deterministic scorers (llm/text.bm25_scored, llm/similarity.cosine_scored), so
 the fused score is the same IEEE double on both engines — fixed operand order,
 no accumulation across variable row counts.
 
-Join key: the synthetic corpus aligns documents.doc_id with embeddings.vec_id
-1:1 (same row id space — q_multimodal_join states the same contract), so the
-semantic ranking of vec_ids IS a ranking of doc_ids.
+Join key: documents.doc_id and embeddings.vec_id share one id space, but
+coverage is PARTIAL at some SFs (FIXTURES.md: sf0.1 has 5,000 docs and only
+2,000 embeddings), so a doc without an embedding can never appear in the
+semantic list — its fused score is structurally lexical-only. The FULL OUTER
+fusion join is what makes that sound: it keeps one-list docs with the other
+rank NULL on both engines, never dropping or fabricating evidence.
 """
 
 from __future__ import annotations

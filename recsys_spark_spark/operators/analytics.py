@@ -407,17 +407,13 @@ ROLLING_DAYS = 7
     oracle=f"""
 WITH ud AS (
   SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
-), days AS (
-  SELECT DISTINCT d FROM ud
 ), contrib AS (
   SELECT ud.user_id, ud.d + to_days(CAST(gs.i AS INTEGER)) AS target
   FROM ud, generate_series(0, {ROLLING_DAYS - 1}) gs(i)
 ), dau AS (
   SELECT d, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1
 ), wau AS (
-  SELECT c.target AS d, COUNT(DISTINCT c.user_id) AS wau
-  FROM contrib c JOIN days ON days.d = c.target
-  GROUP BY 1
+  SELECT target AS d, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY 1
 )
 SELECT dau.d AS day, dau.dau, wau.wau
 FROM dau JOIN wau ON dau.d = wau.d
@@ -440,7 +436,6 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = ev.select(
         "user_id", F.date_trunc("day", "ts").alias("d")
     ).distinct()
-    days = ud.select("d").distinct()
     contrib = ud.select(
         "user_id",
         F.explode(
@@ -451,11 +446,9 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
     ).select("user_id", (F.col("d") + F.make_interval(days=F.col("i"))).alias("target"))
     dau = ud.groupBy(F.col("d")).agg(F.countDistinct("user_id").alias("dau"))
-    wau = (
-        contrib.join(F.broadcast(days), contrib.target == days.d)
-        .groupBy("target")
-        .agg(F.countDistinct("user_id").alias("wau"))
-    )
+    # no pruning join needed: the final inner join with dau keeps exactly
+    # the active days, dropping the d+1..d+6 targets past the data's range
+    wau = contrib.groupBy("target").agg(F.countDistinct("user_id").alias("wau"))
     return dau.join(wau, dau.d == wau.target).select(
         dau.d.alias("day"), "dau", "wau"
     )

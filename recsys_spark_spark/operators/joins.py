@@ -482,24 +482,43 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.c2") == F.col("b.c2"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
         )
-        .where(
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= _FUZZY_MAX_DIST
-        )
         .select(
             F.col("a.p_partkey").alias("key_a"),
             F.col("b.p_partkey").alias("key_b"),
             F.col("a.p_name").alias("name_a"),
             F.col("b.p_name").alias("name_b"),
+            # computed once here (Spark does not CSE across Filter/Project)
             F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
             .cast("long")
             .alias("dist"),
         )
+        .where(F.col("dist") <= _FUZZY_MAX_DIST)
     )
 
 
 # --------------------------------------------------------------------------
 # M81: runtime bloom-filter pruned join
 # --------------------------------------------------------------------------
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def pinned_confs(spark: SparkSession, confs: dict):
+    """Set session confs for a scoped execution, restoring prior values
+    (or unsetting) on exit — shared by q_join_bloom and its plan test."""
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
 
 _BLOOM_CONFS = {
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
@@ -559,17 +578,8 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     via createDataFrame; all values are exact integers, so the round-trip
     is lossless). The declared scale path is the conf'd plan itself:
     bloom_filter_agg on the dim, might_contain pushed into the fact scan."""
-    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
-    for k, v in _BLOOM_CONFS.items():
-        spark.conf.set(k, v)
-    try:
+    with pinned_confs(spark, _BLOOM_CONFS):
         pdf = bloom_join_builder(spark, sf_dir).toPandas()
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
     return spark.createDataFrame(
         pdf,
         schema="o_orderpriority string, n_lineitems bigint, cents bigint",
