@@ -440,3 +440,61 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rlong(F.col("o_totalprice") * 100)) / F.lit(100.0)).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# M91: SQL scripting (Spark 4 BEGIN..END compound statements)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sql_scripting",
+    oracle="""
+WITH floor_bal AS (
+  SELECT SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) // COUNT(*) AS cents
+  FROM customer
+)
+SELECT c_nationkey, COUNT(*) AS n_rich
+FROM customer, floor_bal
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) > floor_bal.cents
+GROUP BY c_nationkey
+HAVING COUNT(*) > 3
+""",
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M91: Spark 4 SQL scripting — a BEGIN..END compound statement with
+    DECLAREd variables, a scalar-subquery SET, and a WHILE loop computing
+    the HAVING threshold procedurally; the script's final SELECT is the
+    result. The surface that replaces driver-side orchestration glue for
+    multi-step SQL jobs (parameterized thresholds, iterative fixpoints)
+    while every individual statement still compiles through Catalyst.
+
+    Determinism discipline: the balance threshold is an exact integer
+    (cent-sum // count, both engines' integer division truncating toward
+    zero on positives) rather than AVG(double), so the comparison can
+    never flip on summation-order low bits. The oracle states the same
+    computation declaratively — proving the scripted control flow changes
+    orchestration, not semantics."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE floor_cents BIGINT DEFAULT 0;
+          DECLARE min_n INT DEFAULT 0;
+          SET floor_cents = (
+            SELECT SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) DIV COUNT(*)
+            FROM customer
+          );
+          WHILE min_n < 3 DO
+            SET min_n = min_n + 1;
+          END WHILE;
+          SELECT c_nationkey, COUNT(*) AS n_rich
+          FROM customer
+          WHERE c_mktsegment = 'BUILDING'
+            AND CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) > floor_cents
+          GROUP BY c_nationkey
+          HAVING COUNT(*) > min_n;
+        END
+        """
+    )
