@@ -148,3 +148,60 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return d.mapInPandas(sample_frames, "doc_id long, frame_idx long, frame_feature double")
+
+
+# --------------------------------------------------------------------------
+# J-mm3: resize transform (1 -> 1 binary-to-binary with metadata)
+# --------------------------------------------------------------------------
+
+RESIZE_TARGET = 32  # target long-edge "pixels" for the stub
+
+
+def _fake_resize(payload: bytes, target: int) -> tuple[bytes, int, int]:
+    """STUB resizer — stands in for an image resample (no media libs in
+    this container). Deterministic: the 'resized' payload is a sha1-keyed
+    byte string whose length scales with target², and the output dims
+    preserve the fake aspect ratio from _fake_decode. A real deployment
+    swaps in PIL's resize; everything around it is unchanged."""
+    w, h, _ = _fake_decode(payload)
+    scale = target / max(w, h)
+    out_w, out_h = max(1, round(w * scale)), max(1, round(h * scale))
+    seed = hashlib.sha1(payload + target.to_bytes(2, "big")).digest()
+    out = (seed * ((out_w * out_h) // len(seed) + 1))[: out_w * out_h]
+    return out, out_w, out_h
+
+
+@query("q_multimodal_resize")  # rows-only: stubbed resampler, not SQL-expressible
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-mm3: binary-to-binary resize — the 1→1 media transform shape that
+    completes the multimodal plumbing set (decode = q_multimodal_features,
+    frame-sample = q_multimodal_frames). The payload goes IN as binary and
+    comes OUT as binary plus new dimension metadata, through one
+    Arrow-batched mapInPandas pass — the pattern for any re-encode step
+    (resize, transcode, crop) in a 100 TB media pipeline: per-row, schema-
+    stable, shuffle-free, with the output column typed `binary` so
+    downstream stages chain the same way. Output asserts ride the emitted
+    dims/bytes (tests), since the stub resampler is not SQL-expressible."""
+
+    def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = [_fake_resize(p, RESIZE_TARGET) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized": [o[0] for o in outs],
+                    "out_w": pd.Series([o[1] for o in outs], dtype="int64"),
+                    "out_h": pd.Series([o[2] for o in outs], dtype="int64"),
+                    "out_bytes": pd.Series(
+                        [len(o[0]) for o in outs], dtype="int64"
+                    ),
+                }
+            )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(
+        resize_batch,
+        "doc_id long, resized binary, out_w long, out_h long, out_bytes long",
+    )
