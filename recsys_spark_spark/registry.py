@@ -144,10 +144,11 @@ _R4_WINDOW = (
 # q_rank_fusion, q_text_pmi, q_batch_by_length, q_skew_audit, q_join_bloom,
 # q_hll_mergeable (rows-only), q_attribution_last_touch, q_sample_weighted,
 # q_join_regional_revenue, q_quantile_bins, q_json_variant,
-# q_source_python_ds, q_cf_incremental_cooc, q_sample_negatives — plus the
-# r4-modified q_text_bm25 / q_sim_cosine_knn (scorer refactor). That is 25
-# entries; fill the remaining window with the streaming family (last
-# driver-checked r2).
+# q_source_python_ds, q_cf_incremental_cooc, q_sample_negatives,
+# q_sql_scripting, q_multimodal_resize (rows-only) — plus the r4-modified
+# q_text_bm25 / q_sim_cosine_knn (scorer refactor). That is 27 entries;
+# fill the remaining window with the streaming family (last driver-checked
+# r2).
 
 _loaded = False
 
