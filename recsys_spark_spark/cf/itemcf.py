@@ -838,3 +838,55 @@ def q_cf_incremental_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_partners"),
         F.sum("c").cast("long").alias("total_cooc"),
     )
+
+
+# --------------------------------------------------------------------------
+# M93: sequential-recommendation training windows
+# --------------------------------------------------------------------------
+
+SEQ_LEN = 3  # input-sequence length; the next item is the label
+
+
+@query(
+    "q_seq_windows",
+    oracle=f"""
+WITH fs AS (
+  SELECT o_custkey AS u, l_partkey AS i, MIN(o_orderdate) AS m
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+), seq AS (
+  SELECT u, i, m,
+         LEAD(i, 1) OVER w AS i2,
+         LEAD(i, 2) OVER w AS i3,
+         LEAD(i, 3) OVER w AS label
+  FROM fs WINDOW w AS (PARTITION BY u ORDER BY m, i)
+)
+SELECT u AS user_id, i AS i1, i2, i3, label
+FROM seq WHERE label IS NOT NULL
+""",
+)
+def q_seq_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M93: sequential-recommendation training windows — each user's item
+    history (ordered by first-purchase date, item id as the total
+    tie-break) sliced into sliding (i1, i2, i3) → label examples, the
+    input layout for GRU4Rec/SASRec-style next-item models. Completes the
+    recsys training-data path next to q_sample_negatives (the pairwise
+    path): sequence models consume these windows, pairwise losses consume
+    the triples.
+
+    Scale shape: one user-keyed window sort over the first-seen edge table
+    (shared, persisted — same table the incremental co-occurrence
+    maintains), then LEAD projections — no self-join, no explode; output
+    is history-sized. Every column is an exact integer or date."""
+    fs = _first_seen(spark, sf_dir)
+    w = Window.partitionBy("u").orderBy("m", "i")
+    seq = fs.select(
+        "u",
+        "i",
+        F.lead("i", 1).over(w).alias("i2"),
+        F.lead("i", 2).over(w).alias("i3"),
+        F.lead("i", 3).over(w).alias("label"),
+    )
+    return seq.where(F.col("label").isNotNull()).select(
+        F.col("u").alias("user_id"), F.col("i").alias("i1"), "i2", "i3", "label"
+    )
