@@ -890,3 +890,95 @@ def q_seq_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.where(F.col("label").isNotNull()).select(
         F.col("u").alias("user_id"), F.col("i").alias("i1"), "i2", "i3", "label"
     )
+
+
+# --------------------------------------------------------------------------
+# M94: association rules (market-basket support / confidence / lift)
+# --------------------------------------------------------------------------
+
+RULE_MIN_COUNT = 5
+RULE_TOP = 25
+
+
+@query(
+    "q_assoc_rules",
+    oracle=f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT b) AS n_baskets FROM basket
+), ic AS (
+  SELECT i, COUNT(*) AS c FROM basket GROUP BY 1
+), pc AS (
+  SELECT a.i AS ante, b2.i AS cons, COUNT(*) AS c_ij
+  FROM basket a JOIN basket b2 ON a.b = b2.b AND a.i <> b2.i
+  GROUP BY 1, 2
+), rules AS (
+  SELECT pc.ante, pc.cons, pc.c_ij,
+         ROUND(pc.c_ij / CAST(n.n_baskets AS DOUBLE), 6) AS support,
+         ROUND(pc.c_ij / CAST(ia.c AS DOUBLE), 6) AS confidence,
+         ROUND((pc.c_ij * n.n_baskets) / CAST(ia.c * ic2.c AS DOUBLE), 6) AS lift
+  FROM pc
+  JOIN ic ia ON ia.i = pc.ante
+  JOIN ic ic2 ON ic2.i = pc.cons
+  CROSS JOIN n
+  WHERE pc.c_ij >= {RULE_MIN_COUNT}
+)
+SELECT ante, cons, c_ij, support, confidence, lift,
+       CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, ante, cons) AS BIGINT) AS rnk
+FROM rules QUALIFY rnk <= {RULE_TOP}
+""",
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M94: association-rule mining — top order-basket rules ante→cons by
+    lift, with support and confidence, over a min-count floor (rare pairs
+    have meaningless lift). The market-basket classic (Agrawal-Srikant
+    Apriori's scoring step) that sits beside the CF similarity family:
+    lift is the co-occurrence signal normalized by both marginals, i.e.
+    exactly the association the ItemCF cosine approximates.
+
+    Determinism: every metric is a ratio of exact integer counts (and one
+    integer product each, all < 2^53), so both engines compute the SAME
+    double and round at 1e-6; ties in lift break on (ante, cons).
+    Scale shape: baskets are order-keyed, the pair self-join rides one
+    l_orderkey partitioning (pairs per basket bounded by basket size, not
+    table size), marginals broadcast, and the top-25 is rank-pruned."""
+    basket = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    n = F.broadcast(basket.agg(F.countDistinct("b").alias("n_baskets")))
+    ic = basket.groupBy("i").agg(F.count(F.lit(1)).alias("c"))
+    a = basket.alias("a")
+    b2 = basket.alias("b2")
+    pc = (
+        a.join(b2, (F.col("a.b") == F.col("b2.b")) & (F.col("a.i") != F.col("b2.i")))
+        .groupBy(F.col("a.i").alias("ante"), F.col("b2.i").alias("cons"))
+        .agg(F.count(F.lit(1)).alias("c_ij"))
+        .where(F.col("c_ij") >= RULE_MIN_COUNT)
+    )
+    ia = ic.select(F.col("i").alias("ante"), F.col("c").alias("c_a"))
+    icons = ic.select(F.col("i").alias("cons"), F.col("c").alias("c_c"))
+    rules = (
+        pc.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(icons), "cons")
+        .crossJoin(n)
+        .select(
+            "ante",
+            "cons",
+            "c_ij",
+            F.round(F.col("c_ij") / F.col("n_baskets").cast("double"), 6).alias("support"),
+            F.round(F.col("c_ij") / F.col("c_a").cast("double"), 6).alias("confidence"),
+            F.round(
+                (F.col("c_ij") * F.col("n_baskets"))
+                / (F.col("c_a") * F.col("c_c")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.col("lift").desc(), "ante", "cons")
+    return (
+        rules.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= RULE_TOP)
+    )
