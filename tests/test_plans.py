@@ -419,3 +419,23 @@ def test_incremental_cooc_has_no_cartesian(spark):
     plan = plan_of(spark, "q_cf_incremental_cooc")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_assoc_rules_pairs_ride_basket_key(spark):
+    # the pair self-join must be an equi-join on the basket (order) key;
+    # marginals broadcast; top-25 rank-pruned
+    plan = plan_of(spark, "q_assoc_rules")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
+
+
+def test_seq_windows_is_one_sorted_pass(spark):
+    # sliding windows come from LEAD over one user-keyed sort — no
+    # self-join, no explode
+    plan = plan_of(spark, "q_seq_windows")
+    # the only join allowed is inside the shared first-seen build
+    # (orders x lineitem); the windowing itself adds none
+    assert "CartesianProduct" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "Window" in plan
