@@ -275,9 +275,9 @@ NEG_K = 5  # negatives kept per user
 NEG_CANDIDATES = 15  # candidate draws per user (headroom for seen/collisions)
 
 
-@query(
-    "q_sample_negatives",
-    oracle=f"""
+# Shared CTE chain ending in `negs` (u, neg_item, rnk <= NEG_K) — one
+# definition for BOTH the q_sample_negatives oracle and q_training_triples'.
+NEG_CTES = f"""
 WITH seen AS (
   SELECT DISTINCT o_custkey AS u, l_partkey AS i
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -296,12 +296,20 @@ WITH seen AS (
   LEFT JOIN seen ON seen.u = c.u AND seen.i = c.cand_i
   WHERE seen.i IS NULL
   GROUP BY 1, 2
-)
-SELECT u AS user_id, cand_i AS neg_item, CAST(rnk AS BIGINT) AS rnk FROM (
-  SELECT u, cand_i,
-         ROW_NUMBER() OVER (PARTITION BY u ORDER BY first_k, cand_i) AS rnk
-  FROM fresh
-) WHERE rnk <= {NEG_K}
+), negs AS (
+  SELECT u, cand_i, CAST(rnk AS BIGINT) AS rnk FROM (
+    SELECT u, cand_i,
+           ROW_NUMBER() OVER (PARTITION BY u ORDER BY first_k, cand_i) AS rnk
+    FROM fresh
+  ) WHERE rnk <= {NEG_K}
+)"""
+
+
+@query(
+    "q_sample_negatives",
+    oracle=NEG_CTES
+    + """
+SELECT u AS user_id, cand_i AS neg_item, rnk FROM negs
 """,
 )
 def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,6 +327,16 @@ def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     final per-user top-K is a rank-pushdown window. Nothing scans the
     catalog per user — the draw is arithmetic on |catalog|, a 1-row
     broadcast."""
+    negs = negatives_ranked(spark, sf_dir)
+    return negs.select(
+        F.col("u").alias("user_id"), F.col("cand_i").alias("neg_item"), "rnk"
+    )
+
+
+def negatives_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked per-user negatives (u, cand_i, rnk<=NEG_K) — the Spark twin
+    of NEG_CTES' `negs`, shared by q_sample_negatives and
+    q_training_triples."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     seen = (
@@ -358,5 +376,70 @@ def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fresh.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= NEG_K)
-        .select(F.col("u").alias("user_id"), F.col("cand_i").alias("neg_item"), "rnk")
+        .select("u", "cand_i", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# M95: BPR training triples (user, positive, negative)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_training_triples",
+    oracle=NEG_CTES
+    + f"""
+, fs AS (
+  SELECT o_custkey AS u, l_partkey AS i, MIN(o_orderdate) AS m
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+), pos AS (
+  SELECT u, i AS pos_item,
+         CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY m, i) AS BIGINT) AS rp
+  FROM fs
+)
+SELECT pos.u AS user_id, pos.pos_item, negs.cand_i AS neg_item, pos.rp
+FROM pos JOIN negs
+  ON negs.u = pos.u AND negs.rnk = ((pos.rp - 1) % {NEG_K}) + 1
+""",
+)
+def q_training_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M95: BPR/two-tower training triples — every positive (user, item)
+    edge paired with one of the user's deterministic negatives, cycling
+    through the K negatives by positive rank so the pairing is itself
+    reproducible. The end of the recsys training-data path: sequence
+    models consume q_seq_windows, pairwise losses consume these triples,
+    and both inherit the negatives' no-leakage guarantee (plus its
+    disjointness test).
+
+    Scale shape: positives are ranked by one user-keyed window over the
+    first-seen aggregate; the pairing join is user-keyed on the same
+    partitioning (negatives are K rows per user — never amplifying);
+    output is positives-sized. All columns exact integers."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    fs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .agg(F.min("o_orderdate").alias("m"))
+    )
+    wp = Window.partitionBy("u").orderBy("m", "i")
+    pos = fs.select(
+        "u",
+        F.col("i").alias("pos_item"),
+        F.row_number().over(wp).cast("long").alias("rp"),
+    )
+    negs = negatives_ranked(spark, sf_dir)
+    return (
+        pos.join(
+            negs,
+            (pos.u == negs.u)
+            & (negs.rnk == ((pos.rp - 1) % NEG_K) + 1),
+        )
+        .select(
+            pos.u.alias("user_id"),
+            "pos_item",
+            F.col("cand_i").alias("neg_item"),
+            "rp",
+        )
     )
