@@ -37,6 +37,13 @@ FUSE_TOP = 20  # fused results returned
 _COSINE_CTES_SPLICE = COSINE_SCORED_CTES.replace("\nWITH ", ",\n", 1).replace(
     "), scored AS (", "), scored2 AS ("
 )
+# Guard the string surgery: if either fragment's formatting or CTE naming
+# drifts, the replaces silently no-op and the fusion oracle becomes invalid
+# SQL (or worse, valid-but-wrong). Fail at import instead.
+assert COSINE_SCORED_CTES.startswith("\nWITH "), "cosine CTE shape drifted"
+assert _COSINE_CTES_SPLICE.startswith(",\n"), "cosine 'WITH' splice no-opped"
+assert "scored2" in _COSINE_CTES_SPLICE, "cosine CTE 'scored' rename no-opped"
+assert "scored" in BM25_SCORED_CTES and "scored2" not in BM25_SCORED_CTES
 
 _FUSION_ORACLE = (
     BM25_SCORED_CTES

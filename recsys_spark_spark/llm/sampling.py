@@ -415,14 +415,16 @@ def q_training_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: positives are ranked by one user-keyed window over the
     first-seen aggregate; the pairing join is user-keyed on the same
     partitioning (negatives are K rows per user — never amplifying);
-    output is positives-sized. All columns exact integers."""
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    fs = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
-        .agg(F.min("o_orderdate").alias("m"))
-    )
+    output is positives-sized. All columns exact integers.
+
+    The first-seen (u, i, min orderdate) table is THE shared derived table
+    of the recsys path — q_cf_incremental_cooc and q_seq_windows consume the
+    same persisted cf.itemcf._first_seen, so this query reuses it rather
+    than re-deriving the orders⋈lineitem aggregate (one definition, one
+    materialization)."""
+    from recsys_spark_spark.cf.itemcf import _first_seen
+
+    fs = _first_seen(spark, sf_dir)
     wp = Window.partitionBy("u").orderBy("m", "i")
     pos = fs.select(
         "u",

@@ -451,7 +451,7 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sql_scripting",
     oracle="""
 WITH floor_bal AS (
-  SELECT SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) // COUNT(*) AS cents
+  SELECT GREATEST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) // COUNT(*), 0) AS cents
   FROM customer
 )
 SELECT c_nationkey, COUNT(*) AS n_rich
@@ -471,10 +471,13 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     while every individual statement still compiles through Catalyst.
 
     Determinism discipline: the balance threshold is an exact integer
-    (cent-sum // count, both engines' integer division truncating toward
-    zero on positives) rather than AVG(double), so the comparison can
-    never flip on summation-order low bits. The oracle states the same
-    computation declaratively — proving the scripted control flow changes
+    (cent-sum // count) rather than AVG(double), so the comparison can
+    never flip on summation-order low bits. DuckDB's `//` FLOORS while
+    Spark's `DIV` TRUNCATES toward zero — they agree only on non-negative
+    numerators, so both sides clamp with GREATEST(..., 0): for a negative
+    cent-sum floor/trunc differ by at most one but both are ≤ 0, and the
+    clamp maps either to exactly 0. The oracle states the same computation
+    declaratively — proving the scripted control flow changes
     orchestration, not semantics."""
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(
@@ -483,7 +486,7 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
           DECLARE floor_cents BIGINT DEFAULT 0;
           DECLARE min_n INT DEFAULT 0;
           SET floor_cents = (
-            SELECT SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) DIV COUNT(*)
+            SELECT GREATEST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) DIV COUNT(*), 0)
             FROM customer
           );
           WHILE min_n < 3 DO

@@ -503,18 +503,31 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 from contextlib import contextmanager
 
 
+_UNSET = object()  # sentinel: conf had no explicit session-level entry
+
+
 @contextmanager
 def pinned_confs(spark: SparkSession, confs: dict):
     """Set session confs for a scoped execution, restoring prior values
-    (or unsetting) on exit — shared by q_join_bloom and its plan test."""
-    saved = {k: spark.conf.get(k, None) for k in confs}
+    (or unsetting) on exit — shared by q_join_bloom and its plan test.
+
+    `spark.conf.get(k, None)` returns the EFFECTIVE default (not None) for
+    confs the session never set, so restoring that value would permanently
+    pin defaults (e.g. autoBroadcastJoinThreshold) as explicit session
+    confs after the first use. The session-state `contains()` check
+    distinguishes explicitly-set from defaulted confs so the latter are
+    unset — not re-set to their captured default — on exit."""
+    jconf = spark._jsparkSession.sessionState().conf()
+    saved = {
+        k: (spark.conf.get(k) if jconf.contains(k) else _UNSET) for k in confs
+    }
     for k, v in confs.items():
         spark.conf.set(k, v)
     try:
         yield
     finally:
         for k, v in saved.items():
-            if v is None:
+            if v is _UNSET:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
@@ -616,12 +629,17 @@ def q_join_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (c_nationkey = s_nationkey) that links the two dim arms.
 
     Plan intent: orders is filtered by year BEFORE its join (pushed scan
-    predicate); supplier/customer/nation/region broadcast (dim-sized);
-    the only shuffle key is l_orderkey = o_orderkey — the same
-    one-fact-exchange shape as q_join_multiway, with the nation equality
-    applied as a post-broadcast filter, never a shuffle of its own. At
-    100 TB both facts arrive partitioned by orderkey (bucketing twin:
-    q_join_bucketed) and the exchange disappears."""
+    predicate); supplier/nation/region broadcast (true dims — fixed 25/5
+    rows or sf×10k); customer is deliberately NOT hint-broadcast: it is a
+    scaling table (sf×150k rows — multi-GB at 100 TB, and an explicit
+    F.broadcast cannot be demoted by AQE), so it joins on o_custkey and
+    AQE picks broadcast-vs-shuffle from its runtime size (at test SFs AQE
+    still chooses broadcast on its own; at 100× it degrades safely to a
+    keyed exchange). The fact-side shuffle key is l_orderkey = o_orderkey —
+    the same shape as q_join_multiway, with the nation equality applied as
+    a post-broadcast filter, never a shuffle of its own. At 100 TB both
+    facts arrive partitioned by orderkey (bucketing twin: q_join_bucketed)
+    and the exchange disappears."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -633,7 +651,7 @@ def q_join_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))

@@ -86,7 +86,30 @@ FROM agg
 def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: multi-key sort with explicit null ordering (desc_nulls_last) —
     Spark's default (nulls first on asc) differs from DuckDB's, so both sides
-    pin NULLS LAST explicitly (SURVEY.md §7.5)."""
+    pin NULLS LAST explicitly (SURVEY.md §7.5).
+
+    Global position WITHOUT a global window: an unpartitioned
+    ``Window.orderBy`` funnels the whole customer-sized aggregate through one
+    task (Spark's "No Partition Defined" warning — fatal at 100×). Instead
+    the rank is distributed by VALUE-bucketing the sort key (range
+    partitioning by data values, not physical partition ids, so correctness
+    never depends on exchange reuse or sampling):
+
+      1. ~equi-frequency bucket boundaries from one ``approx_percentile``
+         over the sort column (a 1-row aggregate, broadcast);
+      2. each row's bucket = #boundaries strictly greater than its value
+         (buckets are monotone in the DESC total order; NULLs → last
+         bucket, matching desc_nulls_last);
+      3. local rank via a window PARTITIONED by bucket — parallel, one
+         keyed exchange;
+      4. per-bucket row counts (≤ nbuckets+1 rows) → cumulative offsets by
+         a triangular self-join over that tiny table (bounded by buckets²,
+         never by data), broadcast back; ``pos = offset + local rank``.
+
+    Boundary placement only moves rows between buckets — every bucket
+    carries ALL rows in its value range and ties share a bucket, so pos is
+    exact for any boundary set (plan-asserted distributed in
+    tests/test_plans.py::test_sort_multi_rank_is_distributed)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     agg = (
@@ -94,7 +117,40 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.max("o_totalprice").alias("max_price"))
     )
-    w = Window.orderBy(F.col("max_price").desc_nulls_last(), F.col("c_custkey"))
-    return agg.select(
-        "c_custkey", "max_price", F.row_number().over(w).cast("long").alias("pos")
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pcts = [i / nb for i in range(1, nb)]
+    bounds = agg.agg(
+        F.percentile_approx("max_price", pcts, 10_000).alias("_bounds")
+    )
+    bucketed = (
+        agg.join(F.broadcast(bounds))  # 1-row cross: attaches boundaries
+        .withColumn(
+            "_bkt",
+            F.when(
+                F.col("max_price").isNull(), F.lit(nb)  # NULLS LAST
+            ).otherwise(
+                F.size(
+                    F.filter(
+                        "_bounds", lambda b: b > F.col("max_price")
+                    )
+                )
+            ),
+        )
+        .drop("_bounds")
+    )
+    wb = Window.partitionBy("_bkt").orderBy(
+        F.col("max_price").desc_nulls_last(), F.col("c_custkey")
+    )
+    ranked = bucketed.withColumn("_rn", F.row_number().over(wb))
+    counts = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    offsets = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b._bkt") < F.col("a._bkt"), "left")
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
+    )
+    return ranked.join(F.broadcast(offsets), "_bkt").select(
+        "c_custkey",
+        "max_price",
+        (F.col("_off") + F.col("_rn")).cast("long").alias("pos"),
     )

@@ -384,15 +384,33 @@ def test_bloom_join_injects_runtime_filter(spark):
     assert "might_contain" in plan
 
 
-def test_regional_revenue_broadcasts_all_dims(spark):
-    # Q5 shape: four dim arms broadcast; the only permissible exchanges are
-    # the fact-side join key and the final aggregate — never a cartesian,
-    # never a dim-sized shuffle
-    plan = plan_of(spark, "q_join_regional_revenue")
-    assert plan.count("BroadcastHashJoin") >= 3
+def test_regional_revenue_broadcasts_true_dims_only(spark):
+    # Q5 shape: the three TRUE dims (supplier/nation/region) broadcast via
+    # explicit hints; customer (a scaling table) must NOT carry a forced
+    # broadcast — with auto-broadcast disabled it has to arrive through a
+    # keyed exchange (SortMergeJoin), proving no un-demotable hint is pinned
+    # on it. Never a cartesian.
+    from recsys_spark_spark.operators.joins import pinned_confs
+
+    with pinned_confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        plan = plan_of(spark, "q_join_regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3  # s, n, r keep their hints
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan  # customer
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert shuffle_stage_count(plan) <= 3
+
+
+def test_sort_multi_rank_is_distributed(spark):
+    # the global position must NOT come from an unpartitioned window: every
+    # Window node carries the bucket partition key, and the only join shapes
+    # are the tiny broadcast offset joins + the triangular counts join
+    from recsys_spark_spark.plans.audit import join_lines
+
+    plan = plan_of(spark, "q_sort_multi")
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln and "windowspecdefinition" in ln]
+    assert window_lines, "expected a Window node"
+    assert all("_bkt" in ln for ln in window_lines), window_lines
+    assert "CartesianProduct" not in plan
 
 
 def test_corpus_mix_is_shuffle_free(spark):
