@@ -5,16 +5,21 @@ column that never leaves the executors; metadata (shape, codec, checksum)
 travels in typed columns; decode/feature-extraction runs as Arrow-batched
 mapInPandas so one Python worker processes a whole batch.
 
-No media libraries exist in this container, so the decode step is a
-clearly-marked deterministic stub (_fake_decode) — the Spark-side plumbing
-(schema, batching, partition layout, UDF signature) is real and tested.
+The codec layer is REAL (llm/codecs.py): a full 24-bit BMP writer/parser
+(magic, BITMAPINFOHEADER, row padding, bottom-up/top-down rows) and a
+RIFF/WAVE PCM writer/chunk-walking parser, both pure struct+numpy. The test
+corpus carries no media files, so payloads are synthesized deterministically
+from document text (codecs.pixels_from_bytes / samples_from_bytes) — the
+synthesis stands in for a camera/microphone; every byte after it moves
+through genuine container parsing. Decoders are pinned against hand-built
+files (including shapes the encoders never emit) in tests/test_multimodal.py.
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,6 +27,7 @@ from pyspark.sql import functions as F
 
 from recsys_spark_spark.catalog import table
 from recsys_spark_spark.functions.determinism import rlong
+from recsys_spark_spark.llm import codecs
 from recsys_spark_spark.registry import query
 
 
@@ -60,147 +66,160 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, float]:
-    """STUB decoder — stands in for image/audio decode (no media libs in this
-    container). Deterministic: derives (width, height, mean_intensity) from
-    the payload's sha1. A real deployment swaps in PIL/ffmpeg here; the
-    dataflow around it is unchanged."""
-    h = hashlib.sha1(payload).digest()
-    width = 16 + h[0] % 64
-    height = 16 + h[1] % 64
-    mean_intensity = round(int.from_bytes(h[2:4], "big") / 65535.0, 6)
-    return width, height, mean_intensity
+def _bmp_payloads(texts: pd.Series) -> list[bytes]:
+    """Synthesize a real BMP container per document (camera stand-in)."""
+    return [
+        codecs.encode_bmp(codecs.pixels_from_bytes(t.encode("utf-8")))
+        for t in texts
+    ]
 
 
-@query("q_multimodal_features")  # rows-only: stubbed decoder, not SQL-expressible
+@query("q_multimodal_features")  # rows-only: binary decode, not SQL-expressible
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J-mm: binary-column feature extraction via Arrow-batched mapInPandas.
+    """J-mm: image feature extraction via Arrow-batched mapInPandas with a
+    REAL BMP decode (codecs.decode_bmp — header parse, row-padding stride,
+    bottom-up rows), emitting dims and exact per-channel means.
 
-    documents.text is encoded to a binary payload column (standing in for an
-    image blob), then 'decoded' per batch. At scale: repartition by a
-    size-balancing key first so decode batches are even."""
+    Means are computed as integer sums over uint8 pixels divided once
+    (exact int64 arithmetic, one deterministic double division, round 6) —
+    the same determinism discipline as the SQL paths. At scale: repartition
+    by a size-balancing key first so decode batches are even."""
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(p) for p in pdf["payload"]]
+            payloads = _bmp_payloads(pdf["text"])
+            widths, heights, mr, mg, mb = [], [], [], [], []
+            for p in payloads:
+                px = codecs.decode_bmp(p)
+                h, w, _ = px.shape
+                widths.append(w)
+                heights.append(h)
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                npx = h * w
+                mr.append(round(float(sums[0]) / npx, 6))
+                mg.append(round(float(sums[1]) / npx, 6))
+                mb.append(round(float(sums[2]) / npx, 6))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload_bytes": pdf["payload"].map(len).astype("int64"),
-                    "width": pd.Series([f[0] for f in feats], dtype="int64"),
-                    "height": pd.Series([f[1] for f in feats], dtype="int64"),
-                    "mean_intensity": pd.Series([f[2] for f in feats], dtype="float64"),
+                    "payload_bytes": pd.Series(
+                        [len(p) for p in payloads], dtype="int64"
+                    ),
+                    "width": pd.Series(widths, dtype="int64"),
+                    "height": pd.Series(heights, dtype="int64"),
+                    "mean_r": pd.Series(mr, dtype="float64"),
+                    "mean_g": pd.Series(mg, dtype="float64"),
+                    "mean_b": pd.Series(mb, dtype="float64"),
                 }
             )
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(
         decode_batch,
-        "doc_id long, payload_bytes long, width long, height long, mean_intensity double",
+        "doc_id long, payload_bytes long, width long, height long, "
+        "mean_r double, mean_g double, mean_b double",
     )
 
 
-def _fake_frame_count(payload: bytes) -> int:
-    """STUB container probe — stands in for reading a video header."""
-    return 1 + payload[0] % 7 if payload else 1
+FRAME_SIZE = 256  # PCM samples per frame
+FRAME_STRIDE = 2  # keep every 2nd frame
 
 
-FRAME_STRIDE = 2
-
-
-@query("q_multimodal_frames")  # rows-only: stubbed decoder, not SQL-expressible
+@query("q_multimodal_frames")  # rows-only: binary decode, not SQL-expressible
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J-mm2: video-shaped frame sampling — the fan-OUT mapInPandas shape
-    (one input row → several frame rows), complementing q_multimodal_features'
-    1:1 shape.
+    """J-mm2: audio frame sampling — the fan-OUT mapInPandas shape (one
+    input row → several frame rows), complementing q_multimodal_features'
+    1:1 shape, with a REAL RIFF/WAVE PCM decode (codecs.decode_wav —
+    chunk walking, fmt validation, word alignment).
 
-    The payload stands in for a video container; every FRAME_STRIDE-th frame
-    is 'decoded' (deterministic stub — a real deployment swaps in
-    ffmpeg/pyav) into per-frame features. The Arrow batch contract is the
-    part that matters at 100 TB: the worker expands each batch in pandas
-    (no per-row Python round-trips), output rows carry (doc_id, frame_idx)
-    so downstream joins/apply steps stay shuffle-keyed, and a
-    size-balancing repartition upstream keeps decode batches even."""
+    The payload is a real WAV container synthesized from the document
+    text; the decoder splits the PCM stream into FRAME_SIZE-sample frames
+    and keeps every FRAME_STRIDE-th, emitting per-frame RMS energy (exact
+    int64 sum of squares, one double division+sqrt). The Arrow batch
+    contract is the part that matters at 100 TB: the worker expands each
+    batch in pandas (no per-row Python round-trips), output rows carry
+    (doc_id, frame_idx) so downstream joins stay shuffle-keyed."""
 
     def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             doc_ids: list[int] = []
             frame_idxs: list[int] = []
-            feats: list[float] = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = _fake_frame_count(payload)
-                for idx in range(0, n, FRAME_STRIDE):
-                    h = hashlib.sha1(payload + idx.to_bytes(4, "big")).digest()
+            n_samples: list[int] = []
+            rms: list[float] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                wav = codecs.encode_wav(
+                    codecs.samples_from_bytes(text.encode("utf-8"))
+                )
+                _rate, samples = codecs.decode_wav(wav)
+                n_frames = -(-len(samples) // FRAME_SIZE)
+                for idx in range(0, n_frames, FRAME_STRIDE):
+                    frame = samples[idx * FRAME_SIZE : (idx + 1) * FRAME_SIZE]
+                    sq = int(
+                        np.sum(frame.astype(np.int64) * frame.astype(np.int64))
+                    )
                     doc_ids.append(doc_id)
                     frame_idxs.append(idx)
-                    feats.append(round(int.from_bytes(h[:4], "big") / 2**32, 6))
+                    n_samples.append(len(frame))
+                    rms.append(round(float(np.sqrt(sq / len(frame))), 6))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(doc_ids, dtype="int64"),
                     "frame_idx": pd.Series(frame_idxs, dtype="int64"),
-                    "frame_feature": pd.Series(feats, dtype="float64"),
+                    "n_samples": pd.Series(n_samples, dtype="int64"),
+                    "rms": pd.Series(rms, dtype="float64"),
                 }
             )
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        sample_frames, "doc_id long, frame_idx long, n_samples long, rms double"
     )
-    return d.mapInPandas(sample_frames, "doc_id long, frame_idx long, frame_feature double")
 
 
 # --------------------------------------------------------------------------
 # J-mm3: resize transform (1 -> 1 binary-to-binary with metadata)
 # --------------------------------------------------------------------------
 
-RESIZE_TARGET = 32  # target long-edge "pixels" for the stub
+RESIZE_TARGET = 32  # target long-edge pixels
 
 
-def _fake_resize(payload: bytes, target: int) -> tuple[bytes, int, int]:
-    """STUB resizer — stands in for an image resample (no media libs in
-    this container). Deterministic: the 'resized' payload is a sha1-keyed
-    byte string whose length scales with target², and the output dims
-    preserve the fake aspect ratio from _fake_decode. A real deployment
-    swaps in PIL's resize; everything around it is unchanged."""
-    w, h, _ = _fake_decode(payload)
-    scale = target / max(w, h)
-    out_w, out_h = max(1, round(w * scale)), max(1, round(h * scale))
-    seed = hashlib.sha1(payload + target.to_bytes(2, "big")).digest()
-    out = (seed * ((out_w * out_h) // len(seed) + 1))[: out_w * out_h]
-    return out, out_w, out_h
-
-
-@query("q_multimodal_resize")  # rows-only: stubbed resampler, not SQL-expressible
+@query("q_multimodal_resize")  # rows-only: binary re-encode, not SQL-expressible
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-mm3: binary-to-binary resize — the 1→1 media transform shape that
-    completes the multimodal plumbing set (decode = q_multimodal_features,
-    frame-sample = q_multimodal_frames). The payload goes IN as binary and
-    comes OUT as binary plus new dimension metadata, through one
-    Arrow-batched mapInPandas pass — the pattern for any re-encode step
-    (resize, transcode, crop) in a 100 TB media pipeline: per-row, schema-
-    stable, shuffle-free, with the output column typed `binary` so
-    downstream stages chain the same way. Output asserts ride the emitted
-    dims/bytes (tests), since the stub resampler is not SQL-expressible."""
+    completes the multimodal set (decode = q_multimodal_features,
+    frame-sample = q_multimodal_frames). A REAL decode→resample→re-encode
+    chain: BMP parse, nearest-neighbor resample to a {RESIZE_TARGET}px long
+    edge preserving aspect (codecs.resize_nearest), BMP re-encode. The
+    payload goes IN as binary and comes OUT as binary plus new dimension
+    metadata through one Arrow-batched mapInPandas pass — the pattern for
+    any re-encode step (resize, transcode, crop) in a 100 TB media
+    pipeline: per-row, schema-stable, shuffle-free, output column typed
+    `binary` so downstream stages chain the same way."""
 
     def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            outs = [_fake_resize(p, RESIZE_TARGET) for p in pdf["payload"]]
+            resized: list[bytes] = []
+            out_w: list[int] = []
+            out_h: list[int] = []
+            for p in _bmp_payloads(pdf["text"]):
+                px = codecs.resize_nearest(codecs.decode_bmp(p), RESIZE_TARGET)
+                h, w, _ = px.shape
+                resized.append(codecs.encode_bmp(px))
+                out_w.append(w)
+                out_h.append(h)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "resized": [o[0] for o in outs],
-                    "out_w": pd.Series([o[1] for o in outs], dtype="int64"),
-                    "out_h": pd.Series([o[2] for o in outs], dtype="int64"),
+                    "resized": resized,
+                    "out_w": pd.Series(out_w, dtype="int64"),
+                    "out_h": pd.Series(out_h, dtype="int64"),
                     "out_bytes": pd.Series(
-                        [len(o[0]) for o in outs], dtype="int64"
+                        [len(r) for r in resized], dtype="int64"
                     ),
                 }
             )
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(
         resize_batch,
         "doc_id long, resized binary, out_w long, out_h long, out_bytes long",
