@@ -445,3 +445,65 @@ def q_training_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rp",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# M99: exact stratified sampling (per-stratum quota, content-addressed)
+# --------------------------------------------------------------------------
+
+STRAT_PCT = 20  # keep ceil(20%) of each stratum
+
+
+@query(
+    "q_stratified_sample_exact",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000000 AS draw
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY draw, doc_id)
+              AS BIGINT) AS rnk,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM keyed
+)
+SELECT doc_id, lang, rnk
+FROM ranked
+WHERE rnk <= (n_lang * {STRAT_PCT} + 99) // 100
+""",
+)
+def q_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M99: EXACT stratified sampling — exactly ceil({STRAT_PCT}% · n_g)
+    documents from every lang stratum, not the in-expectation rate of
+    q_sample_hash/q_sample_balanced. Selection order within a stratum is
+    the content-addressed draw (md5(doc_id) over 1e6 buckets, doc_id
+    tiebreak), so the sample is pseudorandom, reproducible, and STABLE
+    under corpus growth in the same way as the other samplers: a document's
+    draw never changes, so it only leaves the sample when enough
+    lower-draw documents join its stratum.
+
+    Scale shape: one lang-keyed window computes both the rank and the
+    stratum size (same partitioning, one exchange); the quota filter is a
+    rank predicate, so WindowGroupLimit-style pruning applies per stratum.
+    ceil is integer arithmetic ((n·pct + 99) DIV 100) on both engines —
+    no float thresholds to diverge."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 1_000_000
+        ).alias("draw"),
+    )
+    w = Window.partitionBy("lang").orderBy("draw", "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    return ranked.where(
+        F.col("rnk") <= F.expr(f"(n_lang * {STRAT_PCT} + 99) DIV 100")
+    ).select("doc_id", "lang", "rnk")

@@ -575,3 +575,113 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("sec") - F.unix_timestamp("last_touch.t_sec")
         ).alias("lag_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# M100: decile lift / gains analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_decile_lift",
+    oracle="""
+WITH scored AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS spend_cents,
+         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS responded
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT spend_cents, responded,
+         ROW_NUMBER() OVER (ORDER BY spend_cents DESC, custkey) AS pos,
+         COUNT(*) OVER () AS n_total
+  FROM scored
+), deciles AS (
+  SELECT CAST(((pos - 1) * 10) // n_total + 1 AS BIGINT) AS decile,
+         COUNT(*) AS n_cust,
+         CAST(SUM(responded) AS BIGINT) AS n_resp,
+         CAST(SUM(spend_cents) AS BIGINT) AS spend_cents
+  FROM ranked GROUP BY 1
+), totals AS (
+  SELECT SUM(n_cust) AS t_cust, SUM(n_resp) AS t_resp FROM deciles
+), cum AS (
+  SELECT d.decile, d.n_cust, d.n_resp, d.spend_cents,
+         (SELECT COALESCE(SUM(d2.n_resp), 0) FROM deciles d2
+          WHERE d2.decile <= d.decile) AS cum_resp
+  FROM deciles d
+)
+SELECT decile, n_cust, n_resp, spend_cents,
+       ROUND(n_resp * 1.0 / n_cust, 6) AS response_rate,
+       ROUND((n_resp * t_cust) * 1.0 / (n_cust * t_resp), 6) AS lift,
+       ROUND(cum_resp * 1.0 / t_resp, 6) AS cum_gain
+FROM cum, totals
+""",
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M100: decile lift & cumulative-gains table — the standard offline
+    evaluation of a propensity score (here: customer spend as the score,
+    'placed an URGENT order' as the response). Customers are ranked by
+    score, cut into 10 equal-population deciles, and each decile reports
+    response rate, lift over the base rate, and cumulative gain — the
+    judge of whether a targeting model beats random at every depth.
+
+    Scale shape: the global rank comes from operators.sorts.global_rank
+    (value-bucketed distributed rank — no unpartitioned window); deciles
+    are ``((pos-1)·10) DIV n`` with n from a 1-row broadcast; the decile
+    table is 10 rows, so its cumulative sum is a triangular self-join
+    bounded by 100 pairs, never by data. Ratios are single divisions of
+    exact integer products, rounded once — identical IEEE doubles on both
+    engines."""
+    from recsys_spark_spark.operators.sorts import global_rank
+
+    o = table(spark, sf_dir, "orders")
+    scored = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(rlong(F.col("o_totalprice") * 100)).cast("long").alias("spend_cents"),
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("responded"),
+    )
+    ranked = global_rank(
+        spark, scored, value_col="spend_cents", tiebreak="custkey", pos_col="pos"
+    )
+    n_total = scored.agg(F.count(F.lit(1)).alias("n_total"))
+    deciles = (
+        ranked.join(F.broadcast(n_total))
+        .groupBy(
+            F.expr("CAST(((pos - 1) * 10) DIV n_total + 1 AS BIGINT)").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("responded").cast("long").alias("n_resp"),
+            F.sum("spend_cents").cast("long").alias("spend_cents"),
+        )
+    )
+    totals = deciles.agg(
+        F.sum("n_cust").alias("t_cust"), F.sum("n_resp").alias("t_resp")
+    )
+    cum = (
+        deciles.alias("d")
+        .join(
+            F.broadcast(deciles.alias("d2")),
+            F.col("d2.decile") <= F.col("d.decile"),
+        )
+        .groupBy(
+            F.col("d.decile").alias("decile"),
+            F.col("d.n_cust").alias("n_cust"),
+            F.col("d.n_resp").alias("n_resp"),
+            F.col("d.spend_cents").alias("spend_cents"),
+        )
+        .agg(F.sum("d2.n_resp").alias("cum_resp"))
+    )
+    return cum.join(F.broadcast(totals)).select(
+        "decile",
+        "n_cust",
+        "n_resp",
+        "spend_cents",
+        F.round(F.col("n_resp") * 1.0 / F.col("n_cust"), 6).alias("response_rate"),
+        F.round(
+            (F.col("n_resp") * F.col("t_cust")) * 1.0
+            / (F.col("n_cust") * F.col("t_resp")),
+            6,
+        ).alias("lift"),
+        F.round(F.col("cum_resp") * 1.0 / F.col("t_resp"), 6).alias("cum_gain"),
+    )

@@ -117,30 +117,49 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.max("o_totalprice").alias("max_price"))
     )
+    ranked = global_rank(
+        spark, agg, value_col="max_price", tiebreak="c_custkey", pos_col="pos"
+    )
+    return ranked.select("c_custkey", "max_price", "pos")
+
+
+def global_rank(
+    spark: SparkSession,
+    df: DataFrame,
+    value_col: str,
+    tiebreak: str,
+    pos_col: str = "pos",
+    descending: bool = True,
+) -> DataFrame:
+    """Distributed exact global rank (1-based, gapless) over
+    (value_col DESC NULLS LAST | ASC NULLS LAST, tiebreak) — the shared
+    scale-safe replacement for an unpartitioned ``row_number`` window
+    (used by q_sort_multi and q_decile_lift).
+
+    Buckets are VALUE-determined (approx_percentile boundaries broadcast
+    from a 1-row aggregate), so correctness never depends on physical
+    partition ids, exchange reuse, or sampling: boundary placement only
+    moves rows between buckets — each bucket still holds ALL rows of its
+    value range and ties share a bucket, so offset + local rank is exact
+    for any boundary set. Appends `pos_col` (long); input columns pass
+    through."""
     nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pcts = [i / nb for i in range(1, nb)]
-    bounds = agg.agg(
-        F.percentile_approx("max_price", pcts, 10_000).alias("_bounds")
-    )
+    v = F.col(value_col)
+    bounds = df.agg(F.percentile_approx(value_col, pcts, 10_000).alias("_bounds"))
+    in_front = (lambda b: b > v) if descending else (lambda b: b < v)
     bucketed = (
-        agg.join(F.broadcast(bounds))  # 1-row cross: attaches boundaries
+        df.join(F.broadcast(bounds))  # 1-row cross: attaches boundaries
         .withColumn(
             "_bkt",
-            F.when(
-                F.col("max_price").isNull(), F.lit(nb)  # NULLS LAST
-            ).otherwise(
-                F.size(
-                    F.filter(
-                        "_bounds", lambda b: b > F.col("max_price")
-                    )
-                )
+            F.when(v.isNull(), F.lit(nb)).otherwise(  # NULLS LAST
+                F.size(F.filter("_bounds", in_front))
             ),
         )
         .drop("_bounds")
     )
-    wb = Window.partitionBy("_bkt").orderBy(
-        F.col("max_price").desc_nulls_last(), F.col("c_custkey")
-    )
+    order = v.desc_nulls_last() if descending else v.asc_nulls_last()
+    wb = Window.partitionBy("_bkt").orderBy(order, F.col(tiebreak))
     ranked = bucketed.withColumn("_rn", F.row_number().over(wb))
     counts = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
     offsets = (
@@ -149,8 +168,8 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a._bkt").alias("_bkt"))
         .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
     )
-    return ranked.join(F.broadcast(offsets), "_bkt").select(
-        "c_custkey",
-        "max_price",
-        (F.col("_off") + F.col("_rn")).cast("long").alias("pos"),
+    return (
+        ranked.join(F.broadcast(offsets), "_bkt")
+        .withColumn(pos_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_bkt", "_rn", "_off")
     )

@@ -401,3 +401,70 @@ def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# M96: batch gap-sessionization (30-minute inactivity boundary)
+# --------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800  # 30-minute inactivity closes a session
+
+
+@query(
+    "q_sessionize_batch",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN prev_ts IS NULL
+                OR date_diff('second', prev_ts, ts) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_s,
+       CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS end_s,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM numbered
+GROUP BY 1, 2
+""",
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M96: batch sessionization by inactivity gap — the gaps-and-islands
+    form of what q_stream_session does with session_window: a session
+    boundary opens wherever a user's gap to the previous event exceeds
+    SESSION_GAP_S, sessions are numbered per user by a running sum of
+    boundary flags, then one aggregation emits per-session span/volume.
+
+    This is the BATCH twin with *event-chain* semantics (a session extends
+    as long as consecutive events stay within the gap — unbounded total
+    duration), the standard offline definition for training-data
+    sessionization. Scale shape: one user-keyed window sort feeds both the
+    lag and the running sum (same partitioning, one exchange), the final
+    aggregate is keyed by (user, session) — a superset key, so no third
+    full-data exchange is required beyond the hash agg's own; no global
+    state, no driver loops. Epoch-second outputs dodge cross-engine
+    timestamp dtypes (same discipline as q_scd2_events)."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    numbered = e.withColumn(
+        "session_id",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.unix_timestamp(F.min("ts")).alias("start_s"),
+        F.unix_timestamp(F.max("ts")).alias("end_s"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(rlong(F.col("value") * 100)).cast("long").alias("value_cents"),
+    )

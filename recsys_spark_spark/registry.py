@@ -64,6 +64,7 @@ _QUERY_MODULES = (
     "recsys_spark_spark.operators.sets",
     "recsys_spark_spark.operators.extras",
     "recsys_spark_spark.operators.analytics",
+    "recsys_spark_spark.operators.layout",
     "recsys_spark_spark.functions.scalar",
     "recsys_spark_spark.cf.itemcf",
     "recsys_spark_spark.cf.evaluate",
@@ -142,12 +143,12 @@ _R5_WINDOW = (
     "q_stream_dedup",
     "q_stream_anomaly",
     # -- new in round 5 --
-    # "q_sink_merge",
-    # "q_sessionize_batch",
-    # "q_zorder_layout",
-    # "q_compact_files_plan",
-    # "q_stratified_sample_exact",
-    # "q_decile_lift",
+    "q_sink_merge",
+    "q_sessionize_batch",
+    "q_zorder_layout",
+    "q_compact_files_plan",
+    "q_stratified_sample_exact",
+    "q_decile_lift",
 )
 
 _loaded = False

@@ -287,3 +287,131 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rlong(F.col("c_acctbal") * 100)).alias("bal_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sink-M6: full MERGE INTO semantics (lakehouse upsert+delete+insert)
+# --------------------------------------------------------------------------
+
+MERGE_PURGE_N = 25  # matched customers with more than this many 1995 orders are deleted
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    matched_delete,
+    matched_update: dict,
+    insert_values: dict,
+) -> DataFrame:
+    """Engine-side MERGE INTO: one co-partitioned FULL OUTER join on the key,
+    then per-row CASE routing — the exact semantics of
+    ``MERGE INTO t USING s ON t.k = s.k
+      WHEN MATCHED AND <delete> THEN DELETE
+      WHEN MATCHED THEN UPDATE SET <update>
+      WHEN NOT MATCHED THEN INSERT <insert>``.
+
+    This is what Delta/Iceberg MERGE compiles to under the hood (join +
+    rewrite); with no ACID table format in this container the transactional
+    commit is the staging-swap from upsert_parquet, and THIS function is the
+    engine work that would be identical on either. Columns named in
+    matched_update / insert_values are expressions over the joined row; the
+    target's other rows pass through untouched. One shuffle per side (both
+    keyed on `key`); at 100 TB both sides arrive bucketed by the key and the
+    join is exchange-free (q_join_bucketed's layout argument)."""
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    t_k, s_k = F.col(f"t.{key}"), F.col(f"s.{key}")
+    matched = t_k.isNotNull() & s_k.isNotNull()
+    # WHEN MATCHED AND delete-cond THEN DELETE
+    kept = joined.where(~(matched & matched_delete))
+    cols = []
+    for name in target.columns:
+        if name == key:
+            cols.append(F.coalesce(t_k, s_k).alias(name))
+            continue
+        upd = matched_update.get(name, F.col(f"t.{name}"))
+        ins = insert_values.get(name, F.lit(None))
+        cols.append(
+            F.when(matched, upd)
+            .when(t_k.isNotNull(), F.col(f"t.{name}"))  # target-only: keep
+            .otherwise(ins)  # source-only: insert
+            .alias(name)
+        )
+    return kept.select(*cols)
+
+
+@query(
+    "q_sink_merge",
+    oracle=f"""
+WITH tgt AS (
+  SELECT c_custkey AS custkey,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+         CAST(0 AS BIGINT) AS n_orders
+  FROM customer WHERE c_custkey % 2 = 0
+), src AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+         COUNT(*) AS n
+  FROM orders WHERE year(o_orderdate) = 1995
+  GROUP BY 1
+)
+SELECT COALESCE(t.custkey, s.custkey) AS custkey,
+       CASE WHEN t.custkey IS NOT NULL AND s.custkey IS NOT NULL
+              THEN t.bal_cents + s.cents
+            WHEN t.custkey IS NOT NULL THEN t.bal_cents
+            ELSE s.cents END AS bal_cents,
+       CASE WHEN t.custkey IS NOT NULL AND s.custkey IS NOT NULL THEN s.n
+            WHEN t.custkey IS NOT NULL THEN t.n_orders
+            ELSE s.n END AS n_orders
+FROM tgt t FULL OUTER JOIN src s ON t.custkey = s.custkey
+WHERE NOT (t.custkey IS NOT NULL AND s.custkey IS NOT NULL
+           AND s.n > {MERGE_PURGE_N})
+""",
+)
+def q_sink_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-M6: MERGE INTO round-trip — the lakehouse write path beyond
+    q_sink_upsert's replace-only semantics. Target = balance snapshot
+    seeded with even-keyed customers; source = per-customer 1995 order
+    deltas. Matched heavy churners (> MERGE_PURGE_N orders) are DELETEd,
+    other matches UPDATE (balance += delta cents, order count refreshed),
+    unmatched source customers INSERT. The merged state is committed via
+    the staging swap and read back; the oracle states the final table
+    closed-form as the equivalent FULL OUTER JOIN + CASE."""
+    from recsys_spark_spark.functions.determinism import rlong
+
+    out = os.path.join(TMP_DIR, "merge_target")
+    shutil.rmtree(out, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer")
+    target = cust.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        rlong(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        F.lit(0).cast("long").alias("n_orders"),
+    )
+    target.write.mode("overwrite").parquet(out)
+    o = table(spark, sf_dir, "orders")
+    source = (
+        o.where(F.year("o_orderdate") == 1995)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(rlong(F.col("o_totalprice") * 100)).cast("long").alias("cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    merged = merge_into(
+        spark.read.parquet(out),
+        source,
+        key="custkey",
+        matched_delete=F.col("s.n") > MERGE_PURGE_N,
+        matched_update={
+            "bal_cents": F.col("t.bal_cents") + F.col("s.cents"),
+            "n_orders": F.col("s.n"),
+        },
+        insert_values={"bal_cents": F.col("s.cents"), "n_orders": F.col("s.n")},
+    )
+    staging = out + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(staging, out)
+    return spark.read.parquet(out)

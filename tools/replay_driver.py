@@ -1,0 +1,120 @@
+"""Driver-window replay — mechanize the "would the driver's gate pass?"
+check the builder previously ran by hand (VERDICT round 4 #7).
+
+Reproduces the driver's harshest conditions, all of which have bitten at
+least once:
+
+- **cold import**: `__spark_entry__` imported in THIS fresh process, no
+  warm registry, no memoized handles;
+- **default-config session**: `SparkSession.builder.getOrCreate()` with NO
+  tuned confs — 200 shuffle partitions, no UTC pin, default AQE — so any
+  partition-count- or timezone-dependent result diverges here, not in the
+  driver;
+- **non-UTC host timezone**: TZ=Asia/Tokyo is set before any JVM/pyspark
+  import (re-exec if the parent already imported with another TZ);
+- **window order**: the first N (default 50) `queries()` entries in
+  registration order — exactly the slice the driver verifies;
+- **oracle compare**: exact sorted-column multiset equality against the
+  DuckDB `oracle_sql()` result (STRICTER than the driver's value hash);
+  entries without an oracle get the driver's weaker rows-only check.
+
+Usage:
+    python tools/replay_driver.py [--sf /root/testdata/sf0.01]
+                                  [--n 50] [--json REPLAY_r05.json]
+Exit code = number of failing entries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# TZ must be pinned before the JVM starts; re-exec if something already set
+# a different zone into this interpreter's environment.
+if os.environ.get("TZ") != "Asia/Tokyo":
+    os.environ["TZ"] = "Asia/Tokyo"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+time.tzset()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--n", type=int, default=50)
+    ap.add_argument("--json", dest="json_out", default=None)
+    args = ap.parse_args()
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod  # cold import, registration order
+
+    spark = SparkSession.builder.master("local[*]").getOrCreate()  # DEFAULT confs
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    window = list(queries)[: args.n]
+    report: dict[str, dict] = {}
+    n_fail = 0
+    for name in window:
+        t0 = time.time()
+        row: dict = {"ok": False, "err": None, "mode": None}
+        try:
+            sdf = queries[name](spark, args.sf).toPandas()
+            if name in oracles:
+                row["mode"] = "oracle"
+                odf = con.execute(oracles[name]).df()
+                cols = sorted(sdf.columns)
+                if cols != sorted(odf.columns):
+                    row["err"] = f"schema {cols} != {sorted(odf.columns)}"
+                elif len(sdf) != len(odf):
+                    row["err"] = f"rows {len(sdf)} != {len(odf)}"
+                else:
+                    a = sdf[cols].sort_values(cols).reset_index(drop=True)
+                    b = odf[cols].sort_values(cols).reset_index(drop=True)
+                    try:
+                        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+                        row["ok"] = True
+                    except AssertionError as ex:
+                        row["err"] = str(ex).splitlines()[0][:300]
+            else:
+                row["mode"] = "rows-only"
+                row["ok"] = len(sdf) >= 0  # runs + stable schema
+                row["rows"] = len(sdf)
+        except Exception as ex:  # noqa: BLE001 — every failure is a red row
+            row["err"] = f"{type(ex).__name__}: {ex}"[:300]
+        row["sec"] = round(time.time() - t0, 2)
+        report[name] = row
+        n_fail += 0 if row["ok"] else 1
+        print(
+            f"{'ok  ' if row['ok'] else 'FAIL'} {name} "
+            f"[{row['mode']}, {row['sec']}s]"
+            + (f" -- {row['err']}" if row["err"] else ""),
+            flush=True,
+        )
+
+    print(f"\n{len(window) - n_fail}/{len(window)} passed (window of {args.n})")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(report, f, indent=1)
+    return n_fail
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -55,6 +55,15 @@ PROBE_QUERIES = (
     "q_text_tfidf",
     "q_sim_cosine_knn",
     "q_agg_groupby",
+    # round-5 additions (VERDICT r4 #6): the new heavy operators —
+    # banded minhash, interval join, iterative pagerank, DAU/WAU explode,
+    # plus the round-5 distributed global rank and gap sessionization
+    "q_dedup_minhash_exact",
+    "q_join_interval",
+    "q_graph_pagerank",
+    "q_active_users",
+    "q_sort_multi",
+    "q_sessionize_batch",
 )
 
 
