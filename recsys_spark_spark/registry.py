@@ -76,6 +76,7 @@ _QUERY_MODULES = (
     "recsys_spark_spark.llm.retrieval",
     "recsys_spark_spark.llm.sampling",
     "recsys_spark_spark.llm.pipeline",
+    "recsys_spark_spark.lakehouse",
     "recsys_spark_spark.streaming.batch_twins",
     "recsys_spark_spark.udf.udfs",
 )
@@ -150,6 +151,11 @@ _R5_WINDOW = (
     "q_stratified_sample_exact",
     "q_decile_lift",
 )
+
+# Round-6 rotation candidates (registered after the window pin, never
+# driver-verified): q_table_time_travel (lakehouse.py) plus whatever round 6
+# adds — put them first in _R6_WINDOW, then refresh the oldest families
+# (round-1-era scans/filters/joins/windows/aggregates rows).
 
 _loaded = False
 
