@@ -182,3 +182,53 @@ def test_resize_is_deterministic_across_runs(spark):
     a = {r.doc_id: bytes(r.resized) for r in QUERIES["q_multimodal_resize"](spark, SF_SMOKE).collect()}
     b = {r.doc_id: bytes(r.resized) for r in QUERIES["q_multimodal_resize"](spark, SF_SMOKE).collect()}
     assert a == b
+
+
+# --- property tests: any image/stream round-trips ------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_bmp_roundtrip_property(h, w, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (codecs.decode_bmp(codecs.encode_bmp(px)) == px).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(1, 2000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_wav_roundtrip_property(n, rate, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-(2**15), 2**15, size=n, dtype=np.int16)
+    got_rate, back = codecs.decode_wav(codecs.encode_wav(samples, rate=rate))
+    assert got_rate == rate
+    assert (back == samples).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    target=st.integers(1, 64),
+)
+def test_resize_dims_property(h, w, target):
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    out = codecs.resize_nearest(px, target)
+    oh, ow, _ = out.shape
+    assert max(ow, oh) == target or (max(ow, oh) == 1 and target >= 1)
+    assert ow >= 1 and oh >= 1
+    # aspect preserved within rounding
+    assert abs(ow / oh - w / h) <= max(w, h)  # sanity bound, exact below
+    exact_ow = max(1, round(w * target / max(w, h)))
+    exact_oh = max(1, round(h * target / max(w, h)))
+    assert (ow, oh) == (exact_ow, exact_oh)
