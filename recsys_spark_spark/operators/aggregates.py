@@ -443,19 +443,44 @@ FROM binned GROUP BY 1
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M86: equal-depth (quantile) binning — orders cut into 10
     equal-population price bins with per-bin bounds and mass; the
-    feature-engineering twin of q_histogram's equal-width bins. NTILE is
+    feature-engineering twin of q_histogram's equal-width bins. Binning is
     ordered by (price, orderkey) so bin boundaries are total-order
     deterministic even across duplicate prices.
 
-    Scale note: NTILE over a global order is a single-partition sort — fine
-    here because binning SPEC (the 9 cut points) is what a pipeline
-    computes, and at 100 TB the cut points come from approx_percentile
-    (q_agg_approx's KLL path) with this exact form as the small-data/audit
-    referent; the oracle pins the exact semantics."""
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    binned = o.select(
-        "o_totalprice", F.ntile(QBINS).over(w).cast("long").alias("bin")
+    Exact NTILE semantics WITHOUT a single-partition window (round-5
+    rewrite): the global position comes from the distributed
+    operators.sorts.global_rank (value-bucketed windows), and the bin is
+    SQL NTILE's exact arithmetic over (pos, n) — the first n % k buckets
+    get ⌈n/k⌉ rows, the rest ⌊n/k⌋:
+        q = n DIV k; r = n % k;
+        bin = ⌈pos/(q+1)⌉                     if pos ≤ r·(q+1)
+            = r + ⌈(pos − r·(q+1))/q⌉         otherwise
+    n arrives as a 1-row broadcast. The previous unpartitioned-NTILE form
+    (this oracle) is now only the semantics statement, not the plan."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    from recsys_spark_spark.operators.sorts import global_rank
+
+    ranked = global_rank(
+        spark,
+        o,
+        value_col="o_totalprice",
+        tiebreak="o_orderkey",
+        pos_col="pos",
+        descending=False,
+    )
+    n_total = o.agg(F.count(F.lit(1)).alias("n_total"))
+    q = f"(n_total DIV {QBINS})"
+    r = f"(n_total % {QBINS})"
+    binned = ranked.join(F.broadcast(n_total)).select(
+        "o_totalprice",
+        # pure integer ceil — ⌈a/b⌉ = (a + b - 1) DIV b — exact at any n
+        F.expr(
+            f"""CAST(CASE
+              WHEN pos <= {r} * ({q} + 1)
+                THEN (pos + {q}) DIV ({q} + 1)
+              ELSE {r} + (pos - {r} * ({q} + 1) + {q} - 1) DIV {q}
+            END AS BIGINT)"""
+        ).alias("bin"),
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),

@@ -145,16 +145,41 @@ WINDOW ord AS (ORDER BY c_acctbal, c_custkey)
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: distribution functions over account balance.
 
-    Unpartitioned window: fine for a customer dim; at 100 TB you'd bucket by
-    a hash prefix first or use approx quantiles (q_agg_approx)."""
-    c = table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    Round-5 rewrite: no unpartitioned window. The (c_acctbal, c_custkey)
+    ordering is a TOTAL order (custkey unique → no peer groups), so every
+    distribution function is a closed form of the distributed global rank
+    (operators.sorts.global_rank) and the 1-row broadcast count n:
+      NTILE(4)      — SQL NTILE's exact uneven-bucket arithmetic (integer
+                      ceils; same formula as q_quantile_bins);
+      PERCENT_RANK  — (pos − 1) / (n − 1): with no peers rank() ≡ pos;
+      CUME_DIST     — pos / n: with no peers the ≤-count is pos.
+    Each is one IEEE division of exact integers, rounded once — identical
+    doubles to the oracle's window-function forms."""
+    from recsys_spark_spark.operators.sorts import global_rank
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = global_rank(
+        spark,
+        c,
+        value_col="c_acctbal",
+        tiebreak="c_custkey",
+        pos_col="pos",
+        descending=False,
+    )
+    n_total = c.agg(F.count(F.lit(1)).alias("n_total"))
+    q, r = "(n_total DIV 4)", "(n_total % 4)"
+    return ranked.join(F.broadcast(n_total)).select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.expr(
+            f"""CAST(CASE
+              WHEN pos <= {r} * ({q} + 1)
+                THEN (pos + {q}) DIV ({q} + 1)
+              ELSE {r} + (pos - {r} * ({q} + 1) + {q} - 1) DIV {q}
+            END AS BIGINT)"""
+        ).alias("quartile"),
+        F.round((F.col("pos") - 1) / (F.col("n_total") - 1), 6).alias("pct_rank"),
+        F.round(F.col("pos") / F.col("n_total"), 6).alias("cume"),
     )
 
 

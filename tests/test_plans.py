@@ -400,6 +400,22 @@ def test_regional_revenue_broadcasts_true_dims_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ntile_family_is_distributed(spark):
+    # q_quantile_bins and q_window_ntile must compute their global ranks
+    # through the bucketed global_rank helper — every window partitioned
+    # by the bucket key, never an unpartitioned NTILE
+    for name in ("q_quantile_bins", "q_window_ntile"):
+        plan = plan_of(spark, name)
+        window_lines = [
+            ln
+            for ln in plan.splitlines()
+            if "Window" in ln and "windowspecdefinition" in ln
+        ]
+        assert window_lines, name
+        assert all("_bkt" in ln for ln in window_lines), (name, window_lines)
+        assert "CartesianProduct" not in plan, name
+
+
 def test_sort_multi_rank_is_distributed(spark):
     # the global position must NOT come from an unpartitioned window: every
     # Window node carries the bucket partition key, and the only join shapes
