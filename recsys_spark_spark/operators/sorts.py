@@ -143,21 +143,8 @@ def global_rank(
     value range and ties share a bucket, so offset + local rank is exact
     for any boundary set. Appends `pos_col` (long); input columns pass
     through."""
-    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pcts = [i / nb for i in range(1, nb)]
+    bucketed = value_buckets(spark, df, value_col, descending=descending)
     v = F.col(value_col)
-    bounds = df.agg(F.percentile_approx(value_col, pcts, 10_000).alias("_bounds"))
-    in_front = (lambda b: b > v) if descending else (lambda b: b < v)
-    bucketed = (
-        df.join(F.broadcast(bounds))  # 1-row cross: attaches boundaries
-        .withColumn(
-            "_bkt",
-            F.when(v.isNull(), F.lit(nb)).otherwise(  # NULLS LAST
-                F.size(F.filter("_bounds", in_front))
-            ),
-        )
-        .drop("_bounds")
-    )
     order = v.desc_nulls_last() if descending else v.asc_nulls_last()
     wb = Window.partitionBy("_bkt").orderBy(order, F.col(tiebreak))
     ranked = bucketed.withColumn("_rn", F.row_number().over(wb))
@@ -172,4 +159,36 @@ def global_rank(
         ranked.join(F.broadcast(offsets), "_bkt")
         .withColumn(pos_col, (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_bkt", "_rn", "_off")
+    )
+
+
+def value_buckets(
+    spark: SparkSession,
+    df: DataFrame,
+    value_col: str,
+    descending: bool = False,
+) -> DataFrame:
+    """Append a `_bkt` column: the row's ~equi-frequency VALUE bucket along
+    the (value_col, NULLS LAST) order — approx_percentile boundaries from a
+    1-row broadcast aggregate, bucket = #boundaries strictly in front of the
+    row's value. The shared primitive under every distributed order-
+    dependent computation here (global_rank's ranks, the streaming twin's
+    prefix max): boundary placement only moves rows BETWEEN buckets, each
+    bucket still holds all rows of a contiguous value range and ties share
+    a bucket, so per-bucket computation + cross-bucket combination is exact
+    for any boundary set."""
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pcts = [i / nb for i in range(1, nb)]
+    v = F.col(value_col)
+    bounds = df.agg(F.percentile_approx(value_col, pcts, 10_000).alias("_bounds"))
+    in_front = (lambda b: b > v) if descending else (lambda b: b < v)
+    return (
+        df.join(F.broadcast(bounds))  # 1-row cross: attaches boundaries
+        .withColumn(
+            "_bkt",
+            F.when(v.isNull(), F.lit(nb)).otherwise(  # NULLS LAST
+                F.size(F.filter("_bounds", in_front))
+            ),
+        )
+        .drop("_bounds")
     )

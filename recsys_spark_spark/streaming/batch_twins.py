@@ -221,13 +221,36 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     reading of Structured Streaming's watermark, which advances it only at
     batch boundaries — so the stream can only ever keep MORE rows than this
     twin drops; the injected-late-row pytest (tests/test_streaming.py) covers
-    the real engine behavior. The global running max needs a total order, so
-    this correctness surface is single-partition by construction; a 100 TB
-    pipeline computes watermarks per source partition exactly like the real
-    engine does."""
-    ev = table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    arr = ev.select("ts", F.max("ts").over(w).alias("wm_high"))
+    the real engine behavior.
+
+    The global prefix max is DISTRIBUTED (round-5 rewrite, no unpartitioned
+    window): arrival order is value-bucketed on event_id
+    (operators.sorts.value_buckets — the same primitive as global_rank),
+    the running max runs per bucket, and each bucket's carry-in is the max
+    of all PRIOR buckets' maxima via a triangular join over the
+    buckets-sized table; wm_high = greatest(local running max, carry-in).
+    Prefix max is associative, so the split is exact for any boundary set —
+    the classic parallel-prefix decomposition."""
+    from recsys_spark_spark.operators.sorts import value_buckets
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts")
+    b = value_buckets(spark, ev, "event_id")
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("_wm_local", F.max("ts").over(w_in))
+    bmax = b.groupBy("_bkt").agg(F.max("ts").alias("_bmax"))
+    carry = (
+        bmax.alias("a")
+        .join(bmax.alias("b"), F.col("b._bkt") < F.col("a._bkt"), "left")
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(F.max("b._bmax").alias("_carry"))
+    )
+    arr = local.join(F.broadcast(carry), "_bkt").select(
+        "ts", F.greatest("_wm_local", "_carry").alias("wm_high")
+    )
     kept = arr.where(F.col("ts") >= F.col("wm_high") - F.expr("INTERVAL 10 MINUTES"))
     return (
         kept.groupBy(F.window("ts", "1 hour").alias("w"))
