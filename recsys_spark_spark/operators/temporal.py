@@ -457,11 +457,18 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
-    numbered = e.withColumn(
-        "session_id",
-        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    # two explicit window passes (lag, then running sum) rather than one
+    # nested expression — same single exchange (identical window spec), but
+    # no reliance on the analyzer's nested-window extraction
+    flagged = e.withColumn(
+        "_new_s", F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
     )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("_new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    ).drop("_new_s")
     return numbered.groupBy("user_id", "session_id").agg(
         F.unix_timestamp(F.min("ts")).alias("start_s"),
         F.unix_timestamp(F.max("ts")).alias("end_s"),
