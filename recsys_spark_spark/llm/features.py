@@ -1,0 +1,144 @@
+"""3.M feature engineering for training export — the hashing trick and
+leakage-safe future-window labels.
+
+Two staples of a training-data pipeline that sit between the relational
+engine and the trainer:
+
+- **Feature hashing** (Weinberger et al., ICML 2009): categorical and
+  crossed features mapped straight to vector indices by a hash — no vocab
+  build, no dictionary shuffle, no OOV handling; THE way to featurize at
+  100 TB when q_vocab_build's exact dictionary is too heavy. Pure per-row
+  expressions (row-local, shuffle-free after the dim join).
+- **Future-window labels**: supervised labels defined over a time window
+  strictly AFTER the example's timestamp (did the customer order again
+  within N days?) — computed with a per-key LEAD over the event sequence,
+  so label leakage is structurally impossible (only the next event is
+  consulted, never the row's own features).
+
+Both are exact-oracled: the hash is the engine-portable md5 bucket
+(llm/sampling.py's trick), labels are pure date arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recsys_spark_spark.catalog import table
+from recsys_spark_spark.registry import query
+
+HASH_DIM = 1024  # feature-vector dimensionality (hashing-trick buckets)
+LABEL_DAYS = 90  # future window for the repeat-order label
+
+
+def _hash_idx(col):
+    """Engine-portable hash index 0..HASH_DIM-1 (first 8 md5 hex digits)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % HASH_DIM
+    )
+
+
+_HASH_SQL = (
+    "CAST(('0x' || substring(md5({expr}), 1, 8)) AS BIGINT) % " + str(HASH_DIM)
+)
+
+
+@query(
+    "q_feature_hash",
+    oracle=f"""
+SELECT o_orderkey,
+       {_HASH_SQL.format(expr="'seg=' || c_mktsegment")} AS f_segment,
+       {_HASH_SQL.format(expr="'pri=' || o_orderpriority")} AS f_priority,
+       {_HASH_SQL.format(expr="'seg_x_pri=' || c_mktsegment || '|' || o_orderpriority")} AS f_cross,
+       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS f_price_cents,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M103: hashing-trick featurization (Weinberger'09) — categorical
+    (segment, priority) and CROSSED (segment x priority) features mapped
+    to {HASH_DIM}-dim vector indices by the engine-portable md5 bucket,
+    alongside an exact numeric feature and a binary label: one training
+    row per order, ready for a linear/factorization trainer.
+
+    Why this beats a vocabulary at 100 TB: no global dictionary build
+    (q_vocab_build's shuffle), no OOV path, new categories hash to stable
+    indices forever, and crosses cost one string concat — every feature is
+    a row-local expression, so featurization is a map over the joined
+    fact, and the only exchange is the orders⋈customer key join (which a
+    bucketed layout removes, q_join_bucketed)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    from recsys_spark_spark.functions.determinism import rlong
+
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        _hash_idx(F.concat(F.lit("seg="), F.col("c_mktsegment"))).alias("f_segment"),
+        _hash_idx(F.concat(F.lit("pri="), F.col("o_orderpriority"))).alias("f_priority"),
+        _hash_idx(
+            F.concat(
+                F.lit("seg_x_pri="),
+                F.col("c_mktsegment"),
+                F.lit("|"),
+                F.col("o_orderpriority"),
+            )
+        ).alias("f_cross"),
+        rlong(F.col("o_totalprice") * 100).cast("long").alias("f_price_cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("label"),
+    )
+
+
+@query(
+    "q_label_future_window",
+    oracle=f"""
+WITH seq AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS next_date
+  FROM orders
+)
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       CASE WHEN next_date IS NOT NULL
+             AND date_diff('day', o_orderdate, next_date) <= {LABEL_DAYS}
+            THEN 1 ELSE 0 END AS repeat_{LABEL_DAYS}d
+FROM seq
+""",
+)
+def q_label_future_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M104: leakage-safe future-window labels — for every order, did the
+    same customer order again within {LABEL_DAYS} days? The supervised
+    label of churn/repeat models, built so leakage is STRUCTURALLY
+    impossible: the label consults only the next event's timestamp via a
+    per-customer LEAD (one user-keyed window sort), never any feature of
+    the current row, and the window faces strictly forward.
+
+    Scale shape: one keyed exchange shared by the sort and the lead; the
+    label is a date-difference expression. Joining these labels to
+    q_feature_hash's features on o_orderkey completes a training set —
+    both sides ride the same order-keyed layout."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.withColumn("next_date", F.lead("o_orderdate").over(w))
+    return seq.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.when(
+            F.col("next_date").isNotNull()
+            & (F.datediff("next_date", "o_orderdate") <= LABEL_DAYS),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias(f"repeat_{LABEL_DAYS}d"),
+    )

@@ -76,6 +76,7 @@ _QUERY_MODULES = (
     "recsys_spark_spark.llm.retrieval",
     "recsys_spark_spark.llm.sampling",
     "recsys_spark_spark.llm.pipeline",
+    "recsys_spark_spark.llm.features",
     "recsys_spark_spark.lakehouse",
     "recsys_spark_spark.streaming.batch_twins",
     "recsys_spark_spark.udf.udfs",
@@ -153,9 +154,10 @@ _R5_WINDOW = (
 )
 
 # Round-6 rotation candidates (registered after the window pin, never
-# driver-verified): q_table_time_travel (lakehouse.py) plus whatever round 6
-# adds — put them first in _R6_WINDOW, then refresh the oldest families
-# (round-1-era scans/filters/joins/windows/aggregates rows).
+# driver-verified): q_table_time_travel (lakehouse.py), q_feature_hash and
+# q_label_future_window (llm/features.py), plus whatever round 6 adds — put
+# them first in _R6_WINDOW, then refresh the oldest families (round-1-era
+# scans/filters/joins/windows/aggregates rows).
 
 _loaded = False
 
