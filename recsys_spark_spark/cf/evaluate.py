@@ -250,3 +250,79 @@ def q_eval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rec_popularity"
         ),
     )
+
+
+# Hit-rate / MRR (I9c). Same holdout, same eval-user population as I9b
+# (users with >=1 test interaction AND >=1 recommendation). The reciprocal
+# rank 1/first_hit_rank is rounded to integer nano-units per user before the
+# cross-user average — order-independent, same discipline as ap9/ndcg9.
+_HITRATE_SQL = f"""WITH {_TRAIN_CHAIN},
+test AS (
+  SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderdate >= TIMESTAMP '{CUTOFF}'
+),
+tu AS (SELECT user_id, COUNT(*) AS n_test FROM test GROUP BY 1),
+rel AS (
+  SELECT r.user_id, r.rnk,
+         CASE WHEN t.item_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM recs r LEFT JOIN test t
+    ON r.user_id = t.user_id AND r.item_id = t.item_id
+),
+pu AS (
+  SELECT rel.user_id, MIN(CASE WHEN rel = 1 THEN rnk END) AS first_hit
+  FROM rel JOIN tu ON tu.user_id = rel.user_id
+  GROUP BY 1
+)
+SELECT ROUND(SUM(CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS hit_rate5,
+       ROUND(SUM(CASE WHEN first_hit IS NOT NULL
+                      THEN CAST(ROUND(1e9 / first_hit, 0) AS BIGINT)
+                      ELSE 0 END) / COUNT(*) / 1e9, 6) AS mrr5,
+       COUNT(*) AS n_eval_users
+FROM pu"""
+
+
+@query("q_eval_hitrate", oracle=_HITRATE_SQL)
+def q_eval_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I9c: HitRate@5 and MRR@5 on the q_eval_metrics holdout — the two
+    leaderboard staples q_eval_ranking's MAP/NDCG don't cover (hit-rate:
+    did ANY top-5 rec convert; MRR: how high was the FIRST conversion).
+
+    Averaged over eval users (>=1 test interaction and >=1 rec — the
+    population where rank quality is defined, identical to I9b). Plan: one
+    user-keyed left join of the cached recommendations against the test
+    slice, a per-user min, and a single-row aggregate — every stage rides
+    the HashPartitioning(user_id) the recommend() output already carries;
+    the reciprocal rank is integer-nano-rounded per user so the final
+    averages are insertion-order independent."""
+    ui, recs = _train_and_recs(spark, sf_dir)
+
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit(CUTOFF).cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem")
+    test = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
+        .distinct()
+    )
+    tu = test.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_test"))
+
+    rel = recs.join(
+        test.withColumn("_hit", F.lit(1)), ["user_id", "item_id"], "left"
+    ).select("user_id", "rnk", F.coalesce("_hit", F.lit(0)).alias("rel"))
+    pu = (
+        rel.join(tu, "user_id")
+        .groupBy("user_id")
+        .agg(F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_hit"))
+    )
+    hit = F.when(F.col("first_hit").isNotNull(), 1).otherwise(0)
+    rr9 = F.when(
+        F.col("first_hit").isNotNull(), rlong(F.lit(1e9) / F.col("first_hit"))
+    ).otherwise(F.lit(0))
+    return pu.agg(
+        F.round(F.sum(hit) / F.count(F.lit(1)).cast("double"), 6).alias("hit_rate5"),
+        F.round(F.sum(rr9) / F.count(F.lit(1)) / F.lit(1e9), 6).alias("mrr5"),
+        F.count(F.lit(1)).alias("n_eval_users"),
+    )

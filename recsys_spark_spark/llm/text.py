@@ -577,3 +577,171 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         pmi.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= PMI_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# M106: token entropy (information-density quality signal)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, t.token
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+), tc AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), m AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct,
+         CAST(SUM(CAST(ROUND(c * ln(c) * 1e9, 0) AS BIGINT)) AS BIGINT) AS s9
+  FROM tc GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_distinct,
+       ROUND((ln(n_tokens) - s9 / (1e9 * n_tokens)) / ln(2), 6) AS entropy_bits,
+       CASE WHEN n_distinct > 1
+            THEN ROUND((ln(n_tokens) - s9 / (1e9 * n_tokens)) / ln(n_distinct), 6)
+            ELSE 0.0 END AS norm_entropy
+FROM m
+""",
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M106: per-document Shannon entropy of the unigram distribution —
+    the information-density quality signal (low entropy = repetitive /
+    template text; used alongside q_text_quality's ratio filters when
+    curating a pre-training corpus). norm_entropy divides by the maximum
+    log(n_distinct), giving a size-free [0,1] score.
+
+    Determinism: H = log2(n) - (1/n)·Σ c·log2(c) is computed with ln on
+    BOTH engines (the one transcendental with proven cross-engine parity
+    here — q_text_pmi), each c·ln(c) term depends only on the integer
+    count c and is rounded to integer nano-units BEFORE the per-doc sum,
+    so the aggregate is insertion-order independent (determinism.py
+    discipline). Scale shape: row-local explode → one doc-keyed count →
+    one doc-keyed sum; no windows, no self-joins."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    m = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(rlong(F.col("c") * F.log("c") * F.lit(1e9))).alias("s9"),
+    )
+    h_nats = F.log("n_tokens") - F.col("s9") / (F.lit(1e9) * F.col("n_tokens"))
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(h_nats / F.log(F.lit(2.0)), 6).alias("entropy_bits"),
+        F.when(
+            F.col("n_distinct") > 1, F.round(h_nats / F.log("n_distinct"), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# M107: repetition-based quality filter (Gopher-style, Rae et al. 2021)
+# --------------------------------------------------------------------------
+
+TOP_TOKEN_MAX = 0.2  # max fraction of tokens taken by the single top token
+TOP_BIGRAM_MAX = 0.18  # max fraction of bigrams taken by the top bigram
+
+
+@query(
+    "q_text_repetition",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t.token
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+), tc AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), tm AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         MAX(c) AS c_max, COUNT(*) AS n_distinct
+  FROM tc GROUP BY 1
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), bg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS gs(i)
+), bc AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3
+), bm AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS b_max
+  FROM bc GROUP BY 1
+)
+SELECT tm.doc_id, tm.n_tokens,
+       ROUND(tm.c_max / CAST(tm.n_tokens AS DOUBLE), 6) AS top_token_ratio,
+       ROUND((tm.n_tokens - tm.n_distinct) / CAST(tm.n_tokens AS DOUBLE), 6)
+         AS dup_token_ratio,
+       CASE WHEN bm.doc_id IS NOT NULL
+            THEN ROUND(bm.b_max / CAST(bm.n_bigrams AS DOUBLE), 6)
+            ELSE 0.0 END AS top_bigram_ratio,
+       (tm.c_max / CAST(tm.n_tokens AS DOUBLE) <= {TOP_TOKEN_MAX}
+        AND COALESCE(bm.b_max / CAST(bm.n_bigrams AS DOUBLE), 0.0)
+            <= {TOP_BIGRAM_MAX}) AS passes_repetition
+FROM tm LEFT JOIN bm ON tm.doc_id = bm.doc_id
+""",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M107: repetition-based quality filtering in the style of Gopher's
+    corpus rules (Rae et al., arXiv:2112.11446 §A1.1): documents dominated
+    by one token or one bigram are template/spam-like and get filtered
+    before pre-training. Emits the top-token fraction, duplicate-token
+    fraction, top-bigram fraction, and the pass flag at the standard
+    cutoffs ({TOP_TOKEN_MAX}/{TOP_BIGRAM_MAX}).
+
+    Every ratio is a rational of exact integer counts — no float
+    accumulation at all, so no rounding machinery is needed. Scale shape:
+    both branches are row-local fan-outs (explode / array-index bigrams —
+    never a positional self-join) followed by doc-keyed counts; the two
+    branches rejoin on doc_id. At 100 TB each branch is one shuffle of
+    count-sized (not token-sized) rows."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tm = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("c_max"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    bm = (
+        toks.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b.w1", "b.w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("b_max"))
+    )
+    j = tm.join(bm.withColumnRenamed("doc_id", "_bdoc"), tm.doc_id == F.col("_bdoc"), "left")
+    top_tok = F.col("c_max") / F.col("n_tokens").cast("double")
+    top_big = F.col("b_max") / F.col("n_bigrams").cast("double")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        F.round(top_tok, 6).alias("top_token_ratio"),
+        F.round(
+            (F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens").cast("double"), 6
+        ).alias("dup_token_ratio"),
+        F.when(F.col("_bdoc").isNotNull(), F.round(top_big, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_ratio"),
+        (
+            (top_tok <= TOP_TOKEN_MAX)
+            & (F.coalesce(top_big, F.lit(0.0)) <= TOP_BIGRAM_MAX)
+        ).alias("passes_repetition"),
+    )

@@ -685,3 +685,95 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lift"),
         F.round(F.col("cum_resp") * 1.0 / F.col("t_resp"), 6).alias("cum_gain"),
     )
+
+
+# --------------------------------------------------------------------------
+# M109: robust outlier detection (median + MAD, the 3-sigma-resistant rule)
+# --------------------------------------------------------------------------
+
+# |x - median| > MAD_K_X10000/10000 * MAD flags an outlier;
+# 4.4478 = 3 * 1.4826 (the normal-consistency constant), kept as an exact
+# integer ratio so the flag comparison is pure integer arithmetic.
+MAD_K_X10000 = 44478
+
+
+@query(
+    "q_outlier_mad",
+    oracle=f"""
+WITH base AS (
+  SELECT c_mktsegment,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+),
+med AS (
+  SELECT c_mktsegment,
+         CAST(ROUND(2 * quantile_cont(cents, 0.5), 0) AS BIGINT) AS med2,
+         COUNT(*) AS n_customers
+  FROM base GROUP BY 1
+),
+dev AS (
+  SELECT b.c_mktsegment, b.cents, m.med2, m.n_customers,
+         ABS(2 * b.cents - m.med2) AS dev2
+  FROM base b JOIN med m ON b.c_mktsegment = m.c_mktsegment
+),
+mad AS (
+  SELECT c_mktsegment,
+         CAST(ROUND(2 * quantile_cont(dev2, 0.5), 0) AS BIGINT) AS mad4
+  FROM dev GROUP BY 1
+)
+SELECT d.c_mktsegment,
+       MIN(d.n_customers) AS n_customers,
+       ROUND(MIN(d.med2) / 200.0, 6) AS median_bal,
+       ROUND(MIN(m.mad4) / 400.0, 6) AS mad_bal,
+       CAST(SUM(CASE WHEN d.dev2 * 20000 > {MAD_K_X10000} * m.mad4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(SUM(CASE WHEN d.dev2 * 20000 > {MAD_K_X10000} * m.mad4
+                      THEN 1 ELSE 0 END) / CAST(MIN(d.n_customers) AS DOUBLE), 6)
+         AS outlier_ratio
+FROM dev d JOIN mad m ON d.c_mktsegment = m.c_mktsegment
+GROUP BY 1
+""",
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M109: robust per-segment outlier detection — median + MAD (median
+    absolute deviation), the rule that survives the very outliers that
+    poison mean/stddev z-scores: flag |x − med| > 3·1.4826·MAD. The
+    data-quality audit cousin of q_data_profile / q_skew_audit.
+
+    Exactness without float risk: balances become integer cents; medians
+    are doubled into integers (interpolated midpoints are exact halves),
+    deviations doubled again, and the flag comparison
+    dev2·20000 > {MAD_K_X10000}·mad4 is pure integer arithmetic — the
+    consistency constant 3·1.4826 enters as an exact integer ratio.
+
+    Scale shape: two exact per-segment medians (sort-based aggregate,
+    the q_agg_percentile_exact trade — fine for bounded-cardinality
+    groups; swap percentile_approx at unbounded group size) with the tiny
+    5-row median/MAD tables broadcast back; the flag pass is row-local."""
+    c = table(spark, sf_dir, "customer")
+    base = c.select(
+        "c_mktsegment", rlong(F.col("c_acctbal") * 100).cast("long").alias("cents")
+    )
+    med = base.groupBy("c_mktsegment").agg(
+        rlong(F.lit(2) * F.percentile("cents", 0.5)).cast("long").alias("med2"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    dev = base.join(F.broadcast(med), "c_mktsegment").withColumn(
+        "dev2", F.abs(F.lit(2) * F.col("cents") - F.col("med2"))
+    )
+    mad = dev.groupBy("c_mktsegment").agg(
+        rlong(F.lit(2) * F.percentile("dev2", 0.5)).cast("long").alias("mad4")
+    )
+    flagged = dev.join(F.broadcast(mad), "c_mktsegment")
+    is_out = F.when(
+        F.col("dev2") * 20000 > F.lit(MAD_K_X10000) * F.col("mad4"), 1
+    ).otherwise(0)
+    return flagged.groupBy("c_mktsegment").agg(
+        F.min("n_customers").alias("n_customers"),
+        F.round(F.min("med2") / F.lit(200.0), 6).alias("median_bal"),
+        F.round(F.min("mad4") / F.lit(400.0), 6).alias("mad_bal"),
+        F.sum(is_out).alias("n_outliers"),
+        F.round(
+            F.sum(is_out) / F.min("n_customers").cast("double"), 6
+        ).alias("outlier_ratio"),
+    )

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from recsys_spark_spark.catalog import table
-from recsys_spark_spark.functions.determinism import rlong
+from recsys_spark_spark.functions.determinism import dround, rlong
 from recsys_spark_spark.registry import query
 
 
@@ -474,4 +474,89 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.max("ts")).alias("end_s"),
         F.count(F.lit(1)).alias("n_events"),
         F.sum(rlong(F.col("value") * 100)).cast("long").alias("value_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# M108: exponentially weighted moving average (bounded-memory smoothing)
+# --------------------------------------------------------------------------
+
+EWMA_LAGS = 8  # truncation depth: alpha=1/2 -> dropped tail weight 2^-8 < 0.4%
+
+
+def _ewma_lag_terms(win):
+    """(numerator, denominator) for the truncated alpha=1/2 EWMA.
+
+    Weight of the value d steps back is 2^(EWMA_LAGS-1-d) — integer powers
+    of two, so numerator and the present-weight denominator are EXACT
+    integer sums over the lag chain; the only division is the final one.
+    """
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for d in range(EWMA_LAGS):
+        w = 1 << (EWMA_LAGS - 1 - d)
+        lagged = F.lag("cents", d).over(win) if d else F.col("cents")
+        num = num + F.coalesce(lagged * w, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(w)).otherwise(F.lit(0))
+    return num, den
+
+
+_EWMA_SQL_NUM = " + ".join(
+    f"COALESCE(LAG(cents, {d}) OVER w * {1 << (EWMA_LAGS - 1 - d)}, 0)"
+    if d
+    else f"cents * {1 << (EWMA_LAGS - 1 - d)}"
+    for d in range(EWMA_LAGS)
+)
+_EWMA_SQL_DEN = " + ".join(
+    f"CASE WHEN LAG(cents, {d}) OVER w IS NOT NULL THEN {1 << (EWMA_LAGS - 1 - d)} ELSE 0 END"
+    if d
+    else f"{1 << (EWMA_LAGS - 1 - d)}"
+    for d in range(EWMA_LAGS)
+)
+
+
+@query(
+    "q_ts_ewma",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day, cents,
+       (ROUND(CAST(({_EWMA_SQL_NUM}) AS DOUBLE) / ({_EWMA_SQL_DEN}) * 1e6, 0)
+        / 1e6) AS ewma_cents
+FROM base
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M108: per-customer EWMA of order totals — the streaming-friendly
+    smoother (alpha = 1/2) truncated at {EWMA_LAGS} lags, so the state is
+    bounded and the dropped tail weight is < 0.4%. The standard trend
+    feature for spend forecasting / anomaly baselines.
+
+    Exactness: truncated binary-exponential weights are integer powers of
+    two, so numerator and present-weight denominator accumulate as exact
+    integers over a LAG chain; the single final division is identical on
+    both engines and displayed via the dround/oround multiply-form pair
+    (plain ROUND(x, 6) diverged in the 7th decimal at sf0.1). Scale shape: ONE keyed window sort per customer serves
+    all {EWMA_LAGS} lags (Spark collapses same-frame window functions into
+    one physical Window); everything else is row-local arithmetic — one
+    exchange total, skew-free (per-customer order counts are bounded)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        rlong(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    win = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    num, den = _ewma_lag_terms(win)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        "cents",
+        dround(num.cast("double") / den, 6).alias("ewma_cents"),
     )

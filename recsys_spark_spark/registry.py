@@ -69,6 +69,7 @@ _QUERY_MODULES = (
     "recsys_spark_spark.cf.itemcf",
     "recsys_spark_spark.cf.evaluate",
     "recsys_spark_spark.cf.als",
+    "recsys_spark_spark.cf.slopeone",
     "recsys_spark_spark.llm.dedup",
     "recsys_spark_spark.llm.similarity",
     "recsys_spark_spark.llm.multimodal",
@@ -155,8 +156,11 @@ _R5_WINDOW = (
 
 # Round-6 rotation candidates (registered after the window pin, never
 # driver-verified): q_table_time_travel (lakehouse.py), q_feature_hash and
-# q_label_future_window (llm/features.py), plus whatever round 6 adds — put
-# them first in _R6_WINDOW, then refresh the oldest families (round-1-era
+# q_label_future_window (llm/features.py), q_cf_slope_one (cf/slopeone.py),
+# q_eval_hitrate (cf/evaluate.py), q_text_entropy / q_text_repetition
+# (llm/text.py), q_ts_ewma (operators/temporal.py), q_outlier_mad
+# (operators/analytics.py), plus whatever round 6 adds — put them first in
+# _R6_WINDOW, then refresh the oldest families (round-1-era
 # scans/filters/joins/windows/aggregates rows).
 
 _loaded = False

@@ -473,3 +473,21 @@ def test_seq_windows_is_one_sorted_pass(spark):
     assert "CartesianProduct" not in plan
     assert "Generate" not in plan  # no explode
     assert "Window" in plan
+
+
+def test_slope_one_broadcasts_model_not_users(spark):
+    """q_cf_slope_one must follow the flagship's partitioning discipline:
+    the pruned deviation model (items x K rows) is the ONLY broadcast —
+    scoring, the array-membership seen-filter, and the top-N window all
+    ride HashPartitioning(user_id). A user_id-keyed broadcast would
+    serialize user-history-sized data through the driver (the exact
+    failure mode test_flagship_seen_filter_never_broadcasts guards)."""
+    plan = plan_of(spark, "q_cf_slope_one")
+    assert "array_contains" in plan, "slope one lost its seen-membership filter"
+    assert join_lines(plan, "BroadcastHashJoin"), (
+        "deviation model is no longer broadcast"
+    )
+    bad = [ln for ln in join_lines(plan, "BroadcastHashJoin") if "user_id" in ln]
+    assert not bad, (
+        "a user_id-keyed slope-one join reverted to broadcast:\n" + "\n".join(bad)
+    )
