@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from recsys_spark_spark.catalog import table
+from recsys_spark_spark.functions.determinism import dround, rlong
 from recsys_spark_spark.registry import query
 
 SAMPLE_PCT = 10
@@ -507,3 +508,89 @@ def q_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(
         F.col("rnk") <= F.expr(f"(n_lang * {STRAT_PCT} + 99) DIV 100")
     ).select("doc_id", "lang", "rnk")
+
+
+# --------------------------------------------------------------------------
+# M113: Poisson bootstrap — the distributed resampling scheme
+# --------------------------------------------------------------------------
+
+BOOT_REPLICATES = 20
+# Inverse-CDF thresholds for Poisson(1) on a 32-bit hash-uniform:
+# floor(P(X <= k) * 2^32) for k = 0..4 (draws capped at 5; dropped tail
+# mass < 1e-4). Integer literals, so the weight assignment is exact and
+# identical on both engines.
+_POIS_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373)
+
+
+def _pois_case_sql(v: str) -> str:
+    arms = " ".join(
+        f"WHEN {v} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {arms} ELSE 5 END"
+
+
+@query(
+    "q_sample_bootstrap",
+    oracle=f"""
+WITH drawn AS (
+  SELECT gs.r AS replicate_id,
+         {_pois_case_sql("CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '-' || CAST(gs.r AS VARCHAR)), 1, 8)) AS BIGINT)")} AS w,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders, unnest(generate_series(1, {BOOT_REPLICATES})) AS gs(r)
+)
+SELECT replicate_id,
+       CAST(SUM(w) AS BIGINT) AS n_drawn,
+       (ROUND(CAST(SUM(w * cents) AS DOUBLE) / (100 * SUM(w)) * 1e6, 0) / 1e6)
+         AS mean_total
+FROM drawn GROUP BY 1
+""",
+)
+def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M113: Poisson bootstrap over orders — {BOOT_REPLICATES} resampled
+    estimates of the mean order total, the spread of which is the
+    bootstrap standard error. THE distributed form of the bootstrap
+    (Chamandy et al., 'Estimating uncertainty for massive data streams',
+    Google 2012; Kleiner et al.'s BLB is the blocked variant): instead of
+    materializing n draws per replicate (a global shuffle per replicate),
+    each row independently contributes Poisson(1) copies — a pure row-local
+    weight, since Binomial(n, 1/n) → Poisson(1) at scale.
+
+    Determinism: the weight is inverse-CDF over the 32-bit md5-uniform of
+    (orderkey, replicate) against precomputed integer thresholds — no RNG
+    state, reproducible forever, growth-stable as rows are added (same
+    content-addressing contract as every sampler in this module). Plan:
+    one row-local {BOOT_REPLICATES}x fan-out, one {BOOT_REPLICATES}-group
+    aggregate with map-side partials; integer num/den keep each estimate
+    insertion-order independent."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    drawn = o.select(
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(1), F.lit(BOOT_REPLICATES))).alias("replicate_id"),
+        rlong(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).select(
+        "replicate_id",
+        "cents",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.col("o_orderkey"), F.col("replicate_id"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("v"),
+    )
+    w = F.lit(5)
+    for k, t in reversed(list(enumerate(_POIS_T))):
+        w = F.when(F.col("v") < t, F.lit(k)).otherwise(w)
+    weighted = drawn.withColumn("w", w)
+    return weighted.groupBy("replicate_id").agg(
+        F.sum("w").alias("n_drawn"),
+        dround(
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / (F.lit(100) * F.sum("w")),
+            6,
+        ).alias("mean_total"),
+    )

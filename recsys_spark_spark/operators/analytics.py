@@ -777,3 +777,75 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(is_out) / F.min("n_customers").cast("double"), 6
         ).alias("outlier_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# M111: triangle counting on the co-purchase graph
+# --------------------------------------------------------------------------
+
+TRI_MIN_SUPPORT = 3  # co-purchase support floor defining a graph edge
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+WITH ui AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT a.item_id AS x, b.item_id AS y
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+),
+tri AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM e e1
+  JOIN e e2 ON e1.y = e2.x
+  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+verts AS (
+  SELECT a AS item_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT item_id, COUNT(*) AS n_triangles FROM verts GROUP BY 1
+""",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M111: per-item triangle counts on the co-purchase graph — the
+    clustering-coefficient numerator, the classic cohesion signal for
+    community detection over item relations (complements q_graph_pagerank's
+    centrality and q_assoc_rules' pairwise lift).
+
+    Edges are co-purchase pairs with support >= {TRI_MIN_SUPPORT} (the same
+    capped pair generation as co-occurrence — MAX_USER_HISTORY bounds the
+    fan-out; the support floor then bounds DEGREE, which is what controls
+    the triangle join). Each triangle is enumerated exactly once via the
+    total order a < b < c: wedges join on the shared middle vertex
+    (one item-keyed exchange), closures join on the (x, y) edge pair —
+    never an all-pairs product; per-vertex counts are a count-sized
+    aggregate of the exploded corners."""
+    from recsys_spark_spark.cf.itemcf import capped_interactions, cooccurrence
+
+    ui = capped_interactions(spark, sf_dir)
+    e = (
+        cooccurrence(ui)
+        .where(F.col("n_common") >= TRI_MIN_SUPPORT)
+        .select(F.col("item_i").alias("x"), F.col("item_j").alias("y"))
+    )
+    e1 = e.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    e2 = e.select(F.col("x").alias("b2"), F.col("y").alias("c"))
+    e3 = e.select(F.col("x").alias("a3"), F.col("y").alias("c3"))
+    tri = (
+        e1.join(e2, e1.b == e2.b2)
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    verts = (
+        tri.select(F.col("a").alias("item_id"))
+        .unionAll(tri.select(F.col("b").alias("item_id")))
+        .unionAll(tri.select(F.col("c").alias("item_id")))
+    )
+    return verts.groupBy("item_id").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -501,3 +501,46 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+# --------------------------------------------------------------------------
+# M112: correlated subqueries (scalar + EXISTS) in SQL mode
+# --------------------------------------------------------------------------
+
+# Shared SQL: the correlated scalar compares integer cents against an
+# exact-integer-sum average (the division of two exact integers is the same
+# IEEE double on both engines), so the boundary predicate can never flip on
+# summation order. EXISTS adds the second decorrelation shape.
+_CORRELATED_SQL = """
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) AS cents
+FROM customer c
+WHERE CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) >
+      (SELECT SUM(CAST(ROUND(c2.c_acctbal * 100, 0) AS BIGINT)) / COUNT(*)
+       FROM customer c2
+       WHERE c2.c_mktsegment = c.c_mktsegment)
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+@query("q_sql_correlated", oracle=_CORRELATED_SQL)
+def q_sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M112: correlated subqueries, SQL mode — customers above their own
+    segment's average balance (correlated SCALAR subquery) who have placed
+    an urgent order (correlated EXISTS). The decorrelation showcase: the
+    same SQL text runs on both engines.
+
+    Catalyst rewrites both correlations before planning — the scalar
+    subquery becomes a per-segment aggregate joined back
+    (RewriteCorrelatedScalarSubquery), EXISTS becomes a LEFT SEMI join
+    (RewritePredicateSubquery) — so nothing executes per-row; the plan is
+    two joins + one aggregate, exactly what you would hand-write, and it
+    scales like any keyed join (plan-tested: no per-row subquery node
+    survives). The integer-cents comparison keeps the boundary predicate
+    deterministic (module comment)."""
+    from recsys_spark_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CORRELATED_SQL)

@@ -158,8 +158,10 @@ _R5_WINDOW = (
 # driver-verified): q_table_time_travel (lakehouse.py), q_feature_hash and
 # q_label_future_window (llm/features.py), q_cf_slope_one (cf/slopeone.py),
 # q_eval_hitrate (cf/evaluate.py), q_text_entropy / q_text_repetition
-# (llm/text.py), q_ts_ewma (operators/temporal.py), q_outlier_mad
-# (operators/analytics.py), plus whatever round 6 adds — put them first in
+# (llm/text.py), q_ts_ewma (operators/temporal.py), q_outlier_mad /
+# q_graph_triangles (operators/analytics.py), q_sql_correlated
+# (operators/extras.py), q_sample_bootstrap (llm/sampling.py), plus
+# whatever round 6 adds — put them first in
 # _R6_WINDOW, then refresh the oldest families (round-1-era
 # scans/filters/joins/windows/aggregates rows).
 

@@ -491,3 +491,17 @@ def test_slope_one_broadcasts_model_not_users(spark):
     assert not bad, (
         "a user_id-keyed slope-one join reverted to broadcast:\n" + "\n".join(bad)
     )
+
+
+def test_correlated_subqueries_are_decorrelated(spark):
+    """q_sql_correlated's scalar + EXISTS subqueries must be rewritten into
+    joins at plan time — a surviving per-row subquery execution node would
+    re-run the inner query once per outer row (fatal at any real scale).
+    After decorrelation the plan is joins + aggregate only."""
+    plan = plan_of(spark, "q_sql_correlated")
+    assert "Subquery" not in plan or "SubqueryBroadcast" in plan, (
+        "a per-row subquery node survived decorrelation:\n" + plan[:1500]
+    )
+    assert any(
+        k in plan for k in ("LeftSemi", "ExistenceJoin")
+    ), "EXISTS was not rewritten to a semi join"
