@@ -137,12 +137,21 @@ def q_cf_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user top-N window all run on that single HashPartitioning(user_id).
     Integer num/den keep every accumulation exact and insertion-order
     independent (module docstring)."""
-    ui = capped_interactions(spark, sf_dir)
+    return slope_one_recommend(capped_interactions(spark, sf_dir))
+
+
+def slope_one_recommend(
+    ui: DataFrame, k: int = TOP_K_NEIGHBORS, n: int = TOP_N_RECS
+) -> DataFrame:
+    """Weighted Slope One over an interaction matrix (user_id, item_id, cnt).
+
+    Split from the registered query so tests can drive it with hand-built
+    matrices (tests/test_new_ops_worked.py)."""
     pairs = deviation_pairs(ui)
     w = Window.partitionBy("src").orderBy(F.col("c").desc(), "cand")
     topp = (
         pairs.withColumn("prnk", F.row_number().over(w))
-        .where(F.col("prnk") <= TOP_K_NEIGHBORS)
+        .where(F.col("prnk") <= k)
         .drop("prnk")
     )
     scores = (
@@ -164,7 +173,7 @@ def q_cf_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     uw = Window.partitionBy("user_id").orderBy(pred.desc(), "cand")
     return (
         unseen.withColumn("rnk", F.row_number().over(uw))
-        .where(F.col("rnk") <= TOP_N_RECS)
+        .where(F.col("rnk") <= n)
         .select(
             "user_id",
             F.col("cand").alias("item_id"),

@@ -835,6 +835,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_common") >= TRI_MIN_SUPPORT)
         .select(F.col("item_i").alias("x"), F.col("item_j").alias("y"))
     )
+    return triangle_counts(e)
+
+
+def triangle_counts(e: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over an oriented edge list (x < y).
+
+    Split from the registered query so tests can drive it with hand-built
+    graphs (tests/test_new_ops_worked.py)."""
     e1 = e.select(F.col("x").alias("a"), F.col("y").alias("b"))
     e2 = e.select(F.col("x").alias("b2"), F.col("y").alias("c"))
     e3 = e.select(F.col("x").alias("a3"), F.col("y").alias("c3"))

@@ -1,0 +1,111 @@
+"""Worked-example and invariant tests for the round-5 additions.
+
+The DuckDB oracles prove cross-engine agreement; these prove the MATH —
+an algorithm implemented identically wrong on both sides would still pass
+the oracle, so each new operator family gets an independent referent:
+a hand-computed example (Slope One, triangles), a brute-force recompute
+(MAD), or a statistical contract (Poisson bootstrap, EWMA edge rows).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recsys_spark_spark.cf.slopeone import deviation_pairs, slope_one_recommend
+from recsys_spark_spark.operators.analytics import triangle_counts
+from recsys_spark_spark.registry import load_all
+from tests.conftest import SF_SMOKE
+
+QUERIES, _ = load_all()
+
+A, B, C = 1, 2, 3
+
+
+@pytest.fixture(scope="module")
+def ui(spark):
+    # u1 -> {A:3, B:1}, u2 -> {A:1, B:2, C:1}, u3 -> {B:1, C:2}
+    rows = [(1, A, 3), (1, B, 1), (2, A, 1), (2, B, 2), (2, C, 1), (3, B, 1), (3, C, 2)]
+    return spark.createDataFrame(rows, "user_id long, item_id long, cnt long")
+
+
+def test_slope_one_deviations_hand_example(ui):
+    # dev sums (cand - src): (A->B): u1: 1-3=-2, u2: 2-1=+1 => -1 over c=2
+    #                        (A->C): u2: 1-1=0 over c=1
+    #                        (B->C): u2: 1-2=-1, u3: 2-1=+1 => 0 over c=2
+    got = {(r.src, r.cand): (r.dsum, r.c) for r in deviation_pairs(ui).collect()}
+    assert got == {
+        (A, B): (-1, 2), (B, A): (1, 2),
+        (A, C): (0, 1), (C, A): (0, 1),
+        (B, C): (0, 2), (C, B): (0, 2),
+    }
+
+
+def test_slope_one_recommend_hand_example(ui):
+    # u1 (seen A,B) -> C: via A (3*1+0=3) + via B (1*2+0=2) => 5/3 = 1.666667
+    # u3 (seen B,C) -> A: via B (1*2+1=3) + via C (2*1+0=2) => 5/3 = 1.666667
+    # u2 saw everything -> no recs
+    recs = {(r.user_id, r.item_id): (r.pred, r.rnk) for r in slope_one_recommend(ui).collect()}
+    assert recs == {(1, C): (1.666667, 1), (3, A): (1.666667, 1)}
+
+
+def test_triangle_counts_hand_example(spark):
+    # K4 minus edge (2,4): edges (1,2)(1,3)(1,4)(2,3)(3,4) -> triangles
+    # {1,2,3} and {1,3,4}; per-vertex: 1->2, 2->1, 3->2, 4->1.
+    e = spark.createDataFrame([(1, 2), (1, 3), (1, 4), (2, 3), (3, 4)], "x long, y long")
+    got = {r.item_id: r.n_triangles for r in triangle_counts(e).collect()}
+    assert got == {1: 2, 2: 1, 3: 2, 4: 1}
+
+
+def test_mad_outliers_match_bruteforce(spark):
+    import numpy as np
+
+    got = {
+        r.c_mktsegment: r
+        for r in QUERIES["q_outlier_mad"](spark, SF_SMOKE).collect()
+    }
+    pdf = (
+        spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        .select("c_mktsegment", "c_acctbal")
+        .toPandas()
+    )
+    pdf["cents"] = (pdf.c_acctbal * 100).round().astype("int64")
+    for seg, grp in pdf.groupby("c_mktsegment"):
+        med2 = int(round(2 * float(np.median(grp.cents))))
+        dev2 = (2 * grp.cents - med2).abs()
+        mad4 = int(round(2 * float(np.median(dev2))))
+        n_out = int((dev2 * 20000 > 44478 * mad4).sum())
+        r = got[seg]
+        assert r.n_customers == len(grp)
+        assert r.median_bal == round(med2 / 200.0, 6), seg
+        assert r.mad_bal == round(mad4 / 400.0, 6), seg
+        assert r.n_outliers == n_out, seg
+
+
+def test_bootstrap_replicates_estimate_the_mean(spark):
+    reps = QUERIES["q_sample_bootstrap"](spark, SF_SMOKE).collect()
+    assert len(reps) == 20
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("o_totalprice").alias("mean")
+    ).collect()[0]
+    for r in reps:
+        # Poisson(1) weights: sum w concentrates at n (sd = sqrt(n));
+        # each resampled mean stays within a loose 5 sigma of the truth.
+        assert abs(r.n_drawn - agg.n) <= 6 * math.sqrt(agg.n), r
+        assert abs(r.mean_total - agg.mean) / agg.mean < 0.1, r
+
+
+def test_ewma_first_order_equals_value(spark):
+    """A customer's FIRST order has no lags: its EWMA must equal the raw
+    cents exactly (weight renormalization over present lags)."""
+    df = QUERIES["q_ts_ewma"](spark, SF_SMOKE)
+    w = F.row_number().over(
+        Window.partitionBy("o_custkey").orderBy("order_day", "o_orderkey")
+    )
+    firsts = df.withColumn("_rn", w).where(F.col("_rn") == 1)
+    bad = firsts.where(F.col("ewma_cents") != F.col("cents")).count()
+    assert bad == 0
