@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from recsys_spark_spark.catalog import table
-from recsys_spark_spark.functions.determinism import rlong
+from recsys_spark_spark.functions.determinism import dround, rlong
 from recsys_spark_spark.registry import query
 
 DIM = 64
@@ -281,4 +281,113 @@ def q_sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# M115: one Lloyd iteration of k-means over the embedding table
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8
+
+
+def _scaled_sqdist(a: Column, b: Column) -> Column:
+    """Σ round((a_i−b_i)²·1e12) as exact long — order-independent squared L2."""
+    terms = F.zip_with(
+        a,
+        b,
+        lambda x, y: rlong(
+            (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+            * F.lit(1e12)
+        ),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+@query(
+    "q_kmeans_step",
+    oracle=f"""
+WITH seeds AS (
+  SELECT vec_id AS sid, embedding AS sv FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}
+), se AS (
+  SELECT sid, gs.i, CAST(sv[gs.i] AS DOUBLE) AS sx
+  FROM seeds, generate_series(1, {DIM}) gs(i)
+), ve AS (
+  SELECT vec_id, gs.i, CAST(embedding[gs.i] AS DOUBLE) AS vx
+  FROM embeddings, generate_series(1, {DIM}) gs(i)
+), dists AS (
+  SELECT v.vec_id, s.sid,
+         SUM(CAST(ROUND((vx - sx) * (vx - sx) * 1e12, 0) AS BIGINT)) AS dist_s
+  FROM ve v JOIN se s ON v.i = s.i
+  GROUP BY 1, 2
+), assign AS (
+  SELECT vec_id, sid AS cluster_id FROM (
+    SELECT vec_id, sid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_s, sid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+), members AS (
+  SELECT a.cluster_id, gs.i,
+         CAST(e.embedding[gs.i] AS DOUBLE) AS vx
+  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id,
+       generate_series(1, {DIM}) gs(i)
+)
+SELECT cluster_id, i AS dim_i,
+       (ROUND(SUM(CAST(ROUND(vx * 1e9, 0) AS BIGINT)) / (1e9 * COUNT(*)) * 1e6,
+              0) / 1e6) AS centroid,
+       COUNT(*) AS n_members
+FROM members GROUP BY 1, 2
+""",
+)
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M115: one exact Lloyd iteration of k-means over the embedding
+    column — nearest-seed assignment (squared L2) plus the recomputed
+    per-dimension centroids, in long format (cluster_id, dim_i, centroid,
+    n_members). The building block of distributed k-means / IVF training
+    (the coarse quantizer q_sim_ivf_knn presupposes); iterating this step
+    to convergence IS k-means, each iteration one broadcast + two keyed
+    aggregations.
+
+    Determinism end-to-end: seeds are the first {KMEANS_K} vec_ids (no
+    RNG); distances are exact integer sums of nano-rounded squared diffs
+    (the _scaled_dot discipline — JVM-side zip_with/aggregate, no Python
+    in the loop); the argmin tie-breaks on (dist, seed id); centroid
+    means are nano-rounded integer sums divided once. Scale shape: the
+    K-row seed table is broadcast (model-to-data, like the CF neighbor
+    model); assignment is row-local; the centroid update is ONE
+    (cluster, dim)-keyed aggregate with map-side partials — K·DIM output
+    rows. No all-pairs anything."""
+    e = table(spark, sf_dir, "embeddings")
+    seeds = F.broadcast(
+        e.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(F.col("vec_id").alias("sid"), F.col("embedding").alias("sv"))
+    )
+    dists = e.crossJoin(seeds).select(
+        "vec_id",
+        "sid",
+        _scaled_sqdist(F.col("embedding"), F.col("sv")).alias("dist_s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist_s", "sid")
+    assign = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("sid").alias("cluster_id"))
+    )
+    members = assign.join(e, "vec_id").select(
+        "cluster_id", F.posexplode("embedding").alias("pos", "val")
+    )
+    return (
+        members.groupBy("cluster_id", (F.col("pos") + 1).alias("dim_i"))
+        .agg(
+            F.sum(rlong(F.col("val").cast("double") * F.lit(1e9))).alias("s9"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            F.col("dim_i").cast("long").alias("dim_i"),
+            dround(F.col("s9") / (F.lit(1e9) * F.col("n_members")), 6).alias("centroid"),
+            "n_members",
+        )
     )

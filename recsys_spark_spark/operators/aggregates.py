@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from recsys_spark_spark.catalog import table
-from recsys_spark_spark.functions.determinism import davg, dsum, oavg, osum, rlong
+from recsys_spark_spark.functions.determinism import davg, dround, dsum, oavg, osum, rlong
 from recsys_spark_spark.registry import query
 
 
@@ -487,4 +487,84 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
         F.sum(rlong(F.col("o_totalprice") * 100)).cast("long").alias("cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# M114: exact-sum correlation / covariance / regression slope
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS q,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS d
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(q) AS BIGINT) AS sx, CAST(SUM(d) AS BIGINT) AS sy,
+         CAST(SUM(q * q) AS BIGINT) AS sxx, CAST(SUM(d * d) AS BIGINT) AS syy,
+         CAST(SUM(q * d) AS BIGINT) AS sxy
+  FROM b GROUP BY 1
+)
+SELECT l_returnflag, n,
+       (ROUND((n * sxy - sx * sy) / SQRT(CAST((n * sxx - sx * sx) AS DOUBLE)
+                                         * (n * syy - sy * sy)) * 1e6, 0) / 1e6)
+         AS corr_qty_disc,
+       (ROUND((n * sxy - sx * sy) / (100.0 * n * (n - 1)) * 1e6, 0) / 1e6)
+         AS covar_qty_disc,
+       (ROUND(CAST((n * sxy - sx * sy) AS DOUBLE) / (n * sxx - sx * sx) / 100
+              * 1e6, 0) / 1e6) AS slope_disc_on_qty
+FROM s
+""",
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M114: Pearson correlation, sample covariance, and OLS slope of
+    discount on quantity per return flag — the statistical aggregates
+    (SQL CORR / COVAR_SAMP / REGR_SLOPE) built from their moment sums.
+
+    Why not F.corr/F.covar_samp directly: those accumulate doubles in
+    partition order (Welford-style), so the low bits differ run-to-run and
+    engine-to-engine. Here every moment (Sx, Sy, Sxx, Syy, Sxy) is an
+    EXACT integer sum over integer-scaled values (quantity integral,
+    discount in percent), the closed forms
+        corr  = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)(n·Syy − Sy²))
+        covar = (n·Sxy − Sx·Sy) / (n(n−1)),  slope = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²)
+    divide exact integers (all < 2^53, so the double conversions are
+    lossless and sqrt is correctly rounded — bit-identical everywhere),
+    and the /100 rescales the percent scaling back to the raw unit.
+    Scale shape: one map-side-combinable aggregate per flag — the moment
+    vector is 6 longs per group, perfectly mergeable (the same
+    partial-aggregation contract as q_incr_agg)."""
+    l = table(spark, sf_dir, "lineitem")
+    b = l.select(
+        "l_returnflag",
+        rlong(F.col("l_quantity")).cast("long").alias("q"),
+        rlong(F.col("l_discount") * 100).cast("long").alias("d"),
+    )
+    s = b.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sx"),
+        F.sum("d").alias("sy"),
+        F.sum(F.col("q") * F.col("q")).alias("sxx"),
+        F.sum(F.col("d") * F.col("d")).alias("syy"),
+        F.sum(F.col("q") * F.col("d")).alias("sxy"),
+    )
+    cov_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        dround(
+            cov_num / F.sqrt(var_x.cast("double") * var_y), 6
+        ).alias("corr_qty_disc"),
+        dround(
+            cov_num / (F.lit(100.0) * F.col("n") * (F.col("n") - 1)), 6
+        ).alias("covar_qty_disc"),
+        dround(cov_num.cast("double") / var_x / 100, 6).alias("slope_disc_on_qty"),
     )

@@ -160,7 +160,8 @@ _R5_WINDOW = (
 # q_eval_hitrate (cf/evaluate.py), q_text_entropy / q_text_repetition
 # (llm/text.py), q_ts_ewma (operators/temporal.py), q_outlier_mad /
 # q_graph_triangles (operators/analytics.py), q_sql_correlated
-# (operators/extras.py), q_sample_bootstrap (llm/sampling.py), plus
+# (operators/extras.py), q_sample_bootstrap (llm/sampling.py), q_agg_corr
+# (operators/aggregates.py), q_kmeans_step (llm/similarity.py), plus
 # whatever round 6 adds — put them first in
 # _R6_WINDOW, then refresh the oldest families (round-1-era
 # scans/filters/joins/windows/aggregates rows).
