@@ -982,3 +982,95 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         rules.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= RULE_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# M117: full-coverage hybrid — CF for warm users, popularity for thin-history
+# --------------------------------------------------------------------------
+
+WARM_MIN_ITEMS = 10  # users below this history size get the popularity path
+
+_HYBRID_ORACLE = f"""
+WITH {CF_CHAIN},
+hist AS (
+  SELECT user_id, COUNT(*) AS n_items FROM ui GROUP BY 1
+),
+cold AS (
+  SELECT user_id FROM hist WHERE n_items < {WARM_MIN_ITEMS}
+),
+warm_recs AS (
+  SELECT r.user_id, r.item_id, r.score, r.rnk FROM recs r
+  WHERE NOT EXISTS (SELECT 1 FROM cold WHERE cold.user_id = r.user_id)
+),
+top_pop AS (
+  SELECT item_id, n_users FROM norms ORDER BY n_users DESC, item_id LIMIT {POP_CANDIDATES}
+),
+cold_cand AS (
+  SELECT c.user_id, t.item_id, t.n_users
+  FROM cold c CROSS JOIN top_pop t
+  WHERE NOT EXISTS (SELECT 1 FROM ui s WHERE s.user_id = c.user_id AND s.item_id = t.item_id)
+),
+cold_recs AS (
+  SELECT user_id, item_id, CAST(n_users AS DOUBLE) AS score, rnk FROM (
+    SELECT user_id, item_id, n_users,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_users DESC, item_id) AS BIGINT) AS rnk
+    FROM cold_cand
+  ) WHERE rnk <= {TOP_N_RECS}
+)
+SELECT user_id, item_id, CAST(score AS DOUBLE) AS score, rnk, 'cf' AS source
+FROM warm_recs
+UNION ALL
+SELECT user_id, item_id, score, rnk, 'cold_popularity' AS source
+FROM cold_recs
+"""
+
+
+@query("q_cf_hybrid_rec", oracle=_HYBRID_ORACLE)
+def q_cf_hybrid_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M117: full-coverage hybrid recommender — warm users (>=
+    {WARM_MIN_ITEMS} distinct items) get the ItemCF flagship list; cold
+    users (thin history, where co-occurrence similarity is noise) get the
+    unseen-filtered popularity head instead. The `source` column is the
+    serving-side contract: downstream ranking knows which score scale it
+    is looking at (CF similarity-weighted score vs raw audience count).
+    The standard production shape: personalize where the data supports
+    it, fall back where it doesn't.
+
+    Scale shape: the warm branch IS q_cf_recommend (cached chain, two
+    exchanges) minus cold users via a co-partitioned anti join (both
+    sides already ride HashPartitioning(user_id) off the cached matrix —
+    no new exchange); the cold branch reuses q_cf_popularity_rec's
+    broadcast-candidates + collect_set membership shape restricted to the
+    cold slice. Cold users never enter the CF joins at all."""
+    ui = capped_interactions(spark, sf_dir)
+    neighbors = topk_neighbors_fused(ui, item_norms(ui)).select("item_i", "item_j", "sim")
+    hist = ui.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_items"))
+    cold = hist.where(F.col("n_items") < WARM_MIN_ITEMS).select("user_id")
+    warm = (
+        recommend(ui, neighbors)
+        .join(cold.hint("shuffle_hash"), "user_id", "left_anti")
+        .select(
+            "user_id", "item_id", F.col("score").cast("double").alias("score"),
+            "rnk", F.lit("cf").alias("source"),
+        )
+    )
+    top_pop = F.broadcast(
+        item_norms(ui).orderBy(F.col("n_users").desc(), "item_id").limit(POP_CANDIDATES)
+    )
+    seen = ui.groupBy("user_id").agg(F.collect_set("item_id").alias("_seen"))
+    cold_cand = (
+        cold.crossJoin(top_pop)
+        .join(seen.hint("shuffle_hash"), "user_id")
+        .where(~F.array_contains(F.col("_seen"), F.col("item_id")))
+        .drop("_seen")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_users").desc(), "item_id")
+    cold_recs = (
+        cold_cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOP_N_RECS)
+        .select(
+            "user_id", "item_id", F.col("n_users").cast("double").alias("score"),
+            "rnk", F.lit("cold_popularity").alias("source"),
+        )
+    )
+    return warm.unionByName(cold_recs)

@@ -391,3 +391,96 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# M116: product-quantization encoding (PQ codes for compressed ANN)
+# --------------------------------------------------------------------------
+
+PQ_SUBSPACES = 8           # 64 dims -> 8 subspaces of 8 dims
+PQ_SUBDIM = DIM // PQ_SUBSPACES
+PQ_CODEBOOK = 4            # codewords per subspace (first-K seed subvectors)
+
+
+@query(
+    "q_embed_pq_encode",
+    oracle=f"""
+WITH seeds AS (
+  SELECT vec_id AS sid, embedding AS sv FROM embeddings ORDER BY vec_id LIMIT {PQ_CODEBOOK}
+), se AS (
+  SELECT sid, s.s, gi.i,
+         CAST(sv[s.s * {PQ_SUBDIM} + gi.i] AS DOUBLE) AS sx
+  FROM seeds,
+       generate_series(0, {PQ_SUBSPACES - 1}) s(s),
+       generate_series(1, {PQ_SUBDIM}) gi(i)
+), ve AS (
+  SELECT vec_id, s.s, gi.i,
+         CAST(embedding[s.s * {PQ_SUBDIM} + gi.i] AS DOUBLE) AS vx
+  FROM embeddings,
+       generate_series(0, {PQ_SUBSPACES - 1}) s(s),
+       generate_series(1, {PQ_SUBDIM}) gi(i)
+), dists AS (
+  SELECT v.vec_id, v.s, e.sid,
+         SUM(CAST(ROUND((vx - sx) * (vx - sx) * 1e12, 0) AS BIGINT)) AS dist_s
+  FROM ve v JOIN se e ON v.s = e.s AND v.i = e.i
+  GROUP BY 1, 2, 3
+)
+SELECT vec_id, s AS subspace, sid AS code,
+       (ROUND(dist_s / 1e12 * 1e6, 0) / 1e6) AS sq_err
+FROM (
+  SELECT vec_id, s, sid, dist_s,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist_s, sid) AS rn
+  FROM dists
+) WHERE rn = 1
+""",
+)
+def q_embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M116: product-quantization encoding (Jégou et al., 'Product
+    quantization for nearest neighbor search', TPAMI 2011) — each vector
+    compressed to {PQ_SUBSPACES} codebook ids by quantizing each
+    {PQ_SUBDIM}-dim subvector to its nearest codeword, with the per-block
+    quantization error. PQ is how billion-scale ANN indexes store
+    vectors (64 floats -> {PQ_SUBSPACES} bytes here); the codebook is the
+    first-{PQ_CODEBOOK} seed subvectors (train it by iterating
+    q_kmeans_step per subspace).
+
+    Plan: the codebook (K·S subvector rows) is BROADCAST; vectors fan out
+    row-locally into S subvector slices (slice() on the array — no
+    explode of raw dims crosses the wire); distance is the exact
+    integer-sum fold (zip_with/aggregate, JVM-side); the per-(vector,
+    subspace) argmin is a WindowGroupLimit-prunable rank-1 window keyed
+    by the same fan-out — one narrow exchange on (vec_id, subspace)."""
+    e = table(spark, sf_dir, "embeddings")
+    sub = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))).alias("s")
+    vecs = e.select("vec_id", sub, "embedding").select(
+        "vec_id",
+        "s",
+        F.expr(f"slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("subv"),
+    )
+    seeds = F.broadcast(
+        e.orderBy("vec_id")
+        .limit(PQ_CODEBOOK)
+        .select(F.col("vec_id").alias("sid"), sub, "embedding")
+        .select(
+            "sid",
+            F.col("s").alias("cs"),
+            F.expr(f"slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("codev"),
+        )
+    )
+    dists = vecs.join(seeds, vecs.s == seeds.cs).select(
+        "vec_id",
+        "s",
+        "sid",
+        _scaled_sqdist(F.col("subv"), F.col("codev")).alias("dist_s"),
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("dist_s", "sid")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("s").cast("long").alias("subspace"),
+            F.col("sid").alias("code"),
+            dround(F.col("dist_s") / F.lit(1e12), 6).alias("sq_err"),
+        )
+    )

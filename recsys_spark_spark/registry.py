@@ -161,7 +161,8 @@ _R5_WINDOW = (
 # (llm/text.py), q_ts_ewma (operators/temporal.py), q_outlier_mad /
 # q_graph_triangles (operators/analytics.py), q_sql_correlated
 # (operators/extras.py), q_sample_bootstrap (llm/sampling.py), q_agg_corr
-# (operators/aggregates.py), q_kmeans_step (llm/similarity.py), plus
+# (operators/aggregates.py), q_kmeans_step / q_embed_pq_encode
+# (llm/similarity.py), q_cf_hybrid_rec (cf/itemcf.py), plus
 # whatever round 6 adds — put them first in
 # _R6_WINDOW, then refresh the oldest families (round-1-era
 # scans/filters/joins/windows/aggregates rows).

@@ -109,3 +109,17 @@ def test_ewma_first_order_equals_value(spark):
     firsts = df.withColumn("_rn", w).where(F.col("_rn") == 1)
     bad = firsts.where(F.col("ewma_cents") != F.col("cents")).count()
     assert bad == 0
+
+
+def test_hybrid_rec_serves_both_branches(spark):
+    """Both hybrid sources must be non-empty at every tested SF — a
+    cold branch that matches nobody would make the fallback oracle
+    vacuous (the q_dedup_canonical lesson)."""
+    src = {
+        r.source: r.n
+        for r in QUERIES["q_cf_hybrid_rec"](spark, SF_SMOKE)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert src.get("cf", 0) > 0 and src.get("cold_popularity", 0) > 0, src

@@ -64,6 +64,14 @@ PROBE_QUERIES = (
     "q_active_users",
     "q_sort_multi",
     "q_sessionize_batch",
+    # round-5 session additions: the new pair-join recommender, the
+    # densifying co-purchase triangle join (the adversarial query under
+    # "10x users, same catalog" — support multiplies, edges densify),
+    # the broadcast-seed k-means step, and the 20x bootstrap fan-out
+    "q_cf_slope_one",
+    "q_kmeans_step",
+    "q_sample_bootstrap",
+    "q_graph_triangles",
 )
 
 
