@@ -783,7 +783,15 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # M111: triangle counting on the co-purchase graph
 # --------------------------------------------------------------------------
 
-TRI_MIN_SUPPORT = 3  # co-purchase support floor defining a graph edge
+# Edge rule: co-purchase support >= max(TRI_MIN_SUPPORT, |U|/TRI_USERS_PER_SUPPORT).
+# The floor MUST scale with the user population: under "more users, same
+# catalog" growth every pair's support grows linearly, so a fixed absolute
+# floor stops pruning anything — measured on the sf1 probe replica (10x
+# users): fixed >=3 left 12.7M edges (vs 9k at sf0.1) and the wedge join
+# blew up, while the scaled floor (= 30 there) reproduces the same 9k-edge
+# graph density at every population size.
+TRI_MIN_SUPPORT = 3
+TRI_USERS_PER_SUPPORT = 5000
 
 
 @query(
@@ -794,10 +802,15 @@ WITH ui AS (
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
   GROUP BY 1, 2
 ),
+thr AS (
+  SELECT GREATEST({TRI_MIN_SUPPORT},
+                  CAST(CEIL(COUNT(DISTINCT user_id) / {TRI_USERS_PER_SUPPORT}.0) AS BIGINT)) AS min_c
+  FROM ui
+),
 e AS (
   SELECT a.item_id AS x, b.item_id AS y
   FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item_id < b.item_id
-  GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT min_c FROM thr)
 ),
 tri AS (
   SELECT e1.x AS a, e1.y AS b, e2.y AS c
@@ -819,10 +832,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     community detection over item relations (complements q_graph_pagerank's
     centrality and q_assoc_rules' pairwise lift).
 
-    Edges are co-purchase pairs with support >= {TRI_MIN_SUPPORT} (the same
-    capped pair generation as co-occurrence — MAX_USER_HISTORY bounds the
-    fan-out; the support floor then bounds DEGREE, which is what controls
-    the triangle join). Each triangle is enumerated exactly once via the
+    Edges are co-purchase pairs with support >= max({TRI_MIN_SUPPORT},
+    |U|/{TRI_USERS_PER_SUPPORT}) — the POPULATION-SCALED floor (module
+    comment: a fixed floor stops pruning under user growth; the sf1 probe
+    measured a 1400x edge blow-up without it). The same capped pair
+    generation as co-occurrence (MAX_USER_HISTORY bounds the fan-out);
+    the scaled floor then bounds DEGREE, which is what controls the
+    triangle join; the threshold itself is a 1-row broadcast, never a
+    driver-side collect. Each triangle is enumerated exactly once via the
     total order a < b < c: wedges join on the shared middle vertex
     (one item-keyed exchange), closures join on the (x, y) edge pair —
     never an all-pairs product; per-vertex counts are a count-sized
@@ -830,9 +847,18 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recsys_spark_spark.cf.itemcf import capped_interactions, cooccurrence
 
     ui = capped_interactions(spark, sf_dir)
+    thr = ui.agg(
+        F.greatest(
+            F.lit(TRI_MIN_SUPPORT),
+            F.ceil(
+                F.countDistinct("user_id") / F.lit(float(TRI_USERS_PER_SUPPORT))
+            ),
+        ).alias("min_c")
+    )
     e = (
         cooccurrence(ui)
-        .where(F.col("n_common") >= TRI_MIN_SUPPORT)
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("n_common") >= F.col("min_c"))
         .select(F.col("item_i").alias("x"), F.col("item_j").alias("y"))
     )
     return triangle_counts(e)

@@ -544,3 +544,34 @@ def q_sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_CORRELATED_SQL)
+
+
+# --------------------------------------------------------------------------
+# M119: LATERAL correlated derived table, SQL mode
+# --------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+"""
+
+
+@query("q_sql_lateral", oracle=_LATERAL_SQL)
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M119: LATERAL correlated derived table — each customer's top-2
+    most expensive orders, written as the SQL-standard lateral join both
+    engines accept verbatim. The third decorrelation shape after
+    q_sql_correlated's scalar/EXISTS: a correlated LIMIT, which Catalyst
+    rewrites into a per-key window rank (DecorrelateInnerQuery), i.e. the
+    exact plan q_topk_per_group hand-writes — per-row re-execution never
+    survives. Tie-broken on (o_totalprice DESC, o_orderkey) so the top-2
+    is total-order deterministic on both engines."""
+    from recsys_spark_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

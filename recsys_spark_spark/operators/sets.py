@@ -88,3 +88,55 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey")
     b = _brand_buyers(spark, sf_dir, "Brand#1").select(F.col("o_custkey").alias("c_custkey"))
     return c.subtract(b)
+
+
+_BRAND_BUYERS_ALL = """SELECT o_custkey
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = '{brand}'
+"""
+
+
+def _brand_buyers_all(spark: SparkSession, sf_dir: str, brand: str) -> DataFrame:
+    """Per-purchase buyer bag (duplicates preserved) for one brand."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = F.broadcast(table(spark, sf_dir, "part").where(F.col("p_brand") == brand))
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .select("o_custkey")
+    )
+
+
+@query(
+    "q_set_ops_all",
+    oracle=(
+        "SELECT 'intersect_all' AS op, o_custkey FROM (\n"
+        + _BRAND_BUYERS_ALL.format(brand="Brand#1")
+        + "INTERSECT ALL\n"
+        + _BRAND_BUYERS_ALL.format(brand="Brand#2")
+        + ")\nUNION ALL\nSELECT 'except_all' AS op, o_custkey FROM (\n"
+        + _BRAND_BUYERS_ALL.format(brand="Brand#1")
+        + "EXCEPT ALL\n"
+        + _BRAND_BUYERS_ALL.format(brand="Brand#2")
+        + ")"
+    ),
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: multiset set operations — INTERSECT ALL / EXCEPT ALL over the
+    per-purchase (not deduplicated) brand-buyer bags, tagged by operator.
+    The ALL variants preserve multiplicity (a customer with 3 Brand#1 and
+    2 Brand#2 purchases appears min(3,2)=2 times in the intersection,
+    3−2=1 time in the difference) — bag semantics SQL mandates and G3/G4's
+    distinct forms cannot express.
+
+    Spark plans both as aggregate-then-generate (count per key on each
+    side, replicate min(l,r) / greatest(l−r, 0) times) — two keyed
+    aggregates + a row-local sequence explode, no join at all; the same
+    shape at any scale."""
+    b1 = _brand_buyers_all(spark, sf_dir, "Brand#1")
+    b2 = _brand_buyers_all(spark, sf_dir, "Brand#2")
+    ia = b1.intersectAll(b2).select(F.lit("intersect_all").alias("op"), "o_custkey")
+    ea = b1.exceptAll(b2).select(F.lit("except_all").alias("op"), "o_custkey")
+    return ia.unionByName(ea)

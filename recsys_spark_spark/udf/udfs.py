@@ -17,7 +17,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType
+from pyspark.sql.types import DoubleType, LongType, StringType
 
 from recsys_spark_spark.catalog import table
 from recsys_spark_spark.registry import query
@@ -198,4 +198,45 @@ def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents, LATERAL tokenize_udtf(text) AS t
         WHERE doc_id < 20
         """
+    )
+
+
+@query(
+    "q_udf_arrow",
+    oracle="""
+SELECT o_orderkey,
+       UPPER(o_orderpriority) || '#' || CAST(o_custkey % 10 AS VARCHAR) AS pri_tag,
+       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) % 97 AS price_mod
+FROM orders
+WHERE o_orderstatus = 'F'
+""",
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: Arrow-optimized Python UDF (Spark 4 `useArrow=True`) — the
+    row-function API with pandas-UDF transport: the batch crosses to
+    Python over Arrow once per partition instead of pickling row by row
+    (~an order of magnitude less serialization overhead than L1), while
+    the author still writes a plain scalar function. The modern default
+    for Python logic that genuinely can't be a column expression.
+
+    Exactness: string upper/concat and integer modulus are
+    representation-free, so the oracle is the equivalent SQL; the cents
+    rounding reuses Python banker's-free round-half via int(x+0.5) on a
+    non-negative price, matching ROUND(x, 0). Input pre-filtered
+    JVM-side (same L1 discipline — never feed a Python UDF the rows a
+    filter could have dropped)."""
+
+    @F.udf(returnType=StringType(), useArrow=True)
+    def pri_tag(priority: str, cust: int) -> str:
+        return f"{priority.upper()}#{cust % 10}"
+
+    @F.udf(returnType=LongType(), useArrow=True)
+    def price_mod(price: float) -> int:
+        return int(price * 100 + 0.5) % 97
+
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return o.select(
+        "o_orderkey",
+        pri_tag("o_orderpriority", "o_custkey").alias("pri_tag"),
+        price_mod("o_totalprice").alias("price_mod"),
     )
