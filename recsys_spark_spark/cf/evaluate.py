@@ -274,18 +274,18 @@ pu AS (
   FROM rel JOIN tu ON tu.user_id = rel.user_id
   GROUP BY 1
 )
-SELECT ROUND(SUM(CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS hit_rate5,
-       ROUND(SUM(CASE WHEN first_hit IS NOT NULL
-                      THEN CAST(ROUND(1e9 / first_hit, 0) AS BIGINT)
-                      ELSE 0 END) / COUNT(*) / 1e9, 6) AS mrr5,
+SELECT (ROUND(SUM(CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END)
+              / CAST(COUNT(*) AS DOUBLE) * 1e6, 0) / 1e6) AS hit_rate5,
+       (ROUND(SUM(CASE WHEN first_hit IS NOT NULL
+                       THEN CAST(ROUND(1e9 / first_hit, 0) AS BIGINT)
+                       ELSE 0 END) / COUNT(*) / 1e9 * 1e6, 0) / 1e6) AS mrr5,
        COUNT(*) AS n_eval_users
 FROM pu"""
 
 
 @query("q_eval_hitrate", oracle=_HITRATE_SQL)
 def q_eval_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I9c: HitRate@5 and MRR@5 on the q_eval_metrics holdout — the two
+    """I9c / M106: HitRate@5 and MRR@5 on the q_eval_metrics holdout — the two
     leaderboard staples q_eval_ranking's MAP/NDCG don't cover (hit-rate:
     did ANY top-5 rec convert; MRR: how high was the FIRST conversion).
 
@@ -321,8 +321,10 @@ def q_eval_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rr9 = F.when(
         F.col("first_hit").isNotNull(), rlong(F.lit(1e9) / F.col("first_hit"))
     ).otherwise(F.lit(0))
+    from recsys_spark_spark.functions.determinism import dround
+
     return pu.agg(
-        F.round(F.sum(hit) / F.count(F.lit(1)).cast("double"), 6).alias("hit_rate5"),
-        F.round(F.sum(rr9) / F.count(F.lit(1)) / F.lit(1e9), 6).alias("mrr5"),
+        dround(F.sum(hit) / F.count(F.lit(1)).cast("double"), 6).alias("hit_rate5"),
+        dround(F.sum(rr9) / F.count(F.lit(1)) / F.lit(1e9), 6).alias("mrr5"),
         F.count(F.lit(1)).alias("n_eval_users"),
     )

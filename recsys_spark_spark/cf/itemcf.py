@@ -727,10 +727,19 @@ def q_cf_popularity_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncapped NOT EXISTS at larger scale factors. Exchange reuse collapses
     the three branches' identical user_id repartition into one shuffle."""
     ui = interactions(spark, sf_dir).select("user_id", "item_id")
-    pop = ui.groupBy("item_id").agg(F.count(F.lit(1)).alias("n_users"))
-    top_pop = pop.orderBy(F.col("n_users").desc(), "item_id").limit(POP_CANDIDATES)
-    users = ui.select("user_id").distinct()
-    cand = users.crossJoin(F.broadcast(top_pop))
+    return popularity_recs(ui, ui.select("user_id").distinct())
+
+
+def popularity_recs(ui: DataFrame, users: DataFrame, n: int = TOP_N_RECS) -> DataFrame:
+    """Unseen-filtered popularity head for a user slice — the shared block
+    behind q_cf_popularity_rec (all users) and q_cf_hybrid_rec's cold
+    branch (thin-history users). One definition so the seen-filter
+    discipline (broadcast candidates + collect_set membership +
+    shuffle_hash — see recommend()) can never diverge between them."""
+    top_pop = F.broadcast(
+        item_norms(ui).orderBy(F.col("n_users").desc(), "item_id").limit(POP_CANDIDATES)
+    )
+    cand = users.crossJoin(top_pop)
     seen = ui.groupBy("user_id").agg(F.collect_set("item_id").alias("_seen"))
     unseen = (
         cand.join(seen.hint("shuffle_hash"), "user_id")
@@ -740,7 +749,7 @@ def q_cf_popularity_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(F.col("n_users").desc(), "item_id")
     return (
         unseen.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= TOP_N_RECS)
+        .where(F.col("rnk") <= n)
         .select("user_id", "item_id", "n_users", "rnk")
     )
 
@@ -1027,14 +1036,21 @@ FROM cold_recs
 
 @query("q_cf_hybrid_rec", oracle=_HYBRID_ORACLE)
 def q_cf_hybrid_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M117: full-coverage hybrid recommender — warm users (>=
-    {WARM_MIN_ITEMS} distinct items) get the ItemCF flagship list; cold
-    users (thin history, where co-occurrence similarity is noise) get the
+    """M117: hybrid recommender — warm users (>= {WARM_MIN_ITEMS}
+    distinct items) get the ItemCF flagship list; cold users (thin
+    history, where co-occurrence similarity is noise) get the
     unseen-filtered popularity head instead. The `source` column is the
     serving-side contract: downstream ranking knows which score scale it
     is looking at (CF similarity-weighted score vs raw audience count).
     The standard production shape: personalize where the data supports
-    it, fall back where it doesn't.
+    it, fall back where it doesn't. Coverage contract, precisely: every
+    cold user with an unseen popular candidate gets rows; a warm user
+    whose ENTIRE neighbor-expanded candidate set is already seen (an
+    isolated clique user — absent at every tested SF) would get none, by
+    design — routing such users to the popularity branch would need a
+    second scoring pass over exactly the users the CF model just failed,
+    which a serving layer does with a COALESCE against
+    q_cf_popularity_rec, not inside this plan.
 
     Scale shape: the warm branch IS q_cf_recommend (cached chain, two
     exchanges) minus cold users via a co-partitioned anti join (both
@@ -1054,23 +1070,8 @@ def q_cf_hybrid_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk", F.lit("cf").alias("source"),
         )
     )
-    top_pop = F.broadcast(
-        item_norms(ui).orderBy(F.col("n_users").desc(), "item_id").limit(POP_CANDIDATES)
-    )
-    seen = ui.groupBy("user_id").agg(F.collect_set("item_id").alias("_seen"))
-    cold_cand = (
-        cold.crossJoin(top_pop)
-        .join(seen.hint("shuffle_hash"), "user_id")
-        .where(~F.array_contains(F.col("_seen"), F.col("item_id")))
-        .drop("_seen")
-    )
-    w = Window.partitionBy("user_id").orderBy(F.col("n_users").desc(), "item_id")
-    cold_recs = (
-        cold_cand.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= TOP_N_RECS)
-        .select(
-            "user_id", "item_id", F.col("n_users").cast("double").alias("score"),
-            "rnk", F.lit("cold_popularity").alias("source"),
-        )
+    cold_recs = popularity_recs(ui, cold).select(
+        "user_id", "item_id", F.col("n_users").cast("double").alias("score"),
+        "rnk", F.lit("cold_popularity").alias("source"),
     )
     return warm.unionByName(cold_recs)

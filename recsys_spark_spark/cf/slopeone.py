@@ -39,6 +39,7 @@ from recsys_spark_spark.cf.itemcf import (
     UI_CTE,
     capped_interactions,
 )
+from recsys_spark_spark.functions.determinism import dround
 from recsys_spark_spark.registry import query
 
 
@@ -50,8 +51,13 @@ def deviation_pairs(ui: DataFrame) -> DataFrame:
     half the pair-generation work of a full directional self-join."""
     a = ui.select("user_id", F.col("item_id").alias("item_i"), F.col("cnt").alias("r_i"))
     b = ui.select("user_id", F.col("item_id").alias("item_j"), F.col("cnt").alias("r_j"))
+    # shuffle_hash: same rationale as topk_neighbors_fused — and, critically,
+    # the hint pins the join SHUFFLED on user_id at every size. Without it
+    # AQE broadcasts a side at test SF (user-history-sized broadcast — the
+    # failure mode test_slope_one_broadcasts_model_not_users guards) and
+    # flips to sort-merge at sf1, so the plan test was size-unstable too.
     half = (
-        a.join(b, "user_id")
+        a.join(b.hint("shuffle_hash"), "user_id")
         .where(F.col("item_i") < F.col("item_j"))
         .groupBy("item_i", "item_j")
         .agg(
@@ -110,7 +116,7 @@ unseen AS (
   )
 )
 SELECT user_id, cand AS item_id,
-       ROUND(CAST(num AS DOUBLE) / den, 6) AS pred, rnk
+       (ROUND(CAST(num AS DOUBLE) / den * 1e6, 0) / 1e6) AS pred, rnk
 FROM (
   SELECT user_id, cand, num, den,
          ROW_NUMBER() OVER (
@@ -177,7 +183,7 @@ def slope_one_recommend(
         .select(
             "user_id",
             F.col("cand").alias("item_id"),
-            F.round(pred, 6).alias("pred"),
+            dround(pred, 6).alias("pred"),
             F.col("rnk").cast("long").alias("rnk"),
         )
     )

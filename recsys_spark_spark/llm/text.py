@@ -13,7 +13,7 @@ from pyspark.sql.window import Window
 
 from recsys_spark_spark.catalog import table
 from recsys_spark_spark.registry import query
-from recsys_spark_spark.functions.determinism import rlong
+from recsys_spark_spark.functions.determinism import dround, rlong
 
 
 @query(
@@ -580,7 +580,7 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# M106: token entropy (information-density quality signal)
+# M107: token entropy (information-density quality signal)
 # --------------------------------------------------------------------------
 
 
@@ -600,15 +600,17 @@ WITH tok AS (
   FROM tc GROUP BY 1
 )
 SELECT doc_id, n_tokens, n_distinct,
-       ROUND((ln(n_tokens) - s9 / (1e9 * n_tokens)) / ln(2), 6) AS entropy_bits,
+       (ROUND((ln(n_tokens) - s9 / (1e9 * n_tokens)) / ln(2) * 1e6, 0) / 1e6)
+         AS entropy_bits,
        CASE WHEN n_distinct > 1
-            THEN ROUND((ln(n_tokens) - s9 / (1e9 * n_tokens)) / ln(n_distinct), 6)
+            THEN (ROUND((ln(n_tokens) - s9 / (1e9 * n_tokens)) / ln(n_distinct)
+                        * 1e6, 0) / 1e6)
             ELSE 0.0 END AS norm_entropy
 FROM m
 """,
 )
 def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M106: per-document Shannon entropy of the unigram distribution —
+    """M107: per-document Shannon entropy of the unigram distribution —
     the information-density quality signal (low entropy = repetitive /
     template text; used alongside q_text_quality's ratio filters when
     curating a pre-training corpus). norm_entropy divides by the maximum
@@ -634,9 +636,9 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "n_distinct",
-        F.round(h_nats / F.log(F.lit(2.0)), 6).alias("entropy_bits"),
+        dround(h_nats / F.log(F.lit(2.0)), 6).alias("entropy_bits"),
         F.when(
-            F.col("n_distinct") > 1, F.round(h_nats / F.log("n_distinct"), 6)
+            F.col("n_distinct") > 1, dround(h_nats / F.log("n_distinct"), 6)
         )
         .otherwise(F.lit(0.0))
         .alias("norm_entropy"),
@@ -644,7 +646,7 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# M107: repetition-based quality filter (Gopher-style, Rae et al. 2021)
+# M108: repetition-based quality filter (Gopher-style, Rae et al. 2021)
 # --------------------------------------------------------------------------
 
 TOP_TOKEN_MAX = 0.2  # max fraction of tokens taken by the single top token
@@ -688,7 +690,7 @@ FROM tm LEFT JOIN bm ON tm.doc_id = bm.doc_id
 """,
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M107: repetition-based quality filtering in the style of Gopher's
+    """M108: repetition-based quality filtering in the style of Gopher's
     corpus rules (Rae et al., arXiv:2112.11446 §A1.1): documents dominated
     by one token or one bigram are template/spam-like and get filtered
     before pre-training. Emits the top-token fraction, duplicate-token

@@ -688,7 +688,7 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# M109: robust outlier detection (median + MAD, the 3-sigma-resistant rule)
+# M110: robust outlier detection (median + MAD, the 3-sigma-resistant rule)
 # --------------------------------------------------------------------------
 
 # |x - median| > MAD_K_X10000/10000 * MAD flags an outlier;
@@ -735,7 +735,7 @@ GROUP BY 1
 """,
 )
 def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M109: robust per-segment outlier detection — median + MAD (median
+    """M110: robust per-segment outlier detection — median + MAD (median
     absolute deviation), the rule that survives the very outliers that
     poison mean/stddev z-scores: flag |x − med| > 3·1.4826·MAD. The
     data-quality audit cousin of q_data_profile / q_skew_audit.

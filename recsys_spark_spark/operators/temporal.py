@@ -478,7 +478,7 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# M108: exponentially weighted moving average (bounded-memory smoothing)
+# M109: exponentially weighted moving average (bounded-memory smoothing)
 # --------------------------------------------------------------------------
 
 EWMA_LAGS = 8  # truncation depth: alpha=1/2 -> dropped tail weight 2^-8 < 0.4%
@@ -532,7 +532,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """,
 )
 def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M108: per-customer EWMA of order totals — the streaming-friendly
+    """M109: per-customer EWMA of order totals — the streaming-friendly
     smoother (alpha = 1/2) truncated at {EWMA_LAGS} lags, so the state is
     bounded and the dropped tail weight is < 0.4%. The standard trend
     feature for spend forecasting / anomaly baselines.

@@ -94,7 +94,7 @@ def test_bootstrap_replicates_estimate_the_mean(spark):
     ).collect()[0]
     for r in reps:
         # Poisson(1) weights: sum w concentrates at n (sd = sqrt(n));
-        # each resampled mean stays within a loose 5 sigma of the truth.
+        # each resampled mean stays within a loose 6 sigma of the truth.
         assert abs(r.n_drawn - agg.n) <= 6 * math.sqrt(agg.n), r
         assert abs(r.mean_total - agg.mean) / agg.mean < 0.1, r
 
