@@ -575,3 +575,48 @@ def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# M121: Q21-shaped chained EXISTS / NOT EXISTS (the hardest decorrelation)
+# --------------------------------------------------------------------------
+
+_Q21_SHAPE_SQL = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND CAST(l3.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60)
+GROUP BY s.s_name
+"""
+
+
+@query("q_sql_q21_shape", oracle=_Q21_SHAPE_SQL)
+def q_sql_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M121: TPC-H Q21's correlation pattern — per supplier, count orders
+    where THIS supplier shipped late (> 60 days after the order date, the
+    commitdate-free analog this schema supports) on a MULTI-supplier
+    order (EXISTS peer) and was the ONLY late one (NOT EXISTS late peer).
+    The benchmark's hardest decorrelation: two chained subqueries on the
+    SAME fact table, the second correlated through TWO outer tables
+    (l1.l_orderkey equality + o.o_orderdate in the inner predicate).
+
+    Catalyst turns EXISTS into a left-semi and NOT EXISTS into a
+    left-anti join, both keyed on l_orderkey with the extra predicates as
+    join conditions — three shuffles of the fact table on one key plus a
+    tiny supplier broadcast, no per-row re-execution (same decorrelation
+    family as q_sql_correlated/q_sql_lateral, here with the non-equi
+    correlated term riding the anti join's condition). Date arithmetic is
+    integer day addition on both engines — no interval/timezone
+    semantics in play."""
+    from recsys_spark_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SHAPE_SQL)
