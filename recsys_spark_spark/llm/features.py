@@ -142,3 +142,84 @@ def q_label_future_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias(f"repeat_{LABEL_DAYS}d"),
     )
+
+
+@query(
+    "q_eval_auc",
+    oracle="""
+WITH b AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label
+  FROM orders
+),
+g AS (
+  SELECT cents, COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS npos
+  FROM b GROUP BY 1
+),
+cum AS (
+  SELECT cents, n, npos,
+         COALESCE(SUM(n) OVER (ORDER BY cents
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cbefore
+  FROM g
+),
+tot AS (
+  SELECT CAST(SUM(npos * (2 * cbefore + n + 1)) AS BIGINT) AS s2,
+         CAST(SUM(npos) AS BIGINT) AS np,
+         CAST(SUM(n) - SUM(npos) AS BIGINT) AS nn
+  FROM cum
+)
+SELECT np AS n_pos, nn AS n_neg,
+       (ROUND(CAST(s2 - np * (np + 1) AS DOUBLE) / (2.0 * np * nn) * 1e6, 0)
+        / 1e6) AS auc
+FROM tot
+""",
+)
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M122: exact ROC AUC by rank sum (Mann-Whitney U) — does order value
+    predict urgency? The binary-classifier evaluation every training
+    export (q_feature_hash / q_label_future_window) ends in, computed
+    EXACTLY: tied scores get average ranks, doubled into integers
+    (2·avgrank = min_pos + max_pos = 2·c_before + n + 1), so the U
+    statistic is a pure integer sum and the single final division is the
+    only float op.
+
+    Scale shape: the per-score ranks come from the shared
+    operators.sorts.global_rank (value-bucketed distributed rank — NOT an
+    unpartitioned window; the oracle's global cumulative sum is the
+    semantics statement, not the plan), then one score-keyed aggregate
+    and a 1-row total. AUC over 100 TB of scores is two keyed exchanges."""
+    from recsys_spark_spark.functions.determinism import rlong
+    from recsys_spark_spark.operators.sorts import global_rank
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        rlong(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("label"),
+    )
+    ranked = global_rank(spark, o, "cents", "o_orderkey", descending=False)
+    g = ranked.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").alias("npos"),
+        F.min("pos").alias("minp"),
+        F.max("pos").alias("maxp"),
+    )
+    tot = g.agg(
+        F.sum(F.col("npos") * (F.col("minp") + F.col("maxp"))).alias("s2"),
+        F.sum("npos").alias("np"),
+        (F.sum("n") - F.sum("npos")).alias("nn"),
+    )
+    from recsys_spark_spark.functions.determinism import dround
+
+    return tot.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        dround(
+            (F.col("s2") - F.col("np") * (F.col("np") + 1)).cast("double")
+            / (F.lit(2.0) * F.col("np") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )

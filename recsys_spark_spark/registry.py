@@ -164,7 +164,8 @@ _R5_WINDOW = (
 # (operators/aggregates.py), q_kmeans_step / q_embed_pq_encode
 # (llm/similarity.py), q_cf_hybrid_rec (cf/itemcf.py), q_set_ops_all
 # (operators/sets.py), q_sql_lateral / q_sql_q21_shape
-# (operators/extras.py), q_udf_arrow (udf/udfs.py), plus whatever round 6
+# (operators/extras.py), q_udf_arrow (udf/udfs.py), q_eval_auc
+# (llm/features.py), plus whatever round 6
 # adds — put them first in
 # _R6_WINDOW, then refresh the oldest families (round-1-era
 # scans/filters/joins/windows/aggregates rows).

@@ -123,3 +123,65 @@ def test_hybrid_rec_serves_both_branches(spark):
         .collect()
     }
     assert src.get("cf", 0) > 0 and src.get("cold_popularity", 0) > 0, src
+
+
+def test_auc_matches_pairwise_bruteforce(spark):
+    """Rank-sum AUC must equal the O(n_pos*n_neg) pairwise definition
+    P(score_pos > score_neg) + 0.5*P(tie), computed directly in numpy."""
+    import numpy as np
+
+    row = QUERIES["q_eval_auc"](spark, SF_SMOKE).collect()[0]
+    pdf = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_totalprice", "o_orderpriority"
+    ).toPandas()
+    cents = (pdf.o_totalprice * 100).round().astype("int64").values
+    lab = (pdf.o_orderpriority == "1-URGENT").values
+    pos, neg = cents[lab], cents[~lab]
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    assert abs(row.auc - auc) < 1e-6, (row.auc, auc)
+
+
+def test_q21_shape_matches_dataframe_composition(spark):
+    """The SQL-mode Q21 pattern must equal an independently hand-composed
+    DataFrame plan (per-order late/peer flags -> only-late filter), so a
+    decorrelation bug that altered semantics identically in both engines'
+    SQL paths would still be caught."""
+    got = {
+        (r.s_name,): r.numwait
+        for r in QUERIES["q_sql_q21_shape"](spark, SF_SMOKE).collect()
+    }
+    from recsys_spark_spark.catalog import table
+
+    l = table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_orderdate")
+    s = table(spark, SF_SMOKE, "supplier").select("s_suppkey", "s_name")
+    j = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60)
+        ).cast("int").alias("late"),
+    )
+    per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("late"))
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    lone = (
+        per_supp.where(F.col("late") == 1)
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    # numwait counts LATE LINEITEMS (l1 rows), not late (order, supplier)
+    # pairs — rejoin the qualifying pairs to the late base rows.
+    base_late = j.where(F.col("late") == 1).drop("late")
+    want_df = (
+        base_late.join(lone.select("l_orderkey", "l_suppkey"), ["l_orderkey", "l_suppkey"])
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    want = {(r.s_name,): r.numwait for r in want_df.collect()}
+    assert got == want
