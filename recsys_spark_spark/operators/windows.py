@@ -267,3 +267,65 @@ def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.sum("first_seen").over(run_w).cast("long").alias("distinct_priorities_so_far"),
     )
+
+
+# --------------------------------------------------------------------------
+# M123: moving window median (robust trend smoother)
+# --------------------------------------------------------------------------
+
+MOVMED_FRAME = 6  # current row + 6 preceding = 7-order window
+
+
+@query(
+    "q_window_moving_median",
+    oracle=f"""
+WITH b AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, cents,
+       CAST(ROUND(2 * quantile_cont(cents, 0.5) OVER w, 0) AS BIGINT) AS movmed2,
+       COUNT(*) OVER w AS n_in_frame
+FROM b
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN {MOVMED_FRAME} PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M123: per-customer moving MEDIAN of order value over the last
+    {MOVMED_FRAME + 1} orders — the robust companion to q_window_moving's
+    mean and q_ts_ewma's exponential smoother: one outlier order cannot
+    drag the trend line. E4-family window with an exact percentile
+    aggregate as the frame function.
+
+    Exactness: the interpolated frame median of integer cents is an exact
+    integer or half — doubling it (movmed2) makes the output pure integer
+    (the q_outlier_mad trick), so no rounding pair is involved at all.
+    Scale shape: ONE per-customer window sort shared by both frame
+    aggregates; frames are bounded ({MOVMED_FRAME + 1} rows), so state per
+    row is constant and the window is partition-parallel on user key —
+    unlike a global percentile, this needs no value-bucket machinery."""
+    from recsys_spark_spark.functions.determinism import rlong
+
+    o = table(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        rlong(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-MOVMED_FRAME, Window.currentRow)
+    )
+    return b.select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        rlong(F.lit(2) * F.percentile("cents", 0.5).over(w))
+        .cast("long")
+        .alias("movmed2"),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+    )
