@@ -22,6 +22,16 @@ Usage:
     python tools/replay_driver.py [--sf /root/testdata/sf0.01]
                                   [--n 50] [--json REPLAY_r05.json]
 Exit code = number of failing entries.
+
+Ops note (observed 2026-08-14): run this on a QUIET machine, not
+back-to-back with another local[*] JVM in the same shell chain. A replay
+chained directly after a full check_oracles sweep lost its SparkContext
+mid-run (task failures cascading into "Cannot call methods on a stopped
+SparkContext", 22/50) while the identical standalone rerun passed 50/50 —
+the default-config session has a small driver heap and the just-exited
+sweep JVM's memory had not been reclaimed. A mid-run cascade of
+INTERNAL_ERROR/stopped-context failures means rerun standalone, not a
+query regression.
 """
 
 from __future__ import annotations
