@@ -118,6 +118,12 @@ def plan_digest(df) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--queries",
+        nargs="*",
+        default=None,
+        help="probe only these query names (default: full PROBE_QUERIES set)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="sf1-probe", shuffle_partitions=32)
@@ -126,8 +132,9 @@ def main() -> int:
     gen_s = round(time.time() - t0, 1)
 
     queries, _ = load_all()
+    probe_set = tuple(args.queries) if args.queries else PROBE_QUERIES
     report: dict = {"gen_sec": gen_s, "copies": COPIES, "queries": {}}
-    for name in PROBE_QUERIES:
+    for name in probe_set:
         fn = queries[name]
         entry: dict = {}
         for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
