@@ -568,3 +568,79 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("covar_qty_disc"),
         dround(cov_num.cast("double") / var_x / 100, 6).alias("slope_disc_on_qty"),
     )
+
+
+@query(
+    "q_agg_moments",
+    oracle="""
+WITH b AS (
+  SELECT l_returnflag, CAST(ROUND(l_quantity, 0) AS BIGINT) AS q
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(q) AS BIGINT) AS s1,
+         CAST(SUM(q * q) AS BIGINT) AS s2,
+         CAST(SUM(q * q * q) AS BIGINT) AS s3,
+         CAST(SUM(q * q * q * q) AS BIGINT) AS s4
+  FROM b GROUP BY 1
+),
+m AS (
+  SELECT l_returnflag, n,
+         s1 / CAST(n AS DOUBLE) AS m1,
+         s2 / CAST(n AS DOUBLE) - POW(s1 / CAST(n AS DOUBLE), 2) AS m2,
+         s3 / CAST(n AS DOUBLE)
+           - 3 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))
+           + 2 * POW(s1 / CAST(n AS DOUBLE), 3) AS m3,
+         s4 / CAST(n AS DOUBLE)
+           - 4 * (s1 / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE))
+           + 6 * POW(s1 / CAST(n AS DOUBLE), 2) * (s2 / CAST(n AS DOUBLE))
+           - 3 * POW(s1 / CAST(n AS DOUBLE), 4) AS m4
+  FROM s
+)
+SELECT l_returnflag, n,
+       (ROUND(m1 * 1e6, 0) / 1e6) AS mean_qty,
+       (ROUND(m3 / POW(m2, 1.5) * 1e6, 0) / 1e6) AS skewness_qty,
+       (ROUND((m4 / (m2 * m2) - 3) * 1e6, 0) / 1e6) AS kurtosis_qty
+FROM m
+""",
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M124: skewness and excess kurtosis per return flag from exact raw
+    moments — completes the q_agg_corr family (SQL SKEWNESS / KURTOSIS):
+        m2 = E[x²]−E[x]², m3 = E[x³]−3E[x]E[x²]+2E[x]³,
+        m4 = E[x⁴]−4E[x]E[x³]+6E[x]²E[x²]−3E[x]⁴,
+        skew = m3/m2^1.5, kurt = m4/m2²−3.
+    Every Σxᵏ is an exact integer (quantity ≤ 50 → Σx⁴ < 2^52 at any
+    tested SF), the central-moment expressions evaluate the same IEEE
+    doubles on both engines (identical exact-integer inputs, identical
+    operation trees), and display rounding is the multiply-form pair.
+    Built-in F.skewness/F.kurtosis accumulate doubles in partition order
+    — same rationale as q_agg_corr. One map-side-combinable aggregate;
+    the 4-long moment vector is the mergeable state (q_incr_agg
+    contract)."""
+    l = table(spark, sf_dir, "lineitem")
+    b = l.select("l_returnflag", rlong(F.col("l_quantity")).cast("long").alias("q"))
+    q = F.col("q")
+    s = b.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1") / nd
+    e2 = F.col("s2") / nd
+    e3 = F.col("s3") / nd
+    e4 = F.col("s4") / nd
+    m2 = e2 - F.pow(m1, 2)
+    m3 = e3 - 3 * m1 * e2 + 2 * F.pow(m1, 3)
+    m4 = e4 - 4 * m1 * e3 + 6 * F.pow(m1, 2) * e2 - 3 * F.pow(m1, 4)
+    return s.select(
+        "l_returnflag",
+        "n",
+        dround(m1, 6).alias("mean_qty"),
+        dround(m3 / F.pow(m2, 1.5), 6).alias("skewness_qty"),
+        dround(m4 / (m2 * m2) - 3, 6).alias("kurtosis_qty"),
+    )
