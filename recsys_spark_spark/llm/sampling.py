@@ -594,3 +594,89 @@ def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# M126: temperature-scaled corpus mixing (the multilingual sampling rule)
+# --------------------------------------------------------------------------
+
+MIX_ALPHA_X10 = 7   # temperature alpha = 0.7 (mT5 / XLM-R standard)
+MIX_BUDGET_PCT = 20  # total sample budget as % of the corpus
+
+
+@query(
+    "q_corpus_mix_temperature",
+    oracle=f"""
+WITH sizes AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+         SUM(POW(n_docs, {MIX_ALPHA_X10} / 10.0)) AS z
+  FROM sizes
+),
+rates AS (
+  SELECT s.lang, s.n_docs,
+         CAST(ROUND(LEAST(1.0,
+             ({MIX_BUDGET_PCT} / 100.0) * t.n_total
+             * POW(s.n_docs, {MIX_ALPHA_X10} / 10.0) / (t.z * s.n_docs)
+           ) * 1e6, 0) AS BIGINT) AS keep_ppm
+  FROM sizes s CROSS JOIN tot t
+)
+SELECT d.doc_id, d.lang, r.keep_ppm,
+       CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         % 1000000 AS bucket
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 1000000 < r.keep_ppm
+""",
+)
+def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M126: temperature-scaled multilingual sampling (the mT5/XLM-R rule,
+    Xue et al. 2021 §3.1): languages are sampled with probability
+    proportional to n^alpha (alpha = {MIX_ALPHA_X10 / 10}), boosting
+    low-resource languages relative to their raw share, under a total
+    budget of {MIX_BUDGET_PCT}% of the corpus. Membership is
+    content-addressed (md5 ppm bucket vs the per-language keep rate) —
+    reproducible forever, growth-stable, no RNG (the q_corpus_mix
+    discipline with a temperature numerator instead of fixed rates).
+
+    Determinism: the keep rate's pow/division chain runs on identical
+    exact-integer inputs on both engines and is rounded once to integer
+    ppm; the per-doc filter is then pure integer comparison. Scale shape:
+    language sizes are a tiny broadcast aggregate; the filter is a
+    row-local expression over one scan — a 100 TB corpus mixes in one
+    pass with no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    sizes = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    alpha = MIX_ALPHA_X10 / 10.0
+    tot = sizes.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.pow("n_docs", F.lit(alpha))).alias("z"),
+    )
+    rates = sizes.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        rlong(
+            F.least(
+                F.lit(1.0),
+                F.lit(MIX_BUDGET_PCT / 100.0)
+                * F.col("n_total")
+                * F.pow("n_docs", F.lit(alpha))
+                / (F.col("z") * F.col("n_docs")),
+            )
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("keep_ppm"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    return (
+        d.join(F.broadcast(rates.select("lang", "keep_ppm")), "lang")
+        .select("doc_id", "lang", "keep_ppm", bucket.alias("bucket"))
+        .where(F.col("bucket") < F.col("keep_ppm"))
+    )

@@ -747,3 +747,95 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.coalesce(top_big, F.lit(0.0)) <= TOP_BIGRAM_MAX)
         ).alias("passes_repetition"),
     )
+
+
+# --------------------------------------------------------------------------
+# M125: per-document perplexity under the corpus bigram LM (CCNet-style)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_text_perplexity",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, t.token
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+), vocab AS (
+  SELECT COUNT(DISTINCT token) AS v FROM tok
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), big AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS gs(i)
+), pair_counts AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2
+), head_counts AS (
+  SELECT w1, SUM(c12) AS c1 FROM pair_counts GROUP BY 1
+), scored AS (
+  SELECT b.doc_id,
+         CAST(ROUND(-ln((p.c12 + 1) / CAST(h.c1 + vocab.v AS DOUBLE)) * 1e9, 0)
+              AS BIGINT) AS nll9
+  FROM big b
+  JOIN pair_counts p ON p.w1 = b.w1 AND p.w2 = b.w2
+  JOIN head_counts h ON h.w1 = b.w1
+  CROSS JOIN vocab
+), g AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(nll9) AS BIGINT) AS s9
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+       (ROUND(s9 / (1e9 * n_bigrams) * 1e6, 0) / 1e6) AS avg_nll,
+       (ROUND(EXP(s9 / (1e9 * n_bigrams)) * 1e6, 0) / 1e6) AS perplexity
+FROM g
+""",
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M125: per-document perplexity under the corpus's own add-one-smoothed
+    bigram LM — the CCNet-style quality signal (Wenzek et al., LREC 2020:
+    score text by LM perplexity, keep the low-perplexity head): template
+    spam scores low, word-salad scores high. Completes the quality suite
+    next to q_text_quality / q_text_repetition / q_text_entropy.
+
+    Determinism: every ln argument is the exact integer ratio
+    (c12+1)/(c1+V) (add-one smoothing keeps it total), each bigram's NLL
+    is nano-rounded BEFORE the per-doc sum (order-independent), and the
+    one exp at the end maps identical doubles on both engines (ln/exp
+    parity per q_text_pmi). Scale shape: the LM is two keyed counts over
+    the corpus; scoring joins doc bigrams to the LM keyed on the bigram —
+    at 100 TB the bigram table is the shuffle, exactly the n-gram-count
+    pipeline shape, never per-doc state."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = tok.agg(F.countDistinct("token").alias("v"))
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    big = toks.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+    pair_counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    head_counts = pair_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    nll9 = rlong(
+        -F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")).cast("double"))
+        * F.lit(1e9)
+    )
+    scored = (
+        big.join(pair_counts, ["w1", "w2"])
+        .join(head_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", nll9.alias("nll9"))
+    )
+    g = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("nll9").alias("s9")
+    )
+    avg_nll = F.col("s9") / (F.lit(1e9) * F.col("n_bigrams"))
+    return g.select(
+        "doc_id",
+        "n_bigrams",
+        dround(avg_nll, 6).alias("avg_nll"),
+        dround(F.exp(avg_nll), 6).alias("perplexity"),
+    )

@@ -166,7 +166,8 @@ _R5_WINDOW = (
 # (operators/sets.py), q_sql_lateral / q_sql_q21_shape
 # (operators/extras.py), q_udf_arrow (udf/udfs.py), q_eval_auc
 # (llm/features.py), q_window_moving_median (operators/windows.py),
-# q_agg_moments (operators/aggregates.py), plus
+# q_agg_moments (operators/aggregates.py), q_text_perplexity
+# (llm/text.py), q_corpus_mix_temperature (llm/sampling.py), plus
 # whatever round 6 adds — put them first in
 # _R6_WINDOW, then refresh the oldest families (round-1-era
 # scans/filters/joins/windows/aggregates rows).
