@@ -223,3 +223,135 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@query(
+    "q_target_encode_loo",
+    oracle="""
+WITH lab AS (
+  SELECT o_orderkey, c_mktsegment AS segment,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+seg AS (
+  SELECT segment, COUNT(*) AS cnt, SUM(label) AS pos FROM lab GROUP BY 1
+)
+SELECT l.o_orderkey, l.segment, CAST(l.label AS BIGINT) AS label,
+       CAST(s.pos - l.label AS BIGINT) AS loo_num,
+       CAST(s.cnt - 1 AS BIGINT) AS loo_den,
+       CAST(ROUND(1e6 * (s.pos - l.label) / (s.cnt - 1), 0) AS BIGINT) AS enc_ppm
+FROM lab l JOIN seg s ON l.segment = s.segment
+""",
+)
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M128: leakage-safe leave-one-out target encoding — each training
+    row's categorical (market segment) replaced by the positive rate of
+    all OTHER rows in its category: enc = (pos_c - y) / (cnt_c - 1). The
+    standard high-cardinality encoder (Micci-Barreca, SIGKDD Expl. 2001),
+    built so the row's own label can never leak into its feature.
+
+    Shape for 100 TB: one keyed aggregate produces the per-category
+    (cnt, pos) table — category-count-sized, so it BROADCASTS back onto
+    the fact rows; no second shuffle, no per-row window over the full
+    fact. Exactness: numerator and denominator are exact integer counts;
+    the published ppm is one half-away-from-zero rounding of the same
+    integer-ratio double on both engines (rlong/ROUND pair)."""
+    from recsys_spark_spark.functions.determinism import rlong
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    lab = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("label"),
+    )
+    seg = lab.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("label").alias("pos")
+    )
+    num = F.col("pos") - F.col("label")
+    den = F.col("cnt") - 1
+    return lab.join(F.broadcast(seg), "segment").select(
+        "o_orderkey",
+        "segment",
+        "label",
+        num.cast("long").alias("loo_num"),
+        den.cast("long").alias("loo_den"),
+        rlong(F.lit(1e6) * num / den).cast("long").alias("enc_ppm"),
+    )
+
+
+@query(
+    "q_woe_iv",
+    oracle="""
+WITH lab AS (
+  SELECT c_mktsegment AS segment,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+seg AS (
+  SELECT segment,
+         SUM(label) AS pos, COUNT(*) - SUM(label) AS neg
+  FROM lab GROUP BY 1
+),
+tot AS (SELECT SUM(pos) AS tp, SUM(neg) AS tn FROM seg)
+SELECT s.segment, CAST(s.pos AS BIGINT) AS pos, CAST(s.neg AS BIGINT) AS neg,
+       ROUND(ln(((s.pos + 0.5) * (t.tn + 0.5)) / ((s.neg + 0.5) * (t.tp + 0.5))), 6) AS woe,
+       ROUND((s.pos / CAST(t.tp AS DOUBLE) - s.neg / CAST(t.tn AS DOUBLE))
+             * ROUND(ln(((s.pos + 0.5) * (t.tn + 0.5)) / ((s.neg + 0.5) * (t.tp + 0.5))), 6), 9) AS iv_term
+FROM seg s CROSS JOIN tot t
+""",
+)
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M129: weight of evidence + information value per category — the
+    credit-scoring / feature-selection screen: WOE_c = ln(P(c|pos) /
+    P(c|neg)) with Haldane 0.5 smoothing, IV term = (pos share - neg
+    share) x WOE. Categories with |WOE| near 0 carry no signal; IV sums
+    to the feature's overall predictive value.
+
+    Shape: one keyed aggregate to category-sized stats, then a 1-row
+    totals cross join (broadcast) — nothing after the first shuffle
+    touches fact-scale data, so the plan is flat at 100 TB. Exactness:
+    ln's argument is a ratio of exact products of integers+0.5 (exact in
+    double far past sf100), so both engines evaluate ln on the SAME
+    double (the q_text_pmi contract) and round once at 1e-6; the IV term
+    multiplies the ALREADY-rounded WOE to keep the pair deterministic."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    lab = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("label"),
+    )
+    seg = lab.groupBy("segment").agg(
+        F.sum("label").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("neg"),
+    )
+    tot = seg.agg(F.sum("pos").alias("tp"), F.sum("neg").alias("tn"))
+    woe = F.round(
+        F.log(
+            ((F.col("pos") + 0.5) * (F.col("tn") + 0.5))
+            / ((F.col("neg") + 0.5) * (F.col("tp") + 0.5))
+        ),
+        6,
+    )
+    return seg.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("neg").cast("long").alias("neg"),
+        woe.alias("woe"),
+        F.round(
+            (
+                F.col("pos") / F.col("tp").cast("double")
+                - F.col("neg") / F.col("tn").cast("double")
+            )
+            * woe,
+            9,
+        ).alias("iv_term"),
+    )

@@ -560,3 +560,110 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         dround(num.cast("double") / den, 6).alias("ewma_cents"),
     )
+
+
+@query(
+    "q_ts_interp_linear",
+    oracle="""
+WITH valued AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS v_micro
+  FROM events WHERE event_type <> 'error'
+  GROUP BY 1, 2
+),
+spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM valued GROUP BY 1),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+),
+anchored AS (
+  SELECT s.user_id, s.day, v.v_micro,
+         last_value(v.v_micro IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN v.v_micro IS NOT NULL THEN s.day END IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+         first_value(v.v_micro IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN v.v_micro IS NOT NULL THEN s.day END IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+  FROM spine s LEFT JOIN valued v ON s.user_id = v.user_id AND s.day = v.day
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day_str,
+       CASE WHEN v_micro IS NULL THEN 1 ELSE 0 END AS is_interp,
+       CAST(CASE WHEN v_micro IS NOT NULL THEN v_micro
+            ELSE prev_v + CAST(ROUND(
+                   (next_v - prev_v) * date_diff('day', prev_d, day)
+                     / date_diff('day', prev_d, next_d), 0) AS BIGINT)
+       END AS BIGINT) AS val_micro
+FROM anchored
+""",
+)
+def q_ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M127: linear interpolation of missing days — each user's daily value
+    total on a dense calendar spine, with interior gaps filled by the
+    straight line between the surrounding anchors (the resampling step
+    between q_ts_gapfill's zero-fill and q_ts_ffill's carry-forward; pandas
+    `interpolate(method='time')` semantics, here fully distributed).
+
+    Shape: the spine is generated PER KEY (sequence + explode, as
+    q_ts_gapfill) and every window is keyed by user_id — at 100 TB the
+    whole plan is partition-parallel on one key with no global calendar
+    and no skew (spans are bounded by the retention window). Anchors come
+    from two keyed window passes (last/first ignorenulls over opposing
+    unbounded frames); leading/trailing NULLs cannot occur because the
+    spine spans exactly [first, last] valued day.
+
+    Exactness: day values are exact integer micro-units; the interpolated
+    value is prev + round((next-prev) * step / gap) where every operand is
+    an exact integer < 2^53, so both engines divide the SAME doubles and
+    round half-away-from-zero once (rlong/ROUND pair)."""
+    e = table(spark, sf_dir, "events").where(F.col("event_type") != "error")
+    valued = (
+        e.select("user_id", F.to_date("ts").alias("day"),
+                 rlong(F.col("value") * 1e6).cast("long").alias("vm"))
+        .groupBy("user_id", "day")
+        .agg(F.sum("vm").alias("v_micro"))
+    )
+    spans = valued.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = spans.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    j = spine.join(valued, ["user_id", "day"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    vday = F.when(F.col("v_micro").isNotNull(), F.col("day"))
+    a = j.select(
+        "user_id",
+        "day",
+        "v_micro",
+        F.last("v_micro", ignorenulls=True).over(back).alias("prev_v"),
+        F.last(vday, ignorenulls=True).over(back).alias("prev_d"),
+        F.first("v_micro", ignorenulls=True).over(fwd).alias("next_v"),
+        F.first(vday, ignorenulls=True).over(fwd).alias("next_d"),
+    )
+    interp = F.col("prev_v") + rlong(
+        (F.col("next_v") - F.col("prev_v"))
+        * F.datediff("day", "prev_d")
+        / F.datediff("next_d", "prev_d")
+    ).cast("long")
+    return a.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+        F.when(F.col("v_micro").isNull(), 1).otherwise(0).cast("long").alias("is_interp"),
+        F.coalesce("v_micro", interp).cast("long").alias("val_micro"),
+    )
