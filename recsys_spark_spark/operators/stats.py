@@ -1,0 +1,472 @@
+"""3.M statistical testing & drift monitoring (round 5) — the inference
+layer an analytics deployment runs on top of the aggregates: two-sample
+tests (Welch's t), independence tests (chi-square), distribution-drift
+scores (PSI), inequality/concentration measures (Gini), and
+non-parametric trend detection (Mann-Kendall). These are the queries a
+data team points at 100 TB of fact data to answer "did the experiment
+move the metric", "is this feature informative", "has the serving
+distribution drifted from training", "how concentrated is revenue",
+"is this series trending" — without sampling to a notebook.
+
+Exactness discipline (the repo-wide scaled-integer-sum contract,
+functions/determinism.py): every sufficient statistic (n, Σx, Σx²,
+contingency counts, bin counts, rank products, sign sums) is an EXACT
+integer aggregate in whole currency units — order-independent, so any
+shuffle schedule and either engine produces bit-identical inputs to the
+final closed-form expression, which is then evaluated over the same IEEE
+doubles with the same operation tree on both engines and rounded once
+for display. Whole dollars (not cents) keep Σx² < 2^63 through ~sf10
+(sf0.1 measured Σx² = 1.25e16); beyond that the same statistics
+two-level-aggregate into per-shard partials exactly (they are sums), so
+the design scales — only the display literal would change.
+
+No reference file:line citations are possible (the /root/reference
+checkout is empty — SURVEY.md §0); capability keys follow SURVEY.md §3.M.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recsys_spark_spark.catalog import table
+from recsys_spark_spark.functions.determinism import rlong
+from recsys_spark_spark.registry import query
+
+
+def _dollars(col: str) -> F.Column:
+    """Exact whole-dollar long from a double price column (|x| < 2^51)."""
+    return rlong(F.col(col)).cast("long")
+
+
+# --------------------------------------------------------------------------
+# M130: Welch's two-sample t-test (segment vs rest)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stat_ttest",
+    oracle="""
+WITH d AS (
+  SELECT c_mktsegment AS segment, CAST(ROUND(o_totalprice, 0) AS BIGINT) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+seg AS (
+  SELECT segment, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM d GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS tn, SUM(s1) AS t1, SUM(s2) AS t2 FROM seg),
+w AS (
+  SELECT segment, n, tn - n AS nr,
+         CAST(s1 AS DOUBLE) / n AS m1,
+         CAST(t1 - s1 AS DOUBLE) / (tn - n) AS m2,
+         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n)) / (n - 1) AS v1,
+         (CAST(t2 - s2 AS DOUBLE) - CAST(t1 - s1 AS DOUBLE) * (CAST(t1 - s1 AS DOUBLE) / (tn - n))) / (tn - n - 1) AS v2
+  FROM seg CROSS JOIN tot
+)
+SELECT segment, CAST(n AS BIGINT) AS n_seg, CAST(nr AS BIGINT) AS n_rest,
+       ROUND((m1 - m2) * 1e6, 0) / 1e6 AS mean_diff,
+       ROUND((m1 - m2) / sqrt(v1 / n + v2 / nr) * 1e6, 0) / 1e6 AS t_stat,
+       ROUND(pow(v1 / n + v2 / nr, 2)
+             / (pow(v1 / n, 2) / (n - 1) + pow(v2 / nr, 2) / (nr - 1)) * 1e6, 0) / 1e6 AS df_welch
+FROM w
+""",
+)
+def q_stat_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M130: Welch's unequal-variance t-test of each market segment's mean
+    order value against all OTHER segments (one-vs-rest A/B screen):
+    t = (m1-m2)/sqrt(v1/n1+v2/n2) with Welch-Satterthwaite df (Welch,
+    Biometrika 1947). The experimentation primitive: at 100 TB the raw
+    observations never leave the executors — only (n, Σx, Σx²) per arm.
+
+    Shape: ONE map-side-combinable keyed aggregate to 5 segment rows; the
+    "rest" arm is the 1-row broadcast total minus the segment's own stats
+    (no second scan, no self-join). Exactness: all sufficient statistics
+    are exact integer sums in whole dollars; both engines evaluate the
+    identical closed form on identical doubles and round once at 6dp."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    d = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), _dollars("o_totalprice").alias("x")
+    )
+    seg = d.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    tot = seg.agg(
+        F.sum("n").alias("tn"), F.sum("s1").alias("t1"), F.sum("s2").alias("t2")
+    )
+    w = seg.join(F.broadcast(tot)).select(
+        "segment",
+        "n",
+        (F.col("tn") - F.col("n")).alias("nr"),
+        (F.col("s1").cast("double") / F.col("n")).alias("m1"),
+        ((F.col("t1") - F.col("s1")).cast("double") / (F.col("tn") - F.col("n"))).alias("m2"),
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * (F.col("s1").cast("double") / F.col("n"))
+            )
+            / (F.col("n") - 1)
+        ).alias("v1"),
+        (
+            (
+                (F.col("t2") - F.col("s2")).cast("double")
+                - (F.col("t1") - F.col("s1")).cast("double")
+                * ((F.col("t1") - F.col("s1")).cast("double") / (F.col("tn") - F.col("n")))
+            )
+            / (F.col("tn") - F.col("n") - 1)
+        ).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n") + F.col("v2") / F.col("nr")
+    md = F.col("m1") - F.col("m2")
+    df_w = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n"), 2) / (F.col("n") - 1)
+        + F.pow(F.col("v2") / F.col("nr"), 2) / (F.col("nr") - 1)
+    )
+    return w.select(
+        "segment",
+        F.col("n").cast("long").alias("n_seg"),
+        F.col("nr").cast("long").alias("n_rest"),
+        (rlong(md * 1e6) / 1e6).alias("mean_diff"),
+        (rlong(md / F.sqrt(se2) * 1e6) / 1e6).alias("t_stat"),
+        (rlong(df_w * 1e6) / 1e6).alias("df_welch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# M131: chi-square test of independence (segment x urgent-priority)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stat_chisq",
+    oracle="""
+WITH d AS (
+  SELECT c_mktsegment AS segment,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+obs AS (SELECT segment, label, COUNT(*) AS obs FROM d GROUP BY 1, 2),
+rt AS (SELECT segment, COUNT(*) AS rt FROM d GROUP BY 1),
+ct AS (SELECT label, COUNT(*) AS ct FROM d GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM d)
+SELECT o.segment, CAST(o.label AS BIGINT) AS label, CAST(o.obs AS BIGINT) AS obs,
+       ROUND(CAST(rt AS DOUBLE) * ct / n * 1e6, 0) / 1e6 AS expected,
+       ROUND(pow(o.obs - CAST(rt AS DOUBLE) * ct / n, 2)
+             / (CAST(rt AS DOUBLE) * ct / n) * 1e9, 0) / 1e9 AS chi2_term
+FROM obs o JOIN rt USING (segment) JOIN ct USING (label) CROSS JOIN tot
+""",
+)
+def q_stat_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M131: Pearson chi-square independence test, segment x urgent-flag —
+    the categorical feature-relevance screen beside q_woe_iv: per cell
+    chi2 term (O-E)^2/E with E = row_total x col_total / N; the table
+    statistic is the SUM over these rows and df = (R-1)(C-1).
+
+    Shape: one keyed aggregate to R*C cells, then three broadcast joins
+    (R-row, C-row, 1-row) — nothing after the first shuffle exceeds the
+    contingency table's size, at any data scale. Exactness: all four
+    count tables are exact integers; E and the term evaluate the same
+    operation tree on both engines, single display rounding (6dp/9dp)."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    d = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("label"),
+    )
+    obs = d.groupBy("segment", "label").agg(F.count(F.lit(1)).alias("obs"))
+    rt = d.groupBy("segment").agg(F.count(F.lit(1)).alias("rt"))
+    ct = d.groupBy("label").agg(F.count(F.lit(1)).alias("ct"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    exp = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    return (
+        obs.join(F.broadcast(rt), "segment")
+        .join(F.broadcast(ct), "label")
+        .join(F.broadcast(tot))
+        .select(
+            "segment",
+            "label",
+            F.col("obs").cast("long").alias("obs"),
+            (rlong(exp * 1e6) / 1e6).alias("expected"),
+            (rlong(F.pow(F.col("obs") - exp, 2) / exp * 1e9) / 1e9).alias("chi2_term"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# M132: population stability index (training-vs-serving drift)
+# --------------------------------------------------------------------------
+
+PSI_BINS = 10
+PSI_SPLIT_YEAR = 1998  # reference period: < split; current period: >= split
+
+
+@query(
+    "q_drift_psi",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(ROUND(o_totalprice, 0) AS BIGINT) AS x,
+         CASE WHEN year(o_orderdate) < {PSI_SPLIT_YEAR} THEN 1 ELSE 0 END AS is_ref
+  FROM orders
+),
+mx AS (SELECT MAX(x) AS mx FROM d),
+b AS (
+  SELECT LEAST({PSI_BINS - 1}, CAST((x * {PSI_BINS}) // (mx + 1) AS BIGINT)) AS bin,
+         is_ref
+  FROM d CROSS JOIN mx
+),
+cnt AS (
+  SELECT bin, SUM(is_ref) AS ref_cnt, SUM(1 - is_ref) AS cur_cnt
+  FROM b GROUP BY 1
+),
+tot AS (SELECT SUM(ref_cnt) AS rn, SUM(cur_cnt) AS cn FROM cnt)
+SELECT bin, CAST(ref_cnt AS BIGINT) AS ref_cnt, CAST(cur_cnt AS BIGINT) AS cur_cnt,
+       ROUND(((cur_cnt + 0.5) / (cn + {PSI_BINS} * 0.5)
+              - (ref_cnt + 0.5) / (rn + {PSI_BINS} * 0.5))
+             * ln(((cur_cnt + 0.5) / (cn + {PSI_BINS} * 0.5))
+                  / ((ref_cnt + 0.5) / (rn + {PSI_BINS} * 0.5))) * 1e9, 0) / 1e9 AS psi_term
+FROM cnt CROSS JOIN tot
+""",
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M132: population stability index of the order-value distribution,
+    reference period (pre-1998) vs current (1998+): PSI = sum over bins of
+    (p_cur - p_ref) * ln(p_cur / p_ref), the standard model-monitoring
+    drift score (>0.25 = retrain). Haldane +0.5 smoothing keeps empty
+    bins finite on both engines.
+
+    Shape: value->bin is pure integer arithmetic against a broadcast
+    1-row max (bin = x*B // (mx+1), exact — no doubles, no percentile
+    sketch), then ONE keyed aggregate emits both periods' counts per bin
+    (no per-period scan, no join between periods); totals are a broadcast
+    1-row aggregate over the B-row table. Nothing after the first shuffle
+    exceeds B rows at any scale. x >= 0 by data (order totals), so
+    truncating and flooring integer division agree on both engines
+    (guarded in tests)."""
+    o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderdate")
+    d = o.select(
+        _dollars("o_totalprice").alias("x"),
+        F.when(F.year("o_orderdate") < PSI_SPLIT_YEAR, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_ref"),
+    )
+    mx = d.agg(F.max("x").alias("mx"))
+    b = d.join(F.broadcast(mx)).select(
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.expr(f"CAST((x * {PSI_BINS}) DIV (mx + 1) AS BIGINT)"),
+        ).alias("bin"),
+        "is_ref",
+    )
+    cnt = b.groupBy("bin").agg(
+        F.sum("is_ref").alias("ref_cnt"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("cur_cnt"),
+    )
+    tot = cnt.agg(F.sum("ref_cnt").alias("rn"), F.sum("cur_cnt").alias("cn"))
+    smooth = PSI_BINS * 0.5
+    pr = (F.col("ref_cnt") + 0.5) / (F.col("rn") + smooth)
+    pc = (F.col("cur_cnt") + 0.5) / (F.col("cn") + smooth)
+    return cnt.join(F.broadcast(tot)).select(
+        "bin",
+        F.col("ref_cnt").cast("long").alias("ref_cnt"),
+        F.col("cur_cnt").cast("long").alias("cur_cnt"),
+        (rlong((pc - pr) * F.log(pc / pr) * 1e9) / 1e9).alias("psi_term"),
+    )
+
+
+# --------------------------------------------------------------------------
+# M133: Gini coefficient of customer revenue concentration
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_gini_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT c_custkey,
+         COALESCE(SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)), 0) AS rev
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+),
+ranked AS (
+  SELECT rev, ROW_NUMBER() OVER (ORDER BY rev ASC, c_custkey ASC) AS i FROM rev
+),
+s AS (
+  SELECT COUNT(*) AS n, CAST(SUM(rev) AS BIGINT) AS total,
+         CAST(SUM(i * rev) AS BIGINT) AS weighted
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers, total AS total_rev,
+       ROUND((2.0 * weighted / (CAST(n AS DOUBLE) * total)
+              - (n + 1.0) / n) * 1e9, 0) / 1e9 AS gini
+FROM s
+""",
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M133: Gini coefficient of lifetime-revenue concentration across ALL
+    customers (zero-revenue customers included): the rank-weighted form
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over x sorted ascending — the
+    inequality measure behind "top 1% of users drive X% of revenue".
+
+    Shape: ranks come from operators.sorts.global_rank (value-bucketed
+    distributed rank — never an unpartitioned window; the q_sort_multi /
+    q_decile_lift primitive), then one mergeable aggregate folds
+    (n, sum x, sum i*x) to a single row. Within tied revenue values
+    sum(i*x) is invariant to tiebreak order (the tied ranks multiply the
+    SAME x), so the arbitrary-but-deterministic c_custkey tiebreak cannot
+    diverge the engines. Whole dollars keep sum(i*x) < 2^63 through
+    ~sf10 (sf0.1: i <= 15e3, per-customer rev <= ~5e6 -> < 1e14)."""
+    from recsys_spark_spark.operators.sorts import global_rank
+
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum(_dollars("o_totalprice")), F.lit(0)).alias("rev"))
+    )
+    ranked = global_rank(
+        spark, rev, value_col="rev", tiebreak="c_custkey", pos_col="i", descending=False
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("total"),
+        F.sum(F.col("i") * F.col("rev")).alias("weighted"),
+    )
+    gini = (
+        2.0 * F.col("weighted") / (F.col("n").cast("double") * F.col("total"))
+        - (F.col("n") + 1.0) / F.col("n")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("total").cast("long").alias("total_rev"),
+        (rlong(gini * 1e9) / 1e9).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# M134: Mann-Kendall trend test on per-segment monthly revenue
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stat_mann_kendall",
+    oracle="""
+WITH m AS (
+  SELECT c_mktsegment AS segment, date_trunc('month', o_orderdate) AS mon,
+         CAST(SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.segment,
+         SUM(CASE WHEN b.rev > a.rev THEN 1 WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS s
+  FROM m a JOIN m b ON a.segment = b.segment AND a.mon < b.mon
+  GROUP BY 1
+),
+n AS (SELECT segment, COUNT(*) AS n FROM m GROUP BY 1),
+ties AS (
+  SELECT segment,
+         COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_adj
+  FROM (SELECT segment, rev, COUNT(*) AS t FROM m GROUP BY 1, 2 HAVING COUNT(*) > 1)
+  GROUP BY 1
+),
+w AS (
+  SELECT p.segment, p.s, n.n,
+         (CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5) - COALESCE(tie_adj, 0)) / 18 AS var_s
+  FROM pairs p JOIN n USING (segment) LEFT JOIN ties USING (segment)
+)
+SELECT segment, CAST(n AS BIGINT) AS n_months, CAST(s AS BIGINT) AS s_stat,
+       ROUND(var_s * 1e6, 0) / 1e6 AS var_s,
+       ROUND(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                  WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                  ELSE 0.0 END * 1e6, 0) / 1e6 AS z_stat
+FROM w
+""",
+)
+def q_stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M134: Mann-Kendall non-parametric trend test (Mann 1945, Kendall
+    1975) on each segment's MONTHLY revenue series: S = sum over ordered
+    pairs of sgn(x_j - x_i), Var(S) = [n(n-1)(2n+5) - tie term]/18,
+    continuity-corrected z. The "is this KPI actually trending" screen —
+    robust to outliers and needs no distributional assumption.
+
+    Shape: the raw facts collapse FIRST to a per-(segment, month) exact
+    integer series (one keyed aggregate; at any data scale this is
+    segments x months rows — bounded by the calendar, ~80 months here),
+    and only that bounded series self-joins for the O(n_months^2) pair
+    scan, keyed on segment. The quadratic term never touches fact-scale
+    data — same boundedness argument as q_graph_pagerank's edge cap.
+    Exactness: S and the tie term are exact integer sums; var/z evaluate
+    identical doubles both engines, rounded once at 6dp."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+        )
+        .agg(F.sum(_dollars("o_totalprice")).alias("rev"))
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.segment") == F.col("b.segment"))
+            & (F.col("a.mon") < F.col("b.mon")),
+        )
+        .groupBy(F.col("a.segment").alias("segment"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.rev") > F.col("a.rev"), 1)
+                .when(F.col("b.rev") < F.col("a.rev"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    n = m.groupBy("segment").agg(F.count(F.lit(1)).alias("n"))
+    t = F.col("t")
+    ties = (
+        m.groupBy("segment", "rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(t > 1)
+        .groupBy("segment")
+        .agg(F.sum(t * (t - 1) * (2 * t + 5)).alias("tie_adj"))
+    )
+    nn = F.col("n")
+    w = (
+        pairs.join(n, "segment")
+        .join(ties, "segment", "left")
+        .select(
+            "segment",
+            "s",
+            "n",
+            (
+                (nn.cast("double") * (nn - 1) * (2 * nn + 5) - F.coalesce("tie_adj", F.lit(0)))
+                / 18
+            ).alias("var_s"),
+        )
+    )
+    s = F.col("s")
+    z = (
+        F.when(s > 0, (s - 1) / F.sqrt("var_s"))
+        .when(s < 0, (s + 1) / F.sqrt("var_s"))
+        .otherwise(0.0)
+    )
+    return w.select(
+        "segment",
+        nn.cast("long").alias("n_months"),
+        s.cast("long").alias("s_stat"),
+        (rlong(F.col("var_s") * 1e6) / 1e6).alias("var_s"),
+        (rlong(z * 1e6) / 1e6).alias("z_stat"),
+    )

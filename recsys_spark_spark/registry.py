@@ -64,6 +64,7 @@ _QUERY_MODULES = (
     "recsys_spark_spark.operators.sets",
     "recsys_spark_spark.operators.extras",
     "recsys_spark_spark.operators.analytics",
+    "recsys_spark_spark.operators.stats",
     "recsys_spark_spark.operators.layout",
     "recsys_spark_spark.functions.scalar",
     "recsys_spark_spark.cf.itemcf",
@@ -167,7 +168,10 @@ _R5_WINDOW = (
 # (operators/extras.py), q_udf_arrow (udf/udfs.py), q_eval_auc
 # (llm/features.py), q_window_moving_median (operators/windows.py),
 # q_agg_moments (operators/aggregates.py), q_text_perplexity
-# (llm/text.py), q_corpus_mix_temperature (llm/sampling.py), plus
+# (llm/text.py), q_corpus_mix_temperature (llm/sampling.py),
+# q_ts_interp_linear (operators/temporal.py), q_target_encode_loo /
+# q_woe_iv (llm/features.py), q_stat_ttest / q_stat_chisq / q_drift_psi /
+# q_gini_concentration / q_stat_mann_kendall (operators/stats.py), plus
 # whatever round 6 adds — put them first in
 # _R6_WINDOW, then refresh the oldest families (round-1-era
 # scans/filters/joins/windows/aggregates rows).

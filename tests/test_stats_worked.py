@@ -1,0 +1,116 @@
+"""Independent referents for the statistical-testing family
+(operators/stats.py). The DuckDB oracles prove cross-engine agreement;
+these prove the MATH against textbook formulas recomputed directly in
+numpy/python over the same parquet — a statistic implemented identically
+wrong on both engines would still pass the oracle, not these.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from recsys_spark_spark.registry import load_all
+from tests.conftest import SF_SMOKE
+
+QUERIES, _ = load_all()
+
+
+@pytest.fixture(scope="module")
+def seg_dollars(spark):
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    d = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    # half-away-from-zero, matching rlong/ROUND (pandas .round is half-even)
+    d["x"] = np.floor(d.o_totalprice + 0.5).astype("int64")
+    return d
+
+
+def test_welch_ttest_matches_numpy(spark, seg_dollars):
+    rows = {r.segment: r for r in QUERIES["q_stat_ttest"](spark, SF_SMOKE).collect()}
+    d = seg_dollars
+    for seg in d.c_mktsegment.unique():
+        a = d.x[d.c_mktsegment == seg].to_numpy(dtype=float)
+        b = d.x[d.c_mktsegment != seg].to_numpy(dtype=float)
+        v1, v2 = a.var(ddof=1), b.var(ddof=1)
+        se2 = v1 / len(a) + v2 / len(b)
+        t = (a.mean() - b.mean()) / math.sqrt(se2)
+        df = se2**2 / ((v1 / len(a)) ** 2 / (len(a) - 1) + (v2 / len(b)) ** 2 / (len(b) - 1))
+        r = rows[seg]
+        assert (r.n_seg, r.n_rest) == (len(a), len(b))
+        assert abs(r.t_stat - t) < 1e-5, (seg, r.t_stat, t)
+        assert abs(r.df_welch - df) < 1e-4 * df, (seg, r.df_welch, df)
+
+
+def test_chisq_total_matches_crosstab(spark, seg_dollars):
+    got = QUERIES["q_stat_chisq"](spark, SF_SMOKE).toPandas()
+    d = seg_dollars
+    d["label"] = (d.o_orderpriority == "1-URGENT").astype(int)
+    ct = pd.crosstab(d.c_mktsegment, d.label)
+    exp = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / ct.values.sum()
+    chi2 = float(((ct.values - exp) ** 2 / exp).sum())
+    assert len(got) == ct.size
+    assert abs(got.chi2_term.sum() - chi2) < 1e-6, (got.chi2_term.sum(), chi2)
+    # df for the verdict: (R-1)(C-1)
+    assert (ct.shape[0] - 1) * (ct.shape[1] - 1) == 4
+
+
+def test_psi_matches_manual_binning(spark):
+    got = QUERIES["q_drift_psi"](spark, SF_SMOKE).toPandas().set_index("bin")
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    x = np.floor(o.o_totalprice + 0.5).astype("int64")
+    assert (x >= 0).all()  # DIV-vs-floor guard: bin arithmetic assumes x >= 0
+    is_ref = o.o_orderdate.dt.year < 1998
+    mx = int(x.max())
+    bins = np.minimum(9, (x * 10) // (mx + 1))
+    want_psi = 0.0
+    rn, cn = int(is_ref.sum()), int((~is_ref).sum())
+    for b in sorted(bins.unique()):
+        rc = int(((bins == b) & is_ref).sum())
+        cc = int(((bins == b) & ~is_ref).sum())
+        pr = (rc + 0.5) / (rn + 5.0)
+        pc = (cc + 0.5) / (cn + 5.0)
+        want_psi += (pc - pr) * math.log(pc / pr)
+        assert (got.loc[b].ref_cnt, got.loc[b].cur_cnt) == (rc, cc)
+    assert abs(got.psi_term.sum() - want_psi) < 1e-8
+
+
+def test_gini_matches_numpy(spark, seg_dollars):
+    row = QUERIES["q_gini_concentration"](spark, SF_SMOKE).collect()[0]
+    d = seg_dollars
+    rev = d.groupby("c_custkey").x.sum()
+    all_cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas().c_custkey
+    rev = rev.reindex(all_cust, fill_value=0).to_numpy(dtype="int64")
+    xs = np.sort(rev)
+    n = len(xs)
+    want = 2.0 * float((np.arange(1, n + 1) * xs).sum()) / (n * float(xs.sum())) - (n + 1.0) / n
+    assert row.n_customers == n
+    assert row.total_rev == int(xs.sum())
+    assert abs(row.gini - want) < 1e-8, (row.gini, want)
+    assert 0.0 < row.gini < 1.0
+
+
+def test_mann_kendall_matches_bruteforce(spark, seg_dollars):
+    rows = {
+        r.segment: r for r in QUERIES["q_stat_mann_kendall"](spark, SF_SMOKE).collect()
+    }
+    d = seg_dollars
+    d["mon"] = d.o_orderdate.dt.to_period("M")
+    monthly = d.groupby(["c_mktsegment", "mon"]).x.sum()
+    for seg in d.c_mktsegment.unique():
+        xs = monthly.loc[seg].sort_index().to_numpy(dtype="int64")
+        n = len(xs)
+        s = sum(
+            int(np.sign(xs[j] - xs[i])) for i in range(n) for j in range(i + 1, n)
+        )
+        _, counts = np.unique(xs, return_counts=True)
+        tie = sum(int(t * (t - 1) * (2 * t + 5)) for t in counts if t > 1)
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        z = (s - 1) / math.sqrt(var) if s > 0 else (s + 1) / math.sqrt(var) if s < 0 else 0.0
+        r = rows[seg]
+        assert (r.n_months, r.s_stat) == (n, s), seg
+        assert abs(r.var_s - var) < 1e-6
+        assert abs(r.z_stat - z) < 1e-5, (seg, r.z_stat, z)
