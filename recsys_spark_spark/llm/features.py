@@ -355,3 +355,69 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("iv_term"),
     )
+
+
+@query(
+    "q_feature_scale",
+    oracle="""
+WITH d AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+),
+s AS (
+  SELECT segment, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s1,
+         CAST(SUM(cents * cents) AS BIGINT) AS s2,
+         MIN(cents) AS lo, MAX(cents) AS hi
+  FROM d GROUP BY 1
+)
+SELECT c_custkey, d.segment, cents,
+       CAST(ROUND((cents - CAST(s1 AS DOUBLE) / n)
+             / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n)) / (n - 1))
+             * 1e6, 0) AS BIGINT) AS z_ppm,
+       CAST(ROUND((cents - lo) * 1e6 / (hi - lo), 0) AS BIGINT) AS mm_ppm
+FROM d JOIN s ON d.segment = s.segment
+""",
+)
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M136: per-group feature scaling for training export — z-score
+    (sample stddev) and min-max normalization of account balance WITHIN
+    each market segment, the feature-store standardization step that
+    must happen in the engine at 100 TB (a driver-side scaler cannot
+    see the data).
+
+    Shape: ONE keyed aggregate reduces each group to 5 sufficient
+    statistics (n, Σx, Σx², min, max) — a segment-count-sized table that
+    BROADCASTS back onto the facts; no window over the group, no second
+    shuffle, and the group stats are mergeable so the same plan
+    two-level-aggregates at any scale. Exactness: cents are exact
+    integers (Σx² < 2^63 through ~sf1000: cents ≤ 1e6), both engines
+    evaluate the identical mean/var closed form on identical doubles and
+    round ONCE to ppm (rlong/ROUND pair)."""
+    from recsys_spark_spark.functions.determinism import rlong
+
+    d = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        rlong(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    s = d.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * mean)
+        / (F.col("n") - 1)
+    )
+    x = F.col("cents")
+    return d.join(F.broadcast(s), "segment").select(
+        "c_custkey",
+        "segment",
+        "cents",
+        rlong((x - mean) / sd * 1e6).cast("long").alias("z_ppm"),
+        rlong((x - F.col("lo")) * 1e6 / (F.col("hi") - F.col("lo"))).cast("long").alias("mm_ppm"),
+    )

@@ -667,3 +667,97 @@ def q_ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("v_micro").isNull(), 1).otherwise(0).cast("long").alias("is_interp"),
         F.coalesce("v_micro", interp).cast("long").alias("val_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# M135: lag-k autocorrelation of the daily event-value series
+# --------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+@query(
+    "q_ts_acf",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS k),
+pairs AS (
+  SELECT a.event_type, l.k, a.v AS x, b.v AS y
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.event_type = a.event_type
+              AND b.day = a.day + l.k * INTERVAL 1 DAY
+),
+s AS (
+  SELECT event_type, k, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(k AS BIGINT) AS lag_days, CAST(n AS BIGINT) AS n_pairs,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) * 1e6, 0) / 1e6 AS acf
+FROM s
+""",
+)
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M135: lag-1..{ACF_MAX_LAG} autocorrelation of each event type's
+    daily value series — the seasonality/persistence screen (a weekly
+    cycle shows as an acf peak at lag 7). Estimator: Pearson r over the
+    calendar-aligned (x_t, x_{{t+k}}) pairs (pairwise-complete variant —
+    days missing from the series drop only the pairs they touch).
+
+    Shape: facts collapse FIRST to the per-(type, day) exact integer
+    series (one keyed aggregate, calendar-bounded), the lag fan-out is a
+    {ACF_MAX_LAG}-row broadcast cross, and the alignment is a keyed
+    self-join on (type, day+k) — the quadratic-looking step only ever
+    touches the bounded daily table, never fact-scale rows (the
+    q_stat_mann_kendall boundedness argument). Exactness: per-row cent
+    rounding then integer sums (never SUM(double)); the six sufficient
+    statistics feed an identical closed form on both engines, one 6dp
+    rounding. Integer products stay < 2^63 through ~sf1 (sf0.1: daily
+    cents <= 3.7e6, sum of squares ~3e16); beyond, the cent scale or a
+    per-shard two-level partial keeps the sums exact."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"),
+        rlong(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(F.sum("cents").alias("v"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("k"))
+    a = daily.alias("a").join(F.broadcast(lags))
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.day") == F.date_add(F.col("a.day"), F.col("k"))),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        "k",
+        F.col("a.v").alias("x"),
+        F.col("b.v").alias("y"),
+    )
+    s = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        "event_type",
+        F.col("k").cast("long").alias("lag_days"),
+        F.col("n").cast("long").alias("n_pairs"),
+        (rlong(num / den * 1e6) / 1e6).alias("acf"),
+    )

@@ -171,7 +171,8 @@ _R5_WINDOW = (
 # (llm/text.py), q_corpus_mix_temperature (llm/sampling.py),
 # q_ts_interp_linear (operators/temporal.py), q_target_encode_loo /
 # q_woe_iv (llm/features.py), q_stat_ttest / q_stat_chisq / q_drift_psi /
-# q_gini_concentration / q_stat_mann_kendall (operators/stats.py), plus
+# q_gini_concentration / q_stat_mann_kendall (operators/stats.py),
+# q_ts_acf (operators/temporal.py), q_feature_scale (llm/features.py), plus
 # whatever round 6 adds — put them first in
 # _R6_WINDOW, then refresh the oldest families (round-1-era
 # scans/filters/joins/windows/aggregates rows).

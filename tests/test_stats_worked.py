@@ -114,3 +114,47 @@ def test_mann_kendall_matches_bruteforce(spark, seg_dollars):
         assert (r.n_months, r.s_stat) == (n, s), seg
         assert abs(r.var_s - var) < 1e-6
         assert abs(r.z_stat - z) < 1e-5, (seg, r.z_stat, z)
+
+
+def test_acf_matches_numpy_corrcoef(spark):
+    """Each (type, lag) acf must equal np.corrcoef over the calendar-
+    aligned pairs of the exact-cents daily series."""
+    rows = {
+        (r.event_type, r.lag_days): (r.n_pairs, r.acf)
+        for r in QUERIES["q_ts_acf"](spark, SF_SMOKE).collect()
+    }
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    e["day"] = e.ts.dt.normalize()
+    e["cents"] = np.floor(e.value * 100 + 0.5).astype("int64")
+    daily = e.groupby(["event_type", "day"]).cents.sum()
+    for et in e.event_type.unique():
+        s = daily.loc[et]
+        for k in range(1, 8):
+            shifted = s.copy()
+            shifted.index = shifted.index - pd.Timedelta(days=k)
+            joined = pd.concat([s.rename("x"), shifted.rename("y")], axis=1).dropna()
+            want_n = len(joined)
+            want_acf = float(np.corrcoef(joined.x, joined.y)[0, 1])
+            n, acf = rows[(et, k)]
+            assert n == want_n, (et, k)
+            assert abs(acf - want_acf) < 1e-6, (et, k, acf, want_acf)
+
+
+def test_feature_scale_matches_pandas_transform(spark):
+    got = QUERIES["q_feature_scale"](spark, SF_SMOKE).toPandas()
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    c["cents"] = np.floor(c.c_acctbal * 100 + 0.5).astype("int64")
+    g = c.groupby("c_mktsegment").cents
+    z = (c.cents - g.transform("mean")) / g.transform("std")  # ddof=1
+    mm = (c.cents - g.transform("min")) / (g.transform("max") - g.transform("min"))
+    want = c.assign(mm_ppm=np.floor(mm * 1e6 + 0.5).astype("int64"))
+    # half-away rounding for possibly-negative z
+    want["z_ppm"] = [
+        math.floor(v * 1e6 + 0.5) if v >= 0 else math.ceil(v * 1e6 - 0.5) for v in z
+    ]
+    m = got.set_index("c_custkey")
+    for row in want.itertuples():
+        r = m.loc[row.c_custkey]
+        assert r.cents == row.cents
+        assert abs(r.z_ppm - row.z_ppm) <= 1, row.c_custkey
+        assert r.mm_ppm == row.mm_ppm, row.c_custkey
