@@ -839,3 +839,103 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(avg_nll, 6).alias("avg_nll"),
         dround(F.exp(avg_nll), 6).alias("perplexity"),
     )
+
+
+# --------------------------------------------------------------------------
+# M138: Zipf rank-frequency fit over the corpus vocabulary
+# --------------------------------------------------------------------------
+
+ZIPF_TOP = 1000  # fit over the top-N tokens by frequency
+
+
+@query(
+    "q_text_zipf",
+    oracle=f"""
+WITH tf AS (
+  SELECT t.token, COUNT(*) AS cnt
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+  GROUP BY 1
+),
+top AS (
+  SELECT token, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rnk
+  FROM tf
+  QUALIFY rnk <= {ZIPF_TOP}
+),
+pts AS (
+  SELECT CAST(ROUND(ln(rnk) * 1e6, 0) AS BIGINT) AS xu,
+         CAST(ROUND(ln(cnt) * 1e6, 0) AS BIGINT) AS yu
+  FROM top
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(xu) AS BIGINT) AS sx, CAST(SUM(yu) AS BIGINT) AS sy,
+         CAST(SUM(xu * yu) AS BIGINT) AS sxy,
+         CAST(SUM(xu * xu) AS BIGINT) AS sxx,
+         CAST(SUM(yu * yu) AS BIGINT) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * 1e6, 0) / 1e6 AS zipf_slope,
+       ROUND((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / n / 1e6 * 1e6, 0) / 1e6 AS zipf_intercept,
+       ROUND(pow(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy, 2)
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) * 1e6, 0) / 1e6 AS r2
+FROM s
+""",
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M138: Zipf's-law fit of the corpus rank-frequency curve — OLS of
+    ln(freq) on ln(rank) over the top-{ZIPF_TOP} tokens (natural text has
+    slope near -1; a far-off slope or low R² flags boilerplate-heavy,
+    templated, or machine-generated corpora — a standard corpus-quality
+    diagnostic beside q_text_quality / q_text_perplexity).
+
+    Shape: one token-keyed count (map-side combinable), global top-N as
+    orderBy+limit (TakeOrderedAndProject — the q_vocab_build pattern,
+    never a full sort), and the regression folds {ZIPF_TOP} points into 6
+    mergeable integer sums — output is ONE row from any corpus size.
+    Exactness: each point's (ln rank, ln freq) is micro-rounded to an
+    integer BEFORE summation (the q_text_perplexity pre-sum discipline),
+    so the sums are exact and order-free; the OLS closed form then runs
+    on identical doubles in both engines, one 6dp display rounding.
+    Products stay < 2^63: |ln| <= ln(1e9) -> xu,yu <= 2.1e7, xu*yu <=
+    4.3e14, x {ZIPF_TOP} points = 4.3e17."""
+    from recsys_spark_spark.functions.determinism import rlong
+
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = tf.orderBy(F.col("cnt").desc(), "token").limit(ZIPF_TOP)
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    pts = top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        rlong(F.log("rnk") * 1e6).cast("long").alias("xu"),
+        rlong(F.log("cnt") * 1e6).cast("long").alias("yu"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xu").alias("sx"),
+        F.sum("yu").alias("sy"),
+        F.sum(F.col("xu") * F.col("yu")).alias("sxy"),
+        F.sum(F.col("xu") * F.col("xu")).alias("sxx"),
+        F.sum(F.col("yu") * F.col("yu")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    denx = nd * F.col("sxx") - sxd * F.col("sx")
+    deny = nd * F.col("syy") - syd * F.col("sy")
+    slope = num / denx
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        (rlong(slope * 1e6) / 1e6).alias("zipf_slope"),
+        (rlong((syd - slope * F.col("sx")) / F.col("n") / 1e6 * 1e6) / 1e6).alias(
+            "zipf_intercept"
+        ),
+        (rlong(F.pow(num, 2) / (denx * deny) * 1e6) / 1e6).alias("r2"),
+    )

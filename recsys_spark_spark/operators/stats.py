@@ -470,3 +470,68 @@ def q_stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rlong(F.col("var_s") * 1e6) / 1e6).alias("var_s"),
         (rlong(z * 1e6) / 1e6).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# M137: Benford first-digit audit
+# --------------------------------------------------------------------------
+
+# One definition of the nine expected shares for BOTH engines: python-computed
+# double literals embedded verbatim in the oracle SQL and the Spark plan, so
+# no cross-engine log10 libm difference can ever enter the comparison.
+import math as _math
+
+BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in BENFORD_P.items()
+) + " END"
+
+
+@query(
+    "q_audit_benford",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice, 0) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+obs AS (SELECT digit, COUNT(*) AS obs FROM d GROUP BY 1),
+tot AS (SELECT SUM(obs) AS n FROM obs)
+SELECT digit, CAST(obs AS BIGINT) AS obs,
+       ROUND(({_BENFORD_SQL_CASE}) * n * 1e6, 0) / 1e6 AS expected,
+       ROUND(pow(obs - ({_BENFORD_SQL_CASE}) * n, 2)
+             / (({_BENFORD_SQL_CASE}) * n) * 1e9, 0) / 1e9 AS chi2_term
+FROM obs CROSS JOIN tot
+""",
+)
+def q_audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M137: Benford's-law first-digit audit of order totals — the classic
+    fabricated-data / upstream-corruption screen (Benford 1938, Nigrini's
+    forensic-accounting use): observed first-significant-digit counts vs
+    N*log10(1+1/d), with per-digit chi-square terms (sum = the audit
+    statistic, df=8).
+
+    Shape: digit extraction is a row-local string op, then ONE keyed
+    aggregate to <= 9 rows and a 1-row broadcast total — output-sized
+    from the first shuffle on. Cross-engine exactness: the nine expected
+    shares are PYTHON-computed double literals embedded in both plans
+    (BENFORD_P), so no libm log10 difference can enter; obs counts are
+    exact integers and the closed form evaluates identical doubles."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(_dollars("o_totalprice").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("obs"))
+    tot = obs.agg(F.sum("obs").alias("n"))
+    p = F.col("digit")
+    share = F.when(p == 1, F.lit(BENFORD_P[1]))
+    for dd in range(2, 10):
+        share = share.when(p == dd, F.lit(BENFORD_P[dd]))
+    exp = share * F.col("n")
+    return obs.join(F.broadcast(tot)).select(
+        "digit",
+        F.col("obs").cast("long").alias("obs"),
+        (rlong(exp * 1e6) / 1e6).alias("expected"),
+        (rlong(F.pow(F.col("obs") - exp, 2) / exp * 1e9) / 1e9).alias("chi2_term"),
+    )

@@ -761,3 +761,105 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pairs"),
         (rlong(num / den * 1e6) / 1e6).alias("acf"),
     )
+
+
+# --------------------------------------------------------------------------
+# M139: CUSUM change-point screen on the daily event-value series
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_cusum",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s1,
+         CAST(SUM(v * v) AS BIGINT) AS s2
+  FROM daily GROUP BY 1
+),
+z AS (
+  SELECT d.event_type, d.day, st.n,
+         CAST(ROUND((d.v - CAST(s1 AS DOUBLE) / st.n)
+               / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / st.n)) / (st.n - 1))
+               * 1e6, 0) AS BIGINT) AS zu
+  FROM daily d JOIN st ON d.event_type = st.event_type
+),
+c AS (
+  SELECT event_type, day, n,
+         CAST(SUM(zu) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cu
+  FROM z
+),
+r AS (
+  SELECT event_type, day, n, cu,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(cu) DESC, day ASC) AS rn
+  FROM c
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       strftime(day, '%Y-%m-%d') AS peak_day,
+       ROUND(cu / 1e6 * 1e6, 0) / 1e6 AS peak_cusum
+FROM r WHERE rn = 1
+""",
+)
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M139: CUSUM change-point screen (Page 1954) per event type — the
+    running sum of standardized daily deviations; the |peak| location is
+    the most likely mean-shift point and its height the shift evidence
+    (the batch referent of q_stream_anomaly's online detector).
+
+    Shape: facts collapse to the bounded per-(type, day) integer series,
+    per-type (n, Σv, Σv²) come from ONE keyed aggregate joined back
+    (type-count-sized, broadcast), and the scan statistic is a keyed
+    running window over the bounded series — nothing unpartitioned,
+    nothing fact-scale past the first shuffle. Exactness: each
+    standardized deviation is micro-rounded to an INTEGER before the
+    running sum (the q_text_perplexity pre-sum discipline), so the cusum
+    is an exact integer at every row — no float accumulation-order
+    hazard — and the peak argmax (ties broken by earliest day) is
+    engine-independent."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"),
+        rlong(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(F.sum("cents").alias("v"))
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * mean)
+        / (F.col("n") - 1)
+    )
+    z = daily.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        rlong((F.col("v") - mean) / sd * 1e6).cast("long").alias("zu"),
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = z.select(
+        "event_type", "day", "n", F.sum("zu").over(wrun).cast("long").alias("cu")
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cu")).desc(), F.col("day").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.date_format("day", "yyyy-MM-dd").alias("peak_day"),
+            (rlong(F.col("cu") / 1e6 * 1e6) / 1e6).alias("peak_cusum"),
+        )
+    )

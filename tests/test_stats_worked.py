@@ -158,3 +158,64 @@ def test_feature_scale_matches_pandas_transform(spark):
         assert r.cents == row.cents
         assert abs(r.z_ppm - row.z_ppm) <= 1, row.c_custkey
         assert r.mm_ppm == row.mm_ppm, row.c_custkey
+
+
+def test_benford_matches_manual_counts(spark):
+    got = QUERIES["q_audit_benford"](spark, SF_SMOKE).toPandas().set_index("digit")
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    dollars = np.floor(o.o_totalprice[o.o_totalprice > 0] + 0.5).astype("int64")
+    first = dollars.astype(str).str[0].astype(int)
+    n = len(first)
+    chi2 = 0.0
+    for d in range(1, 10):
+        obs = int((first == d).sum())
+        exp = math.log10(1 + 1 / d) * n
+        if obs or d in got.index:
+            assert got.loc[d].obs == obs, d
+            assert abs(got.loc[d].expected - exp) < 1e-5, d
+        chi2 += (obs - exp) ** 2 / exp
+    assert abs(got.chi2_term.sum() - chi2) < 1e-6
+
+
+def test_zipf_matches_polyfit(spark):
+    row = QUERIES["q_text_zipf"](spark, SF_SMOKE).collect()[0]
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    from collections import Counter
+
+    cnt = Counter()
+    for t in docs.text:
+        cnt.update(t.split(" "))
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    x = np.log(np.arange(1, len(top) + 1))
+    y = np.log([c for _, c in top])
+    slope, intercept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    assert row.n_terms == len(top)
+    # engine points are micro-rounded pre-fit: allow that quantization
+    assert abs(row.zipf_slope - slope) < 1e-4, (row.zipf_slope, slope)
+    assert abs(row.zipf_intercept - intercept) < 1e-4
+    assert abs(row.r2 - r * r) < 1e-4
+    assert row.zipf_slope < 0  # frequency falls with rank
+
+
+def test_cusum_matches_python_loop(spark):
+    rows = {r.event_type: r for r in QUERIES["q_ts_cusum"](spark, SF_SMOKE).collect()}
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    e["day"] = e.ts.dt.normalize()
+    e["cents"] = np.floor(e.value * 100 + 0.5).astype("int64")
+    daily = e.groupby(["event_type", "day"]).cents.sum()
+    for et in e.event_type.unique():
+        s = daily.loc[et].sort_index()
+        v = s.to_numpy(dtype="float64")
+        m, sd = v.mean(), v.std(ddof=1)
+        z = (v - m) / sd
+        zu = np.array(
+            [math.floor(x * 1e6 + 0.5) if x >= 0 else math.ceil(x * 1e6 - 0.5) for x in z],
+            dtype="int64",
+        )
+        cu = np.cumsum(zu)
+        peak_i = int(np.abs(cu).argmax())  # first occurrence = earliest day
+        r = rows[et]
+        assert r.n_days == len(v)
+        assert r.peak_day == s.index[peak_i].strftime("%Y-%m-%d"), et
+        assert abs(r.peak_cusum - cu[peak_i] / 1e6) < 2e-6, et
