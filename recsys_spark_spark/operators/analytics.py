@@ -883,3 +883,223 @@ def triangle_counts(e: DataFrame) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("item_id")))
     )
     return verts.groupBy("item_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# --------------------------------------------------------------------------
+# M141: RFM customer segmentation
+# --------------------------------------------------------------------------
+
+RFM_TILES = 5
+
+
+@query(
+    "q_rfm_segmentation",
+    oracle=f"""
+WITH base AS (
+  SELECT o_custkey AS c_custkey,
+         date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                   (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS r_days,
+         COUNT(*) AS f_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS BIGINT) AS m_dollars
+  FROM orders GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n FROM base),
+ranked AS (
+  SELECT base.*, n.n,
+         ROW_NUMBER() OVER (ORDER BY r_days ASC, c_custkey) AS pr,
+         ROW_NUMBER() OVER (ORDER BY f_orders ASC, c_custkey) AS pf,
+         ROW_NUMBER() OVER (ORDER BY m_dollars ASC, c_custkey) AS pm
+  FROM base CROSS JOIN n
+)
+SELECT c_custkey, CAST(r_days AS BIGINT) AS r_days,
+       CAST(f_orders AS BIGINT) AS f_orders, m_dollars,
+       CAST({RFM_TILES + 1} - ((pr - 1) * {RFM_TILES} // n + 1) AS BIGINT) AS r_score,
+       CAST((pf - 1) * {RFM_TILES} // n + 1 AS BIGINT) AS f_score,
+       CAST((pm - 1) * {RFM_TILES} // n + 1 AS BIGINT) AS m_score
+FROM ranked
+""",
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M141: RFM segmentation (Hughes 1994) — recency / frequency /
+    monetary quintile scores per ordering customer, the classic
+    marketing-segmentation table ("r5-f5-m5" = best customers). Scores
+    are 1..{RFM_TILES}; recency is REVERSED (recent buyers score high).
+    Tiles use the explicit formula tile = (pos-1)*K DIV n + 1 over the
+    (value, custkey) total order — deterministic under ties and identical
+    on both engines (NTILE's remainder-spreading is not mirrored here,
+    the formula is the contract).
+
+    Shape: facts collapse to one row per ordering customer (one keyed
+    aggregate; the corpus max date is a 1-row broadcast), then each of
+    the three ranks runs through operators.sorts.global_rank — the
+    value-bucketed DISTRIBUTED rank (never an unpartitioned window; the
+    q_sort_multi primitive), three bounded customer-sized passes joined
+    back on the key. Exactness: r/f/m are exact integers (whole dollars),
+    rank positions are exact, and the tile arithmetic is pure integer
+    DIV (all operands >= 0, so DuckDB // and Spark DIV agree)."""
+    from recsys_spark_spark.operators.sorts import global_rank
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("mxd"))
+    base = (
+        o.join(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(F.max("mxd"), F.max(F.to_date("o_orderdate"))).alias("r_days"),
+            F.count(F.lit(1)).alias("f_orders"),
+            F.sum(rlong(F.col("o_totalprice")).cast("long")).alias("m_dollars"),
+        )
+    )
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    ranked = base
+    for col, pos in (("r_days", "pr"), ("f_orders", "pf"), ("m_dollars", "pm")):
+        ranked = global_rank(
+            spark, ranked, value_col=col, tiebreak="c_custkey", pos_col=pos,
+            descending=False,
+        )
+    tile = lambda p: F.expr(f"CAST(({p} - 1) * {RFM_TILES} DIV n + 1 AS BIGINT)")
+    return ranked.join(F.broadcast(n)).select(
+        "c_custkey",
+        F.col("r_days").cast("long").alias("r_days"),
+        F.col("f_orders").cast("long").alias("f_orders"),
+        F.col("m_dollars").cast("long").alias("m_dollars"),
+        (F.lit(RFM_TILES + 1) - tile("pr")).cast("long").alias("r_score"),
+        tile("pf").cast("long").alias("f_score"),
+        tile("pm").cast("long").alias("m_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# M142: Jaccard link prediction on the co-purchase graph
+# --------------------------------------------------------------------------
+
+JACCARD_MIN_COMMON = 2
+JACCARD_TOP_PER_VERTEX = 10
+
+
+@query(
+    "q_graph_jaccard",
+    oracle=f"""
+WITH ui AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT GREATEST({TRI_MIN_SUPPORT},
+                  CAST(CEIL(COUNT(DISTINCT user_id) / {TRI_USERS_PER_SUPPORT}.0) AS BIGINT)) AS min_c
+  FROM ui
+),
+e AS (
+  SELECT a.item_id AS x, b.item_id AS y
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT min_c FROM thr)
+),
+und AS (
+  SELECT x AS v, y AS nb FROM e UNION ALL SELECT y, x FROM e
+),
+deg AS (SELECT v, COUNT(*) AS deg FROM und GROUP BY 1),
+common AS (
+  SELECT a.v AS a, b.v AS b, COUNT(*) AS n_common
+  FROM und a JOIN und b ON a.nb = b.nb AND a.v < b.v
+  GROUP BY 1, 2 HAVING COUNT(*) >= {JACCARD_MIN_COMMON}
+),
+nonedge AS (
+  SELECT c.* FROM common c ANTI JOIN e ON c.a = e.x AND c.b = e.y
+),
+scored AS (
+  SELECT a, b, n_common,
+         CAST(n_common AS DOUBLE) / (da.deg + db.deg - n_common) AS j
+  FROM nonedge JOIN deg da ON a = da.v JOIN deg db ON b = db.v
+)
+SELECT a, b, CAST(n_common AS BIGINT) AS n_common,
+       ROUND(j * 1e6, 0) / 1e6 AS jaccard,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY a ORDER BY j DESC, b) AS rnk
+  FROM scored
+) WHERE rnk <= {JACCARD_TOP_PER_VERTEX}
+""",
+)
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M142: Jaccard-coefficient link prediction (Liben-Nowell & Kleinberg
+    2003) over the support-thresholded co-purchase graph: for every
+    NON-adjacent item pair with >= {JACCARD_MIN_COMMON} common neighbors,
+    J = |N(a) n N(b)| / |N(a) u N(b)| — "these two items are bought with
+    the same things but never together yet", the graph-native complement
+    of q_cf_cosine_sim's rating geometry.
+
+    Shape: reuses the triangle query's POPULATION-SCALED support floor
+    (broadcast 1-row threshold) to bound vertex degree, so the wedge
+    join that produces common-neighbor pairs is degree-bounded — the
+    same boundedness contract as q_graph_triangles, never all-pairs.
+    Candidate pairs then ANTI-join the edge list (drop already-adjacent)
+    and join the vertex-count-sized degree table twice; the output is
+    bounded to the top-{JACCARD_TOP_PER_VERTEX} predictions per source
+    vertex via a KEYED rank-filtered window (WindowGroupLimit-prunable —
+    candidates die executor-side, the result is |V|-bounded). Exactness:
+    counts are exact integers; ranks order by the unrounded ratio (same
+    doubles both engines) with the partner id as tiebreak; one 6dp
+    display rounding."""
+    from recsys_spark_spark.cf.itemcf import capped_interactions, cooccurrence
+
+    ui = capped_interactions(spark, sf_dir)
+    thr = ui.agg(
+        F.greatest(
+            F.lit(TRI_MIN_SUPPORT),
+            F.ceil(
+                F.countDistinct("user_id") / F.lit(float(TRI_USERS_PER_SUPPORT))
+            ),
+        ).alias("min_c")
+    )
+    e = (
+        cooccurrence(ui)
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("n_common") >= F.col("min_c"))
+        .select(F.col("item_i").alias("x"), F.col("item_j").alias("y"))
+    )
+    und = e.select(F.col("x").alias("v"), F.col("y").alias("nb")).unionAll(
+        e.select(F.col("y").alias("v"), F.col("x").alias("nb"))
+    )
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = und.alias("a"), und.alias("b")
+    common = (
+        a.join(b, (F.col("a.nb") == F.col("b.nb")) & (F.col("a.v") < F.col("b.v")))
+        .groupBy(F.col("a.v").alias("a"), F.col("b.v").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= JACCARD_MIN_COMMON)
+    )
+    nonedge = common.join(
+        e,
+        (common.a == e.x) & (common.b == e.y),
+        "left_anti",
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("degb"))
+    scored = (
+        nonedge.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("dega") + F.col("degb") - F.col("n_common"))
+            ).alias("j"),
+        )
+    )
+    wtop = Window.partitionBy("a").orderBy(F.col("j").desc(), F.col("b").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(wtop))
+        .where(F.col("rnk") <= JACCARD_TOP_PER_VERTEX)
+        .select(
+            "a",
+            "b",
+            F.col("n_common").cast("long").alias("n_common"),
+            (rlong(F.col("j") * 1e6) / 1e6).alias("jaccard"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

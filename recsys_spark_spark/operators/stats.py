@@ -535,3 +535,70 @@ def q_audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rlong(exp * 1e6) / 1e6).alias("expected"),
         (rlong(F.pow(F.col("obs") - exp, 2) / exp * 1e9) / 1e9).alias("chi2_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# M140: two-proportion z-test (conversion-rate A/B)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stat_twoprop",
+    oracle="""
+WITH d AS (
+  SELECT c_mktsegment AS segment,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS conv
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+seg AS (
+  SELECT segment, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS pos
+  FROM d GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS tn, SUM(pos) AS tp FROM seg)
+SELECT segment, CAST(n AS BIGINT) AS n_seg, CAST(pos AS BIGINT) AS conv_seg,
+       ROUND(CAST(pos AS DOUBLE) / n * 1e6, 0) / 1e6 AS rate_seg,
+       ROUND(CAST(tp - pos AS DOUBLE) / (tn - n) * 1e6, 0) / 1e6 AS rate_rest,
+       ROUND((CAST(pos AS DOUBLE) / n - CAST(tp - pos AS DOUBLE) / (tn - n))
+             / sqrt((CAST(tp AS DOUBLE) / tn) * (1 - CAST(tp AS DOUBLE) / tn)
+                    * (1.0 / n + 1.0 / (tn - n))) * 1e6, 0) / 1e6 AS z_stat
+FROM seg CROSS JOIN tot
+""",
+)
+def q_stat_twoprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M140: pooled two-proportion z-test of each segment's urgent-order
+    (conversion) rate vs the rest — THE conversion A/B primitive:
+    z = (p1-p2)/sqrt(p(1-p)(1/n1+1/n2)) with p pooled. Complements
+    q_stat_ttest (means) and q_stat_chisq (the squared-z analogue on the
+    same table).
+
+    Shape: one keyed aggregate to (n, conversions) per arm; the rest arm
+    is broadcast-total minus own row — raw rows never leave the first
+    aggregate, at any scale. Exactness: counts are exact integers; both
+    engines evaluate one identical closed form, one 6dp rounding."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    d = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("conv"),
+    )
+    seg = d.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("pos")
+    )
+    tot = seg.agg(F.sum("n").alias("tn"), F.sum("pos").alias("tp"))
+    p1 = F.col("pos").cast("double") / F.col("n")
+    p2 = (F.col("tp") - F.col("pos")).cast("double") / (F.col("tn") - F.col("n"))
+    pp = F.col("tp").cast("double") / F.col("tn")
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n") + 1.0 / (F.col("tn") - F.col("n")))
+    )
+    return seg.join(F.broadcast(tot)).select(
+        "segment",
+        F.col("n").cast("long").alias("n_seg"),
+        F.col("pos").cast("long").alias("conv_seg"),
+        (rlong(p1 * 1e6) / 1e6).alias("rate_seg"),
+        (rlong(p2 * 1e6) / 1e6).alias("rate_rest"),
+        (rlong(z * 1e6) / 1e6).alias("z_stat"),
+    )

@@ -173,8 +173,9 @@ _R5_WINDOW = (
 # q_woe_iv (llm/features.py), q_stat_ttest / q_stat_chisq / q_drift_psi /
 # q_gini_concentration / q_stat_mann_kendall (operators/stats.py),
 # q_ts_acf / q_ts_cusum (operators/temporal.py), q_feature_scale
-# (llm/features.py), q_audit_benford (operators/stats.py), q_text_zipf
-# (llm/text.py), plus
+# (llm/features.py), q_audit_benford / q_stat_twoprop
+# (operators/stats.py), q_text_zipf (llm/text.py), q_rfm_segmentation /
+# q_graph_jaccard (operators/analytics.py), plus
 # whatever round 6 adds — put them first in
 # _R6_WINDOW, then refresh the oldest families (round-1-era
 # scans/filters/joins/windows/aggregates rows).

@@ -219,3 +219,87 @@ def test_cusum_matches_python_loop(spark):
         assert r.n_days == len(v)
         assert r.peak_day == s.index[peak_i].strftime("%Y-%m-%d"), et
         assert abs(r.peak_cusum - cu[peak_i] / 1e6) < 2e-6, et
+
+
+def test_twoprop_matches_manual(spark, seg_dollars):
+    rows = {r.segment: r for r in QUERIES["q_stat_twoprop"](spark, SF_SMOKE).collect()}
+    d = seg_dollars
+    d["conv"] = (d.o_orderpriority == "1-URGENT").astype(int)
+    for seg in d.c_mktsegment.unique():
+        a, b = d.conv[d.c_mktsegment == seg], d.conv[d.c_mktsegment != seg]
+        p1, p2 = a.mean(), b.mean()
+        pp = d.conv.mean()
+        z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / len(a) + 1 / len(b)))
+        r = rows[seg]
+        assert (r.n_seg, r.conv_seg) == (len(a), int(a.sum()))
+        assert abs(r.z_stat - z) < 1e-5, (seg, r.z_stat, z)
+
+
+def test_rfm_matches_pandas(spark):
+    got = QUERIES["q_rfm_segmentation"](spark, SF_SMOKE).toPandas().set_index("c_custkey")
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    o["day"] = o.o_orderdate.dt.normalize()
+    o["dollars"] = np.floor(o.o_totalprice + 0.5).astype("int64")
+    mx = o.day.max()
+    base = o.groupby("o_custkey").agg(
+        r_days=("day", lambda s: (mx - s.max()).days),
+        f_orders=("o_orderkey", "size"),
+        m_dollars=("dollars", "sum"),
+    )
+    n = len(base)
+    for col, score, rev in (("r_days", "r_score", True), ("f_orders", "f_score", False), ("m_dollars", "m_score", False)):
+        # explicit (value, custkey) total order
+        ranked = base.reset_index().sort_values([col, "o_custkey"]).reset_index(drop=True)
+        ranked["pos"] = ranked.index + 1
+        ranked["tile"] = (ranked.pos - 1) * 5 // n + 1
+        want = ranked.set_index("o_custkey").tile
+        for ck, tile in want.items():
+            expect = 6 - tile if rev else tile
+            assert got.loc[ck][score] == expect, (col, ck)
+    for ck, row in base.iterrows():
+        g = got.loc[ck]
+        assert (g.r_days, g.f_orders, g.m_dollars) == (
+            row.r_days, row.f_orders, row.m_dollars
+        ), ck
+
+
+def test_graph_jaccard_matches_bruteforce(spark):
+    """Full python recompute of the thresholded co-purchase graph and
+    top-10 Jaccard link predictions at smoke SF."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    got = {}
+    for r in QUERIES["q_graph_jaccard"](spark, SF_SMOKE).collect():
+        got[(r.a, r.b)] = (r.n_common, r.jaccard, r.rnk)
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    l = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").toPandas()
+    ui = o.merge(l, left_on="o_orderkey", right_on="l_orderkey")[
+        ["o_custkey", "l_partkey"]
+    ].drop_duplicates()
+    min_c = max(3, -(-ui.o_custkey.nunique() // 5000))
+    pair_cnt = defaultdict(int)
+    for _, grp in ui.groupby("o_custkey"):
+        for x, y in combinations(sorted(grp.l_partkey.unique()), 2):
+            pair_cnt[(x, y)] += 1
+    edges = {p for p, c in pair_cnt.items() if c >= min_c}
+    nbrs = defaultdict(set)
+    for x, y in edges:
+        nbrs[x].add(y)
+        nbrs[y].add(x)
+    cand = defaultdict(list)
+    verts = sorted(nbrs)
+    for i, a in enumerate(verts):
+        for b in verts[i + 1:]:
+            if (a, b) in edges:
+                continue
+            common = len(nbrs[a] & nbrs[b])
+            if common >= 2:
+                j = common / (len(nbrs[a]) + len(nbrs[b]) - common)
+                cand[a].append((-j, b, common))
+    want = {}
+    for a, lst in cand.items():
+        for rnk, (negj, b, common) in enumerate(sorted(lst)[:10], start=1):
+            want[(a, b)] = (common, math.floor(-negj * 1e6 + 0.5) / 1e6, rnk)
+    assert got == want
