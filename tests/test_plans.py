@@ -506,3 +506,38 @@ def test_correlated_subqueries_are_decorrelated(spark):
     assert any(
         k in plan for k in ("LeftSemi", "ExistenceJoin")
     ), "EXISTS was not rewritten to a semi join"
+
+
+def test_graph_jaccard_topk_is_group_limited(spark):
+    # the per-vertex top-10 must prune executor-side (keyed rank filter
+    # -> WindowGroupLimit), and candidate generation must stay a keyed
+    # wedge join — never a cartesian product
+    plan = plan_of(spark, "q_graph_jaccard")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_ranks_are_distributed(spark):
+    # all three quintile ranks ride the value-bucketed global_rank: every
+    # Window node carries the bucket partition key (no unpartitioned
+    # customer-wide sort), and the only unkeyed joins are the 1-row
+    # broadcast attaches (max date, n, bucket bounds/offsets)
+    plan = plan_of(spark, "q_rfm_segmentation")
+    window_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and "windowspecdefinition" in ln
+    ]
+    assert window_lines, "expected Window nodes for the three ranks"
+    assert all("_bkt" in ln for ln in window_lines), window_lines
+    assert "CartesianProduct" not in plan
+
+
+def test_stats_tests_fold_before_broadcast(spark):
+    # the t-test / two-proportion plans must reduce facts to the keyed
+    # aggregate BEFORE any join: no sort-merge join of fact-scale rows,
+    # totals arrive via broadcast
+    for name in ("q_stat_ttest", "q_stat_twoprop", "q_drift_psi"):
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
