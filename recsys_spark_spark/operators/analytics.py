@@ -1103,3 +1103,66 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# M143: ABC (Pareto) revenue classification of parts
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_part_abc",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+),
+run AS (
+  SELECT l_partkey, cents,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+  FROM rev
+),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev)
+SELECT l_partkey, cents, run,
+       CASE WHEN run * 5 <= total * 4 THEN 'A'
+            WHEN run * 20 <= total * 19 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM run CROSS JOIN tot
+""",
+)
+def q_part_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M143: ABC / Pareto classification of parts by discounted revenue —
+    class A holds the first 80% of cumulative revenue down the ranked
+    list, B the next 15%, C the tail; the inventory-prioritization table
+    ("20% of items drive 80% of revenue", Pareto 1896 via Dickie 1951).
+
+    Shape: facts collapse to one exact integer revenue row per part, the
+    cumulative total comes from operators.sorts.global_running_sum — the
+    value-bucketed DISTRIBUTED prefix sum (per-bucket running window +
+    broadcast preceding-bucket offsets; never an unpartitioned
+    running-total window) — and the grand total is a 1-row broadcast.
+    Exactness: class boundaries compare run*5 <= total*4 and
+    run*20 <= total*19 — pure INTEGER comparisons, so the 80/95% cuts
+    are decided without a single floating-point share."""
+    from recsys_spark_spark.operators.sorts import global_running_sum
+
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    rev = l.groupBy("l_partkey").agg(
+        F.sum(
+            rlong(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+        ).alias("cents")
+    )
+    run = global_running_sum(
+        spark, rev, value_col="cents", tiebreak="l_partkey", sum_col="run",
+        descending=True,
+    )
+    tot = rev.agg(F.sum("cents").alias("total"))
+    r, t = F.col("run"), F.col("total")
+    return run.join(F.broadcast(tot)).select(
+        "l_partkey",
+        "cents",
+        "run",
+        F.when(r * 5 <= t * 4, "A").when(r * 20 <= t * 19, "B").otherwise("C").alias("abc_class"),
+    )

@@ -192,3 +192,47 @@ def value_buckets(
         )
         .drop("_bounds")
     )
+
+
+def global_running_sum(
+    spark: SparkSession,
+    df: DataFrame,
+    value_col: str,
+    tiebreak: str,
+    sum_col: str = "run",
+    descending: bool = True,
+) -> DataFrame:
+    """Distributed exact prefix sum of ``value_col`` (a LONG) along the
+    (value_col | tiebreak) total order — the running-total sibling of
+    :func:`global_rank`, and the scale-safe replacement for an
+    unpartitioned ``sum().over(Window.orderBy(...))``.
+
+    Same value-bucket argument as global_rank: bucket boundaries only
+    move rows between buckets, each bucket still holds ALL rows of its
+    value range, so per-bucket running sums + the broadcast sum of all
+    PRECEDING buckets' totals compose into the exact global prefix sum
+    for any boundary placement. Exact for integer values (order within
+    value ties does not change a sum of those equal-keyed rows' prefix
+    beyond the tiebreak order, which is deterministic). Appends
+    `sum_col`; input columns pass through."""
+    bucketed = value_buckets(spark, df, value_col, descending=descending)
+    v = F.col(value_col)
+    order = v.desc_nulls_last() if descending else v.asc_nulls_last()
+    wrun = (
+        Window.partitionBy("_bkt")
+        .orderBy(order, F.col(tiebreak))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = bucketed.withColumn("_lrun", F.sum(v).over(wrun))
+    totals = bucketed.groupBy("_bkt").agg(F.sum(v).alias("_tot"))
+    offsets = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b._bkt") < F.col("a._bkt"), "left")
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("b._tot"), F.lit(0)).alias("_off"))
+    )
+    return (
+        running.join(F.broadcast(offsets), "_bkt")
+        .withColumn(sum_col, (F.col("_off") + F.col("_lrun")).cast("long"))
+        .drop("_bkt", "_lrun", "_off")
+    )

@@ -602,3 +602,80 @@ def q_stat_twoprop(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rlong(p2 * 1e6) / 1e6).alias("rate_rest"),
         (rlong(z * 1e6) / 1e6).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# M144: grouped OLS — discount elasticity of demand per brand
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_price_elasticity",
+    oracle="""
+WITH d AS (
+  SELECT p_brand,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+s AS (
+  SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM d GROUP BY 1
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * 1e6, 0) / 1e6 AS slope_qty_per_pct,
+       ROUND((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / n * 1e6, 0) / 1e6 AS intercept_qty,
+       ROUND(pow(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy, 2)
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) * 1e6, 0) / 1e6 AS r2
+FROM s
+""",
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M144: per-brand OLS regression of quantity on discount percent —
+    the demand-elasticity screen ("does discounting this brand move
+    volume?"), and the grouped-regression operator itself: one keyed
+    aggregate folds each group to the 6 OLS sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²), then slope/intercept/R² close in
+    constant time per group. Completes the regression family: q_agg_corr
+    (r), q_text_zipf (global fit) → per-group fit.
+
+    Shape: one map-side-combinable aggregate; output is brand-count-sized
+    regardless of fact volume, and the statistics are mergeable (sums),
+    so the same plan two-level-aggregates at any scale. Exactness:
+    discount percent (0..10) and quantity (1..50) are exact small
+    integers — every sum < 2^63 through sf10000 — and both engines
+    evaluate the identical closed form, one 6dp rounding."""
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_discount", "l_quantity")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    d = l.join(p, l.l_partkey == p.p_partkey).select(
+        "p_brand",
+        rlong(F.col("l_discount") * 100).cast("long").alias("x"),
+        rlong(F.col("l_quantity")).cast("long").alias("y"),
+    )
+    s = d.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    denx = nd * F.col("sxx") - sxd * F.col("sx")
+    deny = nd * F.col("syy") - syd * F.col("sy")
+    slope = num / denx
+    return s.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_lines"),
+        (rlong(slope * 1e6) / 1e6).alias("slope_qty_per_pct"),
+        (rlong((syd - slope * F.col("sx")) / F.col("n") * 1e6) / 1e6).alias("intercept_qty"),
+        (rlong(F.pow(num, 2) / (denx * deny) * 1e6) / 1e6).alias("r2"),
+    )

@@ -863,3 +863,65 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rlong(F.col("cu") / 1e6 * 1e6) / 1e6).alias("peak_cusum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# M145: day-of-week seasonal index
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_seasonal_index",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+dw AS (
+  SELECT event_type, dayofweek(day) AS dow, COUNT(*) AS n_days,
+         CAST(SUM(v) AS BIGINT) AS s
+  FROM daily GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(SUM(s) AS BIGINT) AS ts, SUM(n_days) AS tn
+  FROM dw GROUP BY 1
+)
+SELECT dw.event_type, CAST(dow AS BIGINT) AS dow, CAST(n_days AS BIGINT) AS n_days,
+       ROUND((CAST(s AS DOUBLE) / n_days) / (CAST(ts AS DOUBLE) / tn) * 1e6, 0) / 1e6 AS seasonal_index
+FROM dw JOIN tot ON dw.event_type = tot.event_type
+""",
+)
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M145: multiplicative day-of-week seasonal index per event type —
+    mean daily value on each weekday divided by the overall mean daily
+    value (index > 1 = that weekday runs hot). The decomposition step a
+    forecaster divides out before trend fitting; complements q_ts_acf
+    (which only detects the weekly cycle, this quantifies it). dow is
+    Sunday=0..Saturday=6 on both engines (Spark's Sunday=1 dayofweek
+    shifted by one).
+
+    Shape: facts → bounded daily integer series → ONE 7-row-per-type
+    keyed aggregate + type-count-sized totals joined back (broadcast-
+    small). Exactness: integer sums; one identical ratio-of-means per
+    row, one 6dp rounding."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"),
+        rlong(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(F.sum("cents").alias("v"))
+    dw = daily.groupBy(
+        "event_type", (F.dayofweek("day") - 1).cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n_days"), F.sum("v").alias("s"))
+    tot = dw.groupBy("event_type").agg(
+        F.sum("s").alias("ts"), F.sum("n_days").alias("tn")
+    )
+    idx = (F.col("s").cast("double") / F.col("n_days")) / (
+        F.col("ts").cast("double") / F.col("tn")
+    )
+    return dw.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        F.col("n_days").cast("long").alias("n_days"),
+        (rlong(idx * 1e6) / 1e6).alias("seasonal_index"),
+    )

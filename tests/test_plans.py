@@ -541,3 +541,18 @@ def test_stats_tests_fold_before_broadcast(spark):
         plan = plan_of(spark, name)
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_part_abc_prefix_sum_is_distributed(spark):
+    # the cumulative revenue must ride the value-bucketed prefix sum:
+    # every Window node carries the bucket key — never an unpartitioned
+    # global running-total window
+    plan = plan_of(spark, "q_part_abc")
+    window_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and "windowspecdefinition" in ln
+    ]
+    assert window_lines, "expected a Window node for the running sum"
+    assert all("_bkt" in ln for ln in window_lines), window_lines
+    assert "CartesianProduct" not in plan

@@ -303,3 +303,77 @@ def test_graph_jaccard_matches_bruteforce(spark):
         for rnk, (negj, b, common) in enumerate(sorted(lst)[:10], start=1):
             want[(a, b)] = (common, math.floor(-negj * 1e6 + 0.5) / 1e6, rnk)
     assert got == want
+
+
+def test_part_abc_matches_pandas_cumsum(spark):
+    got = QUERIES["q_part_abc"](spark, SF_SMOKE).toPandas().set_index("l_partkey")
+    l = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").toPandas()
+    cents = np.floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5).astype("int64")
+    rev = cents.groupby(l.l_partkey).sum().reset_index(name="cents")
+    rev = rev.sort_values(["cents", "l_partkey"], ascending=[False, True]).reset_index(drop=True)
+    rev["run"] = rev.cents.cumsum()
+    total = int(rev.cents.sum())
+    for row in rev.itertuples():
+        cls = "A" if row.run * 5 <= total * 4 else ("B" if row.run * 20 <= total * 19 else "C")
+        g = got.loc[row.l_partkey]
+        assert (g.cents, g.run, g.abc_class) == (row.cents, row.run, cls), row.l_partkey
+    assert set(got.abc_class) == {"A", "B", "C"}
+
+
+def test_global_running_sum_primitive(spark):
+    """The distributed prefix sum must equal a single-partition cumsum on
+    a hand-built frame whose values straddle many buckets."""
+    from recsys_spark_spark.operators.sorts import global_running_sum
+
+    rows = [(i, (i * 37) % 101) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: r.run
+        for r in global_running_sum(
+            spark, df, value_col="v", tiebreak="k", descending=False
+        ).collect()
+    }
+    run = 0
+    for v, k in sorted((v, k) for k, v in rows):
+        run += v
+        assert got[k] == run, (k, v)
+
+
+def test_price_elasticity_matches_polyfit(spark):
+    rows = {r.p_brand: r for r in QUERIES["q_price_elasticity"](spark, SF_SMOKE).collect()}
+    l = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").toPandas()
+    p = spark.read.parquet(f"{SF_SMOKE}/part.parquet").toPandas()
+    d = l.merge(p, left_on="l_partkey", right_on="p_partkey")
+    d["x"] = np.floor(d.l_discount * 100 + 0.5).astype("int64")
+    d["y"] = np.floor(d.l_quantity + 0.5).astype("int64")
+    for brand, grp in d.groupby("p_brand"):
+        slope, intercept = np.polyfit(grp.x, grp.y, 1)
+        r = np.corrcoef(grp.x, grp.y)[0, 1]
+        row = rows[brand]
+        assert row.n_lines == len(grp)
+        assert abs(row.slope_qty_per_pct - slope) < 1e-5, brand
+        assert abs(row.intercept_qty - intercept) < 1e-5, brand
+        assert abs(row.r2 - r * r) < 1e-5, brand
+
+
+def test_seasonal_index_matches_manual(spark):
+    got = {
+        (r.event_type, r.dow): (r.n_days, r.seasonal_index)
+        for r in QUERIES["q_seasonal_index"](spark, SF_SMOKE).collect()
+    }
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    e["day"] = e.ts.dt.normalize()
+    e["cents"] = np.floor(e.value * 100 + 0.5).astype("int64")
+    daily = e.groupby(["event_type", "day"]).cents.sum().reset_index()
+    # pandas dayofweek: Monday=0..Sunday=6 -> Sunday-0 convention
+    daily["dow"] = (daily.day.dt.dayofweek + 1) % 7
+    for et, grp in daily.groupby("event_type"):
+        overall = grp.cents.mean()
+        for dow, sub in grp.groupby("dow"):
+            n, idx = got[(et, dow)]
+            assert n == len(sub), (et, dow)
+            assert abs(idx - sub.cents.mean() / overall) < 1e-6, (et, dow)
+    # indices average ~1 weighted by day counts
+    for et, grp in daily.groupby("event_type"):
+        w = sum(got[(et, d)][0] * got[(et, d)][1] for d in grp.dow.unique())
+        assert abs(w / grp.day.nunique() - 1.0) < 1e-3
