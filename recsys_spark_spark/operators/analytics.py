@@ -1166,3 +1166,183 @@ def q_part_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "run",
         F.when(r * 5 <= t * 4, "A").when(r * 20 <= t * 19, "B").otherwise("C").alias("abc_class"),
     )
+
+
+# --------------------------------------------------------------------------
+# M146: position-based (U-shaped) multi-touch attribution
+# --------------------------------------------------------------------------
+
+ATTR_WINDOW_DAYS = 7  # touches attribute only within this pre-purchase window
+ATTR_EDGE_PPM = 400_000  # first/last credit (40%); middles split the rest
+
+
+@query(
+    "q_attribution_position",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, date_trunc('second', ts) AS sec
+  FROM events
+),
+p AS (SELECT event_id AS purchase_id, user_id, sec AS p_sec FROM ev WHERE event_type = 'purchase'),
+t AS (SELECT event_id AS touch_id, user_id, event_type AS touch_type, sec AS t_sec
+      FROM ev WHERE event_type IN ('view', 'click')),
+j AS (
+  SELECT p.purchase_id, p.user_id, t.touch_id, t.touch_type, t.t_sec
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND (t.t_sec < p.p_sec OR (t.t_sec = p.p_sec AND t.touch_id < p.purchase_id))
+   AND t.t_sec >= p.p_sec - INTERVAL {ATTR_WINDOW_DAYS} DAY
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY purchase_id ORDER BY t_sec, touch_id) AS pos,
+         COUNT(*) OVER (PARTITION BY purchase_id) AS n
+  FROM j
+)
+SELECT purchase_id, user_id, touch_id, touch_type, CAST(pos AS BIGINT) AS pos,
+       CAST(n AS BIGINT) AS n_touches,
+       CAST(CASE WHEN n = 1 THEN 1000000
+                 WHEN n = 2 THEN 500000
+                 WHEN pos = 1 OR pos = n THEN {ATTR_EDGE_PPM}
+                 ELSE CAST(ROUND((1000000 - 2 * {ATTR_EDGE_PPM}) / CAST(n - 2 AS DOUBLE), 0) AS BIGINT)
+            END AS BIGINT) AS credit_ppm
+FROM r
+""",
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M146: position-based (U-shaped, 40/20/40) multi-touch attribution —
+    every marketing touch inside the {ATTR_WINDOW_DAYS}-day pre-purchase
+    window gets credit: 40% to the first touch, 40% to the last, the
+    middle 20% split evenly; 1 touch takes 100%, 2 take 50/50. The
+    multi-touch complement of q_attribution_last_touch (same touch
+    ordering contract, including the same-second event_id tiebreak).
+
+    Shape: the purchase-x-touch fan-out is a USER-KEYED range join whose
+    per-purchase width is bounded by the attribution window (never a
+    user's full history — the as-of/interval-join discipline), then
+    position/count come from purchase-keyed windows. At 100 TB
+    everything rides HashPartitioning(user_id) then (purchase_id).
+    Exactness: credits are integer ppm; the only division (middle split)
+    rounds the same double once on both engines."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.date_trunc("second", "ts").alias("sec")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("sec").alias("p_sec")
+    )
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        F.col("sec").alias("t_sec"),
+    )
+    j = p.join(
+        t,
+        (p.user_id == t.t_user)
+        & (
+            (t.t_sec < p.p_sec)
+            | ((t.t_sec == p.p_sec) & (t.touch_id < p.purchase_id))
+        )
+        & (t.t_sec >= p.p_sec - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAY")),
+    ).select("purchase_id", "user_id", "touch_id", "touch_type", "t_sec")
+    wpos = Window.partitionBy("purchase_id").orderBy("t_sec", "touch_id")
+    wcnt = Window.partitionBy("purchase_id")
+    r = j.select(
+        "purchase_id",
+        "user_id",
+        "touch_id",
+        "touch_type",
+        F.row_number().over(wpos).alias("pos"),
+        F.count(F.lit(1)).over(wcnt).alias("n"),
+    )
+    pos, n = F.col("pos"), F.col("n")
+    mid = rlong(
+        F.lit(float(1_000_000 - 2 * ATTR_EDGE_PPM)) / (n - 2).cast("double")
+    ).cast("long")
+    credit = (
+        F.when(n == 1, 1_000_000)
+        .when(n == 2, 500_000)
+        .when((pos == 1) | (pos == n), ATTR_EDGE_PPM)
+        .otherwise(mid)
+    )
+    return r.select(
+        "purchase_id",
+        "user_id",
+        "touch_id",
+        "touch_type",
+        pos.cast("long").alias("pos"),
+        n.cast("long").alias("n_touches"),
+        credit.cast("long").alias("credit_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# M147: half-life-decayed trending items
+# --------------------------------------------------------------------------
+
+TREND_HALF_LIFE_DAYS = 180
+TREND_TOP = 20
+
+
+@query(
+    "q_trending_items",
+    oracle=f"""
+WITH l AS (
+  SELECT l_partkey, CAST(l_shipdate AS DATE) AS ship FROM lineitem
+),
+mx AS (
+  SELECT MAX(ship) AS mxd,
+         MAX(date_diff('day', ship, (SELECT MAX(ship) FROM l)) // {TREND_HALF_LIFE_DAYS}) AS bmax
+  FROM l
+),
+w AS (
+  SELECT l_partkey,
+         CAST(ROUND(pow(2, bmax - date_diff('day', ship, mxd) // {TREND_HALF_LIFE_DAYS}), 0) AS BIGINT) AS wt
+  FROM l CROSS JOIN mx
+),
+s AS (
+  SELECT l_partkey, COUNT(*) AS n_sales, CAST(SUM(wt) AS BIGINT) AS score
+  FROM w GROUP BY 1
+)
+SELECT l_partkey, n_sales, score, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, l_partkey) AS rnk FROM s
+) WHERE rnk <= {TREND_TOP}
+""",
+)
+def q_trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M147: trending items by half-life-decayed popularity — each sale
+    weights 2^(bmax - age/{TREND_HALF_LIFE_DAYS}); a sale this half-life
+    counts double one from the previous, so the ranking favors items
+    selling NOW over all-time staples (the "trending" complement of
+    q_cf_popularity_rec's raw popularity). Integer power-of-two weights
+    (the q_ts_ewma trick): the decayed score is an EXACT integer sum —
+    no float decay drift, mergeable, incrementally maintainable.
+
+    Shape: the corpus max date and max age bucket are a 1-row broadcast;
+    weights are row-local integer arithmetic (age DIV H — ship dates
+    never exceed the max, so both engines' integer division agrees);
+    one part-keyed aggregate; the top-{TREND_TOP} head is a rank-filtered
+    global window over the aggregate (TakeOrdered/WindowGroupLimit-
+    pruned, the q_vocab_build pattern)."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.to_date("l_shipdate").alias("ship")
+    )
+    mx = l.agg(F.max("ship").alias("mxd"))
+    aged = l.join(F.broadcast(mx)).select(
+        "l_partkey",
+        F.expr(f"datediff(mxd, ship) DIV {TREND_HALF_LIFE_DAYS}").alias("bkt"),
+    )
+    bmax = aged.agg(F.max("bkt").alias("bmax"))
+    w = aged.join(F.broadcast(bmax)).select(
+        "l_partkey",
+        rlong(F.pow(F.lit(2.0), F.col("bmax") - F.col("bkt"))).cast("long").alias("wt"),
+    )
+    s = w.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_sales"), F.sum("wt").alias("score")
+    )
+    top = s.orderBy(F.col("score").desc(), "l_partkey").limit(TREND_TOP)
+    wr = Window.orderBy(F.col("score").desc(), "l_partkey")
+    return top.withColumn("rnk", F.row_number().over(wr).cast("long")).select(
+        "l_partkey",
+        F.col("n_sales").cast("long").alias("n_sales"),
+        F.col("score").cast("long").alias("score"),
+        "rnk",
+    )

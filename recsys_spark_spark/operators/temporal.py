@@ -925,3 +925,60 @@ def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_days").cast("long").alias("n_days"),
         (rlong(idx * 1e6) / 1e6).alias("seasonal_index"),
     )
+
+
+# --------------------------------------------------------------------------
+# M148: inter-purchase cycle time per customer
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_purchase_cycle",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day, o_orderkey
+  FROM orders
+),
+g AS (
+  SELECT o_custkey,
+         date_diff('day',
+           lag(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey),
+           day) AS gap
+  FROM o
+)
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_days,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_days,
+       ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*) * 1e6, 0) / 1e6 AS mean_gap_days
+FROM g WHERE gap IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_purchase_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M148: inter-purchase cycle time — per repeat customer, the count /
+    min / max / mean of day gaps between consecutive orders (ordered by
+    date with the order key as tiebreak). The replenishment-cadence
+    feature behind churn prediction ("customer is N days past their
+    usual cycle") and send-time optimization; pairs with
+    q_rfm_segmentation's recency score.
+
+    Shape: ONE customer-keyed window (lag) followed by a customer-keyed
+    aggregate on the same partitioning — a single shuffle end to end at
+    any scale. Exactness: gaps are exact integer day diffs; min/max/
+    count/sum are exact; the mean is one identical division rounded once
+    at 6dp."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("day"), "o_orderkey"
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    g = o.select(
+        "o_custkey", F.datediff("day", F.lag("day").over(wl)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    return g.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap").cast("long").alias("min_gap_days"),
+        F.max("gap").cast("long").alias("max_gap_days"),
+        (rlong(F.sum("gap").cast("double") / F.count(F.lit(1)) * 1e6) / 1e6).alias(
+            "mean_gap_days"
+        ),
+    )

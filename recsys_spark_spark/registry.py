@@ -175,8 +175,9 @@ _R5_WINDOW = (
 # q_ts_acf / q_ts_cusum (operators/temporal.py), q_feature_scale
 # (llm/features.py), q_audit_benford / q_stat_twoprop
 # (operators/stats.py), q_text_zipf (llm/text.py), q_rfm_segmentation /
-# q_graph_jaccard / q_part_abc (operators/analytics.py),
-# q_price_elasticity (operators/stats.py), q_seasonal_index
+# q_graph_jaccard / q_part_abc / q_attribution_position /
+# q_trending_items (operators/analytics.py), q_price_elasticity
+# (operators/stats.py), q_seasonal_index / q_purchase_cycle
 # (operators/temporal.py), plus
 # whatever round 6 adds — put them first in
 # _R6_WINDOW, then refresh the oldest families (round-1-era

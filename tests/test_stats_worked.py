@@ -377,3 +377,87 @@ def test_seasonal_index_matches_manual(spark):
     for et, grp in daily.groupby("event_type"):
         w = sum(got[(et, d)][0] * got[(et, d)][1] for d in grp.dow.unique())
         assert abs(w / grp.day.nunique() - 1.0) < 1e-3
+
+
+def test_attribution_position_credits(spark):
+    """Per-purchase invariants + python recompute of the U-shape: first
+    and last get 400000 ppm (n>=3), middles split 200000, totals within
+    n-2 ppm of 1e6; touch sets match a brute-force window scan."""
+    import datetime as dt
+    from collections import defaultdict
+
+    got = defaultdict(list)
+    for r in QUERIES["q_attribution_position"](spark, SF_SMOKE).collect():
+        got[r.purchase_id].append(r)
+
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    e["sec"] = e.ts.dt.floor("s")
+    purchases = e[e.event_type == "purchase"]
+    touches = e[e.event_type.isin(["view", "click"])]
+    tby = dict(tuple(touches.groupby("user_id")))
+    n_with = 0
+    for p in purchases.itertuples():
+        tu = tby.get(p.user_id)
+        if tu is None:
+            assert p.event_id not in got
+            continue
+        w = tu[
+            ((tu.sec < p.sec) | ((tu.sec == p.sec) & (tu.event_id < p.event_id)))
+            & (tu.sec >= p.sec - dt.timedelta(days=7))
+        ].sort_values(["sec", "event_id"])
+        if len(w) == 0:
+            assert p.event_id not in got
+            continue
+        n_with += 1
+        rows = sorted(got[p.event_id], key=lambda r: r.pos)
+        assert [r.touch_id for r in rows] == list(w.event_id)
+        n = len(rows)
+        credits = [r.credit_ppm for r in rows]
+        if n == 1:
+            assert credits == [1_000_000]
+        elif n == 2:
+            assert credits == [500_000, 500_000]
+        else:
+            assert credits[0] == credits[-1] == 400_000
+            mid = math.floor(200_000 / (n - 2) + 0.5)
+            assert all(c == mid for c in credits[1:-1])
+        assert abs(sum(credits) - 1_000_000) <= max(0, n - 2)
+    assert n_with == len(got) > 0
+
+
+def test_trending_items_matches_bruteforce(spark):
+    got = [(r.l_partkey, r.n_sales, r.score, r.rnk) for r in
+           QUERIES["q_trending_items"](spark, SF_SMOKE).collect()]
+    l = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").toPandas()
+    l["ship"] = l.l_shipdate.dt.normalize()
+    mxd = l.ship.max()
+    l["bkt"] = ((mxd - l.ship).dt.days // 180).astype("int64")
+    bmax = int(l.bkt.max())
+    l["wt"] = 2 ** (bmax - l.bkt)
+    s = l.groupby("l_partkey").agg(n_sales=("wt", "size"), score=("wt", "sum"))
+    ordered = s.reset_index().sort_values(["score", "l_partkey"], ascending=[False, True])
+    want = [
+        (int(r.l_partkey), int(r.n_sales), int(r.score), i + 1)
+        for i, r in enumerate(ordered.head(20).itertuples(index=False))
+    ]
+    assert got == want
+
+
+def test_purchase_cycle_matches_pandas(spark):
+    got = {r.o_custkey: r for r in QUERIES["q_purchase_cycle"](spark, SF_SMOKE).collect()}
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    o["day"] = o.o_orderdate.dt.normalize()
+    n_checked = 0
+    for ck, grp in o.groupby("o_custkey"):
+        days = grp.sort_values(["day", "o_orderkey"]).day
+        gaps = days.diff().dt.days.dropna().astype(int)
+        if len(gaps) == 0:
+            assert ck not in got
+            continue
+        r = got[ck]
+        n_checked += 1
+        assert (r.n_gaps, r.min_gap_days, r.max_gap_days) == (
+            len(gaps), gaps.min(), gaps.max()
+        ), ck
+        assert abs(r.mean_gap_days - gaps.mean()) < 1e-6, ck
+    assert n_checked == len(got) > 0
