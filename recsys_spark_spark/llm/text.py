@@ -939,3 +939,79 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (rlong(F.pow(num, 2) / (denx * deny) * 1e6) / 1e6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# M150: vocabulary-id document encoding (tokenize -> id sequence)
+# --------------------------------------------------------------------------
+
+OOV_ID = 0  # tokens outside the top-VOCAB_SIZE vocabulary
+
+
+@query(
+    "q_text_encode",
+    oracle=f"""
+WITH tf AS (
+  SELECT t.token, COUNT(*) AS cnt
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+  GROUP BY 1
+),
+vocab AS (
+  SELECT token, vocab_id FROM (
+    SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS vocab_id
+    FROM tf
+  ) WHERE vocab_id <= {VOCAB_SIZE}
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS ord
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+enc AS (
+  SELECT t.doc_id, t.ord, COALESCE(v.vocab_id, {OOV_ID}) AS id
+  FROM tok t LEFT JOIN vocab v ON t.token = v.token
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN id = {OOV_ID} THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY ord) AS ids
+FROM enc GROUP BY 1
+""",
+)
+def q_text_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M150: document -> token-id sequence encoding against the corpus's
+    own top-{VOCAB_SIZE} vocabulary (q_vocab_build's artifact), out-of-
+    vocabulary tokens mapped to id {OOV_ID} — the tokenize step that
+    turns a cleaned corpus into trainer input, completing the chain
+    vocab_build -> encode -> chunk/pack (q_chunk_fixed, q_pack_sequences).
+
+    Shape: the vocabulary is output-sized and BROADCASTS onto the
+    token stream (row-local posexplode — no fact shuffle to look up
+    ids); the only fact-scale shuffle is the final doc-keyed re-assembly,
+    whose per-doc state is the document's own token list. The id
+    sequence is emitted as a ','-joined string ordered by token
+    position (struct-sort of (ord, id) — deterministic), so the value
+    hash is representation-independent (the q_agg_collect discipline)."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    topv = tf.orderBy(F.col("cnt").desc(), "token").limit(VOCAB_SIZE)
+    wv = Window.orderBy(F.col("cnt").desc(), "token")
+    vocab = topv.withColumn("vocab_id", F.row_number().over(wv).cast("long")).select(
+        "token", "vocab_id"
+    )
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).select("doc_id", (F.col("pos") + 1).alias("ord"), "token")
+    enc = tok.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "ord", F.coalesce("vocab_id", F.lit(OOV_ID)).alias("id")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("id") == OOV_ID, 1).otherwise(0)).cast("long").alias("n_oov"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(ord, id))), s -> cast(s.id as string)), ',')"
+        ).alias("ids"),
+    )

@@ -134,3 +134,41 @@ def q_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT n_name, COUNT(*) AS n_customers "
         "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
     )
+
+
+# --------------------------------------------------------------------------
+# M151: line-delimited text source/sink round-trip
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_source_text",
+    oracle="""
+SELECT CAST(length(text) // 20 AS BIGINT) AS len_bucket,
+       COUNT(*) AS n_lines,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+""",
+)
+def q_source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M151: spark.read/write.text round-trip — the line-delimited raw-text
+    format every web-scrape corpus lands in before parquet conversion
+    (completes the source matrix: parquet/csv/json/orc/jdbc/python-ds +
+    text). Documents are written as one line each (corpus verified
+    newline-free at every SF), read back as the single `value` column,
+    and summarized by length bucket so the oracle checks CONTENT, not
+    just counts. Line order is irrelevant to the aggregate, so the
+    parallel multi-part write is fine — at 100 TB both sides are
+    embarrassingly parallel per file split."""
+    src = table(spark, sf_dir, "documents").select("text")
+    out = os.path.join(TMP_DIR, "textsrc")
+    shutil.rmtree(out, ignore_errors=True)
+    src.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.groupBy(
+        F.expr("CAST(length(value) DIV 20 AS BIGINT)").alias("len_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+    )

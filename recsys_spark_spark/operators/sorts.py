@@ -194,6 +194,60 @@ def value_buckets(
     )
 
 
+def ordered_prefix_sums(
+    spark: SparkSession,
+    df: DataFrame,
+    order_col: str,
+    tiebreak: str,
+    sum_cols: dict,
+    descending: bool = False,
+) -> DataFrame:
+    """Distributed exact prefix sums of one or more LONG columns along the
+    (order_col | tiebreak) total order — the running-total sibling of
+    :func:`global_rank`, and the scale-safe replacement for an
+    unpartitioned ``sum().over(Window.orderBy(...))``.
+    ``sum_cols`` maps input column -> output prefix column.
+
+    Same value-bucket argument as global_rank: bucket boundaries only
+    move rows between buckets, each bucket still holds ALL rows of its
+    order-value range, so per-bucket running sums + the broadcast sum of
+    all PRECEDING buckets' totals compose into the exact global prefix
+    sum for any boundary placement (integer sums commute within ties).
+    Appends the output columns; input columns pass through."""
+    bucketed = value_buckets(spark, df, order_col, descending=descending)
+    v = F.col(order_col)
+    order = v.desc_nulls_last() if descending else v.asc_nulls_last()
+    wrun = (
+        Window.partitionBy("_bkt")
+        .orderBy(order, F.col(tiebreak))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = bucketed
+    for src in sum_cols:
+        running = running.withColumn(f"_lrun_{src}", F.sum(src).over(wrun))
+    totals = bucketed.groupBy("_bkt").agg(
+        *[F.sum(src).alias(f"_tot_{src}") for src in sum_cols]
+    )
+    offsets = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b._bkt") < F.col("a._bkt"), "left")
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b._tot_{src}"), F.lit(0)).alias(f"_off_{src}")
+                for src in sum_cols
+            ]
+        )
+    )
+    out = running.join(F.broadcast(offsets), "_bkt")
+    for src, dst in sum_cols.items():
+        out = out.withColumn(
+            dst, (F.col(f"_off_{src}") + F.col(f"_lrun_{src}")).cast("long")
+        )
+    drop = ["_bkt"] + [f"_lrun_{s}" for s in sum_cols] + [f"_off_{s}" for s in sum_cols]
+    return out.drop(*drop)
+
+
 def global_running_sum(
     spark: SparkSession,
     df: DataFrame,
@@ -202,37 +256,14 @@ def global_running_sum(
     sum_col: str = "run",
     descending: bool = True,
 ) -> DataFrame:
-    """Distributed exact prefix sum of ``value_col`` (a LONG) along the
-    (value_col | tiebreak) total order — the running-total sibling of
-    :func:`global_rank`, and the scale-safe replacement for an
-    unpartitioned ``sum().over(Window.orderBy(...))``.
-
-    Same value-bucket argument as global_rank: bucket boundaries only
-    move rows between buckets, each bucket still holds ALL rows of its
-    value range, so per-bucket running sums + the broadcast sum of all
-    PRECEDING buckets' totals compose into the exact global prefix sum
-    for any boundary placement. Exact for integer values (order within
-    value ties does not change a sum of those equal-keyed rows' prefix
-    beyond the tiebreak order, which is deterministic). Appends
-    `sum_col`; input columns pass through."""
-    bucketed = value_buckets(spark, df, value_col, descending=descending)
-    v = F.col(value_col)
-    order = v.desc_nulls_last() if descending else v.asc_nulls_last()
-    wrun = (
-        Window.partitionBy("_bkt")
-        .orderBy(order, F.col(tiebreak))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    running = bucketed.withColumn("_lrun", F.sum(v).over(wrun))
-    totals = bucketed.groupBy("_bkt").agg(F.sum(v).alias("_tot"))
-    offsets = (
-        totals.alias("a")
-        .join(totals.alias("b"), F.col("b._bkt") < F.col("a._bkt"), "left")
-        .groupBy(F.col("a._bkt").alias("_bkt"))
-        .agg(F.coalesce(F.sum("b._tot"), F.lit(0)).alias("_off"))
-    )
-    return (
-        running.join(F.broadcast(offsets), "_bkt")
-        .withColumn(sum_col, (F.col("_off") + F.col("_lrun")).cast("long"))
-        .drop("_bkt", "_lrun", "_off")
+    """Prefix sum of ``value_col`` along its own (value | tiebreak) order —
+    the single-column convenience form of :func:`ordered_prefix_sums`
+    (used by q_part_abc's Pareto cut)."""
+    return ordered_prefix_sums(
+        spark,
+        df,
+        order_col=value_col,
+        tiebreak=tiebreak,
+        sum_cols={value_col: sum_col},
+        descending=descending,
     )

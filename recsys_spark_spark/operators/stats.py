@@ -679,3 +679,94 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rlong((syd - slope * F.col("sx")) / F.col("n") * 1e6) / 1e6).alias("intercept_qty"),
         (rlong(F.pow(num, 2) / (denx * deny) * 1e6) / 1e6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# M149: exact two-sample Kolmogorov-Smirnov drift test
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stat_ks",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(ROUND(o_totalprice, 0) AS BIGINT) AS x,
+         CASE WHEN year(o_orderdate) < {PSI_SPLIT_YEAR} THEN 1 ELSE 0 END AS is_ref
+  FROM orders
+),
+v AS (
+  SELECT x, CAST(SUM(is_ref) AS BIGINT) AS c1, CAST(SUM(1 - is_ref) AS BIGINT) AS c2
+  FROM d GROUP BY 1
+),
+c AS (
+  SELECT x,
+         CAST(SUM(c1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+         CAST(SUM(c2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+  FROM v
+),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM v),
+scored AS (
+  SELECT x, ABS(cum1 * n2 - cum2 * n1) AS dnum, n1, n2
+  FROM c CROSS JOIN tot
+)
+SELECT x AS x_at_max, CAST(dnum AS BIGINT) AS d_num,
+       CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur,
+       ROUND(CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) * 1e9, 0) / 1e9 AS ks_stat
+FROM scored ORDER BY dnum DESC, x ASC LIMIT 1
+""",
+)
+def q_stat_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M149: exact two-sample Kolmogorov-Smirnov statistic between the
+    pre/post-{PSI_SPLIT_YEAR} order-value distributions (same split as
+    q_drift_psi — KS is its binning-free exact complement):
+    D = max_x |F_ref(x) - F_cur(x)|, located at the reported x. The
+    whole computation is INTEGER: the max runs over
+    |cum1*n2 - cum2*n1|, so the supremum location and value are decided
+    without a single float comparison; only the final display ratio
+    divides.
+
+    Shape: facts collapse to one row per DISTINCT value (keyed agg);
+    both ECDFs come from ONE value-bucketed distributed prefix-sum pass
+    (operators.sorts.ordered_prefix_sums — the multi-column form of the
+    q_part_abc primitive; never an unpartitioned running window); the
+    argmax is orderBy+limit 1 (TakeOrdered), ties broken by smallest x."""
+    from recsys_spark_spark.operators.sorts import ordered_prefix_sums
+
+    o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderdate")
+    d = o.select(
+        _dollars("o_totalprice").alias("x"),
+        F.when(F.year("o_orderdate") < PSI_SPLIT_YEAR, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_ref"),
+    )
+    v = d.groupBy("x").agg(
+        F.sum("is_ref").alias("c1"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("c2"),
+    )
+    c = ordered_prefix_sums(
+        spark, v, order_col="x", tiebreak="x",
+        sum_cols={"c1": "cum1", "c2": "cum2"}, descending=False,
+    )
+    tot = v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    scored = c.join(F.broadcast(tot)).select(
+        "x",
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias("dnum"),
+        "n1",
+        "n2",
+    )
+    top = scored.orderBy(F.col("dnum").desc(), F.col("x").asc()).limit(1)
+    return top.select(
+        F.col("x").alias("x_at_max"),
+        F.col("dnum").cast("long").alias("d_num"),
+        F.col("n1").cast("long").alias("n_ref"),
+        F.col("n2").cast("long").alias("n_cur"),
+        (
+            rlong(
+                F.col("dnum").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2"))
+                * 1e9
+            )
+            / 1e9
+        ).alias("ks_stat"),
+    )

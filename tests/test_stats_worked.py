@@ -461,3 +461,54 @@ def test_purchase_cycle_matches_pandas(spark):
         ), ck
         assert abs(r.mean_gap_days - gaps.mean()) < 1e-6, ck
     assert n_checked == len(got) > 0
+
+
+def test_ks_matches_numpy_ecdf(spark):
+    row = QUERIES["q_stat_ks"](spark, SF_SMOKE).collect()[0]
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    x = np.floor(o.o_totalprice + 0.5).astype("int64")
+    ref = np.sort(x[o.o_orderdate.dt.year < 1998].to_numpy())
+    cur = np.sort(x[o.o_orderdate.dt.year >= 1998].to_numpy())
+    support = np.unique(np.concatenate([ref, cur]))
+    f1 = np.searchsorted(ref, support, side="right") / len(ref)
+    f2 = np.searchsorted(cur, support, side="right") / len(cur)
+    d = np.abs(f1 - f2)
+    i = int(d.argmax())  # first max = smallest x under ties
+    assert (row.n_ref, row.n_cur) == (len(ref), len(cur))
+    assert row.x_at_max == support[i]
+    assert abs(row.ks_stat - d[i]) < 1e-9, (row.ks_stat, d[i])
+
+
+def test_text_encode_matches_python(spark):
+    got = {r.doc_id: r for r in QUERIES["q_text_encode"](spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    from collections import Counter
+
+    cnt = Counter()
+    for t in docs.text:
+        cnt.update(t.split(" "))
+    vocab = {
+        tok: i + 1
+        for i, (tok, _) in enumerate(
+            sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:500]
+        )
+    }
+    assert len(got) == len(docs)
+    for row in docs.itertuples():
+        toks = row.text.split(" ")
+        ids = [vocab.get(t, 0) for t in toks]
+        g = got[row.doc_id]
+        assert g.n_tokens == len(toks), row.doc_id
+        assert g.n_oov == sum(1 for i in ids if i == 0), row.doc_id
+        assert g.ids == ",".join(map(str, ids)), row.doc_id
+
+
+def test_source_text_roundtrip_preserves_lengths(spark):
+    got = QUERIES["q_source_text"](spark, SF_SMOKE).toPandas()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    lens = docs.text.str.len()
+    assert int(got.n_lines.sum()) == len(docs)
+    assert int(got.total_chars.sum()) == int(lens.sum())
+    want_buckets = (lens // 20).value_counts()
+    for b, n in want_buckets.items():
+        assert int(got.set_index("len_bucket").loc[b].n_lines) == n, b
