@@ -644,3 +644,84 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(m3 / F.pow(m2, 1.5), 6).alias("skewness_qty"),
         dround(m4 / (m2 * m2) - 3, 6).alias("kurtosis_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# M152: exact weighted median per group
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+WITH w AS (
+  SELECT c_mktsegment AS segment, c_custkey,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents,
+         COUNT(o_orderkey) AS wt
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1, 2, 3
+),
+pos AS (SELECT * FROM w WHERE wt > 0),
+c AS (
+  SELECT segment, cents, wt,
+         CAST(SUM(wt) OVER (PARTITION BY segment ORDER BY cents, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw
+  FROM pos
+),
+tot AS (SELECT segment, CAST(SUM(wt) AS BIGINT) AS totw, COUNT(*) AS n_weighted FROM pos GROUP BY 1)
+SELECT c.segment, CAST(n_weighted AS BIGINT) AS n_weighted, totw,
+       cents AS weighted_median_cents
+FROM c JOIN tot ON c.segment = tot.segment
+WHERE 2 * cumw >= totw AND 2 * (cumw - wt) < totw
+""",
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M152: exact weighted median per segment — account balance weighted
+    by the customer's order count, so active customers pull the segment
+    median toward themselves (the aggregate SQL engines mostly lack:
+    PERCENTILE_CONT has no weight argument). Defined as the value at
+    which the cumulative weight first reaches half the total:
+    2*cumw >= totw AND 2*(cumw - w) < totw — the crossing row is unique
+    and decided by pure INTEGER comparisons, no float share.
+
+    Shape: one keyed aggregate to per-customer (value, weight), one
+    SEGMENT-keyed ordered window for the cumulative weight (partitioned
+    — never global), a segment-sized totals join, and a row-local
+    crossing predicate. At any scale everything rides
+    HashPartitioning(segment); skew is bounded by segment cardinality
+    (for few-huge-group workloads the q_part_abc value-bucketed prefix
+    sum is the drop-in: same crossing predicate over its distributed
+    cumw)."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    w = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            "c_custkey",
+            rlong(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+        .agg(F.count("o_orderkey").alias("wt"))
+        .where(F.col("wt") > 0)
+    )
+    wc = (
+        Window.partitionBy("segment")
+        .orderBy("cents", "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = w.withColumn("cumw", F.sum("wt").over(wc).cast("long"))
+    tot = w.groupBy("segment").agg(
+        F.sum("wt").alias("totw"), F.count(F.lit(1)).alias("n_weighted")
+    )
+    j = cum.join(F.broadcast(tot), "segment")
+    return j.where(
+        (2 * F.col("cumw") >= F.col("totw"))
+        & (2 * (F.col("cumw") - F.col("wt")) < F.col("totw"))
+    ).select(
+        "segment",
+        F.col("n_weighted").cast("long").alias("n_weighted"),
+        F.col("totw").cast("long").alias("totw"),
+        F.col("cents").alias("weighted_median_cents"),
+    )

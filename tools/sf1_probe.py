@@ -72,6 +72,17 @@ PROBE_QUERIES = (
     "q_kmeans_step",
     "q_sample_bootstrap",
     "q_graph_triangles",
+    # round-5 continuation additions: the densifying wedge join (link
+    # prediction — same adversarial direction as triangles), the triple
+    # distributed global rank (RFM), the distributed prefix sums (Pareto
+    # cut + both KS ECDFs), the window-bounded attribution range join,
+    # and the months^2 pair scan that must stay calendar-bounded flat
+    "q_graph_jaccard",
+    "q_rfm_segmentation",
+    "q_part_abc",
+    "q_stat_ks",
+    "q_attribution_position",
+    "q_stat_mann_kendall",
 )
 
 
