@@ -512,3 +512,30 @@ def test_source_text_roundtrip_preserves_lengths(spark):
     want_buckets = (lens // 20).value_counts()
     for b, n in want_buckets.items():
         assert int(got.set_index("len_bucket").loc[b].n_lines) == n, b
+
+
+def test_weighted_median_matches_python(spark):
+    rows = {
+        r.segment: r for r in QUERIES["q_agg_weighted_median"](spark, SF_SMOKE).collect()
+    }
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    c["cents"] = np.floor(c.c_acctbal * 100 + 0.5).astype("int64")
+    wt = o.groupby("o_custkey").size()
+    c["wt"] = c.c_custkey.map(wt).fillna(0).astype(int)
+    c = c[c.wt > 0]
+    for seg, grp in c.groupby("c_mktsegment"):
+        g = grp.sort_values(["cents", "c_custkey"])
+        tot = int(g.wt.sum())
+        cum = 0
+        med = None
+        for r in g.itertuples():
+            prev = cum
+            cum += r.wt
+            if 2 * cum >= tot and 2 * prev < tot:
+                med = r.cents
+                break
+        row = rows[seg]
+        assert (row.n_weighted, row.totw, row.weighted_median_cents) == (
+            len(g), tot, med
+        ), seg
