@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from recsys_spark_spark.catalog import table
 from recsys_spark_spark.functions.determinism import rlong
@@ -769,4 +770,131 @@ def q_stat_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 1e9
         ).alias("ks_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# M153: Kaplan-Meier survival curve (customer churn)
+# --------------------------------------------------------------------------
+
+KM_CHURN_QUIET_DAYS = 90  # last order this close to corpus end = censored
+
+
+@query(
+    "q_survival_km",
+    oracle=f"""
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+cust AS (
+  SELECT o_custkey, c_mktsegment AS segment,
+         date_diff('day', MIN(CAST(o_orderdate AS DATE)), MAX(CAST(o_orderdate AS DATE))) AS t,
+         CASE WHEN date_diff('day', MAX(CAST(o_orderdate AS DATE)), mxd)
+                   > {KM_CHURN_QUIET_DAYS} THEN 1 ELSE 0 END AS churned
+  FROM orders JOIN customer ON o_custkey = c_custkey CROSS JOIN mx
+  GROUP BY o_custkey, c_mktsegment, mxd
+),
+seg_n AS (SELECT segment, COUNT(*) AS n0 FROM cust GROUP BY 1),
+ev AS (
+  SELECT segment, t, CAST(SUM(churned) AS BIGINT) AS d, COUNT(*) AS c
+  FROM cust GROUP BY 1, 2
+),
+risk AS (
+  SELECT e.segment, e.t, e.d, n0,
+         n0 - (CAST(SUM(c) OVER (PARTITION BY e.segment ORDER BY e.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - c) AS n_risk
+  FROM ev e JOIN seg_n USING (segment)
+),
+lnterm AS (
+  SELECT segment, t, d, n_risk,
+         CAST(ROUND(ln((n_risk - d) / CAST(n_risk AS DOUBLE)) * 1e9, 0) AS BIGINT) AS ln_nano
+  FROM risk WHERE d > 0
+),
+surv AS (
+  SELECT segment, t, d, n_risk,
+         CAST(SUM(ln_nano) OVER (PARTITION BY segment ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_nano
+  FROM lnterm
+)
+SELECT segment, CAST(t AS BIGINT) AS t_days, CAST(d AS BIGINT) AS n_churned,
+       CAST(n_risk AS BIGINT) AS n_at_risk,
+       ROUND(exp(cum_nano / 1e9) * 1e6, 0) / 1e6 AS survival
+FROM surv
+""",
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M153: Kaplan-Meier survival estimate (Kaplan & Meier 1958) of
+    customer lifetime per segment — time t = days from first to last
+    order; a customer whose last order is within {KM_CHURN_QUIET_DAYS}
+    days of corpus end is CENSORED (still alive), else churned at t.
+    S(t) = prod over churn times <= t of (1 - d_i/n_i), with censored
+    customers leaving the risk set silently — the churn curve that naive
+    "retention = active/total" tables get wrong.
+
+    Shape: facts collapse to one (t, churned) row per customer, then to
+    one row per (segment, t) — calendar-bounded; the at-risk count and
+    the survival product both ride SEGMENT-keyed ordered windows over
+    that bounded series (n_risk = n0 - prior exits; the product as a
+    cumulative sum of per-step ln terms). Exactness: d and n_risk are
+    exact integers; each ln((n-d)/n) is nano-rounded to an INTEGER
+    before the running sum (the q_text_perplexity pre-sum discipline) so
+    the cumulative product is order-hazard-free; exp + one 6dp rounding
+    at display."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("day")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    mx = o.agg(F.max("day").alias("mxd"))
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(mx))
+        .groupBy("o_custkey", F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.datediff(F.max("day"), F.min("day")).alias("t"),
+            F.when(
+                F.datediff(F.max(F.col("mxd")), F.max("day")) > KM_CHURN_QUIET_DAYS, 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("churned"),
+        )
+    )
+    seg_n = cust.groupBy("segment").agg(F.count(F.lit(1)).alias("n0"))
+    ev = cust.groupBy("segment", "t").agg(
+        F.sum("churned").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("segment")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = ev.join(F.broadcast(seg_n), "segment").select(
+        "segment",
+        "t",
+        "d",
+        (F.col("n0") - (F.sum("c").over(wcum) - F.col("c"))).cast("long").alias("n_risk"),
+    )
+    lnterm = risk.where(F.col("d") > 0).select(
+        "segment",
+        "t",
+        "d",
+        "n_risk",
+        rlong(
+            F.log((F.col("n_risk") - F.col("d")) / F.col("n_risk").cast("double"))
+            * 1e9
+        )
+        .cast("long")
+        .alias("ln_nano"),
+    )
+    surv = lnterm.select(
+        "segment",
+        "t",
+        "d",
+        "n_risk",
+        F.sum("ln_nano").over(wcum).cast("long").alias("cum_nano"),
+    )
+    return surv.select(
+        "segment",
+        F.col("t").cast("long").alias("t_days"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        (rlong(F.exp(F.col("cum_nano") / 1e9) * 1e6) / 1e6).alias("survival"),
     )

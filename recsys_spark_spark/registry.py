@@ -180,7 +180,8 @@ _R5_WINDOW = (
 # (operators/stats.py), q_seasonal_index / q_purchase_cycle
 # (operators/temporal.py), q_stat_ks (operators/stats.py),
 # q_text_encode (llm/text.py), q_source_text (operators/scans.py),
-# q_agg_weighted_median (operators/aggregates.py), plus
+# q_agg_weighted_median (operators/aggregates.py), q_survival_km
+# (operators/stats.py), plus
 # whatever round 6 adds — put them first in
 # _R6_WINDOW, then refresh the oldest families (round-1-era
 # scans/filters/joins/windows/aggregates rows).

@@ -539,3 +539,39 @@ def test_weighted_median_matches_python(spark):
         assert (row.n_weighted, row.totw, row.weighted_median_cents) == (
             len(g), tot, med
         ), seg
+
+
+def test_survival_km_matches_python(spark):
+    """Full python Kaplan-Meier recompute: risk sets, churn steps, and the
+    survival product (exact product, no ln detour) per segment."""
+    got = {}
+    for r in QUERIES["q_survival_km"](spark, SF_SMOKE).collect():
+        got[(r.segment, r.t_days)] = r
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    d = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    d["day"] = d.o_orderdate.dt.normalize()
+    mxd = d.day.max()
+    per = d.groupby(["o_custkey", "c_mktsegment"]).day.agg(["min", "max"]).reset_index()
+    per["t"] = (per["max"] - per["min"]).dt.days
+    per["churned"] = ((mxd - per["max"]).dt.days > 90).astype(int)
+    n_rows = 0
+    for seg, grp in per.groupby("c_mktsegment"):
+        n_risk = len(grp)
+        s = 1.0
+        for t in sorted(grp.t.unique()):
+            at_t = grp[grp.t == t]
+            dd = int(at_t.churned.sum())
+            if dd > 0:
+                # mirror the engine's nano-rounded ln-sum only in tolerance
+                s *= (n_risk - dd) / n_risk
+                r = got[(seg, t)]
+                n_rows += 1
+                assert (r.n_churned, r.n_at_risk) == (dd, n_risk), (seg, t)
+                assert abs(r.survival - s) < 5e-6, (seg, t, r.survival, s)
+            else:
+                assert (seg, t) not in got
+            n_risk -= len(at_t)
+        # the curve is monotone nonincreasing and ends above 0
+        assert 0.0 < s <= 1.0
+    assert n_rows == len(got) > 0
