@@ -421,3 +421,102 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         rlong((x - mean) / sd * 1e6).cast("long").alias("z_ppm"),
         rlong((x - F.col("lo")) * 1e6 / (F.col("hi") - F.col("lo"))).cast("long").alias("mm_ppm"),
     )
+
+
+@query(
+    "q_feature_store",
+    oracle="""
+WITH scale AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+),
+stats AS (
+  SELECT segment, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s1,
+         CAST(SUM(cents * cents) AS BIGINT) AS s2,
+         MIN(cents) AS lo, MAX(cents) AS hi
+  FROM scale GROUP BY 1
+),
+base AS (
+  SELECT o_custkey AS c_custkey,
+         date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                   (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS r_days,
+         COUNT(*) AS f_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS BIGINT) AS m_dollars
+  FROM orders GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n FROM base),
+rfm AS (
+  SELECT c_custkey, r_days, f_orders, m_dollars,
+         CAST(6 - ((ROW_NUMBER() OVER (ORDER BY r_days ASC, c_custkey) - 1) * 5 // n + 1) AS BIGINT) AS r_score,
+         CAST((ROW_NUMBER() OVER (ORDER BY f_orders ASC, c_custkey) - 1) * 5 // n + 1 AS BIGINT) AS f_score,
+         CAST((ROW_NUMBER() OVER (ORDER BY m_dollars ASC, c_custkey) - 1) * 5 // n + 1 AS BIGINT) AS m_score
+  FROM base CROSS JOIN n
+),
+gaps AS (
+  SELECT o_custkey AS c_custkey,
+         date_diff('day',
+           lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+           CAST(o_orderdate AS DATE)) AS gap
+  FROM orders
+),
+cycle AS (
+  SELECT c_custkey,
+         ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*) * 1e6, 0) / 1e6 AS mean_gap_days
+  FROM gaps WHERE gap IS NOT NULL GROUP BY 1
+)
+SELECT s.c_custkey, s.segment, s.cents,
+       CAST(ROUND((s.cents - CAST(t.s1 AS DOUBLE) / t.n)
+             / sqrt((CAST(t.s2 AS DOUBLE) - CAST(t.s1 AS DOUBLE) * (CAST(t.s1 AS DOUBLE) / t.n)) / (t.n - 1))
+             * 1e6, 0) AS BIGINT) AS z_ppm,
+       CAST(ROUND((s.cents - t.lo) * 1e6 / (t.hi - t.lo), 0) AS BIGINT) AS mm_ppm,
+       r.r_days, r.f_orders, r.m_dollars, r.r_score, r.f_score, r.m_score,
+       c.mean_gap_days
+FROM scale s
+JOIN stats t ON s.segment = t.segment
+LEFT JOIN rfm r ON s.c_custkey = r.c_custkey
+LEFT JOIN cycle c ON s.c_custkey = c.c_custkey
+""",
+)
+def q_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M155: feature-store materialization — ONE wide per-customer training
+    table composed from three registered operators in a single lazy plan:
+    q_feature_scale's standardized balance (all customers), left-joined
+    with q_rfm_segmentation's quintile scores (ordering customers) and
+    q_purchase_cycle's mean inter-order gap (repeat customers). The
+    export a trainer actually consumes; never-ordered customers carry
+    NULL behavioral features by design (the imputation decision belongs
+    to the trainer, not the warehouse).
+
+    Shape: pure composition — Catalyst fuses the three sub-plans and the
+    two customer-keyed left joins into one DAG; the sub-operators keep
+    their own scale contracts (broadcast group stats, distributed global
+    ranks, single keyed window). Engine side literally CALLS the three
+    registered builders, so the composed plan can never drift from the
+    operators it publishes."""
+    from recsys_spark_spark.operators.analytics import q_rfm_segmentation
+    from recsys_spark_spark.operators.temporal import q_purchase_cycle
+
+    scale = q_feature_scale(spark, sf_dir)
+    rfm = q_rfm_segmentation(spark, sf_dir)
+    cycle = q_purchase_cycle(spark, sf_dir).select(
+        F.col("o_custkey").alias("c_custkey"), "mean_gap_days"
+    )
+    return (
+        scale.join(rfm, "c_custkey", "left")
+        .join(cycle, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "segment",
+            "cents",
+            "z_ppm",
+            "mm_ppm",
+            "r_days",
+            "f_orders",
+            "m_dollars",
+            "r_score",
+            "f_score",
+            "m_score",
+            "mean_gap_days",
+        )
+    )

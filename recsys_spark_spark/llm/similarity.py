@@ -484,3 +484,89 @@ def q_embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("dist_s") / F.lit(1e12), 6).alias("sq_err"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# M154: embedding-quality audit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_embed_norm_audit",
+    oracle=f"""
+WITH ve AS (
+  SELECT vec_id, label, gs.i, CAST(embedding[gs.i] AS DOUBLE) AS vx
+  FROM embeddings, generate_series(1, {DIM}) gs(i)
+),
+per AS (
+  SELECT vec_id, label,
+         COUNT(*) AS dim,
+         SUM(CAST(ROUND(vx * vx * 1e12, 0) AS BIGINT)) AS n2_s,
+         SUM(CASE WHEN vx = 0 THEN 1 ELSE 0 END) AS n_zero_elems
+  FROM ve GROUP BY 1, 2
+),
+b AS (
+  SELECT label, dim,
+         CAST(FLOOR(SQRT(n2_s / 1e12) * 10) AS BIGINT) AS norm_decile_bucket,
+         CASE WHEN n2_s = 0 THEN 1 ELSE 0 END AS is_zero,
+         SQRT(n2_s / 1e12) AS norm,
+         n_zero_elems
+  FROM per
+)
+SELECT label, CAST(dim AS BIGINT) AS dim, norm_decile_bucket,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(is_zero) AS BIGINT) AS n_zero_vecs,
+       CAST(SUM(n_zero_elems) AS BIGINT) AS n_zero_elems,
+       ROUND(MIN(norm) * 1e6, 0) / 1e6 AS min_norm,
+       ROUND(MAX(norm) * 1e6, 0) / 1e6 AS max_norm
+FROM b GROUP BY 1, 2, 3
+""",
+)
+def q_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M154: embedding-table quality audit — per (label, dim, norm-decile)
+    bucket: vector counts, all-zero vectors (dead encoder outputs), zero
+    elements (dead dimensions), and the min/max L2 norm. The ingest gate
+    a vector pipeline runs before building an index: zero vectors poison
+    cosine similarity (undefined norm) and wildly varying norms flag
+    unnormalized batches.
+
+    Shape: norms are row-local JVM-side folds (F.aggregate over the
+    array — no Python UDF, no explode shuffle on the Spark side), then
+    ONE keyed aggregate to bucket-count-sized output. Exactness: per-
+    element squares are pico-rounded to integers BEFORE the fold (the
+    q_sim_cosine_knn discipline), so every norm² is an exact integer and
+    both engines bucket and round the same doubles."""
+    e = table(spark, sf_dir, "embeddings")
+    n2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + rlong(x.cast("double") * x.cast("double") * F.lit(1e12)).cast("long"),
+    )
+    nz = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.when(x == 0, 1).otherwise(0).cast("long"),
+    )
+    per = e.select(
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        n2.alias("n2_s"),
+        nz.alias("n_zero_elems"),
+    )
+    norm = F.sqrt(F.col("n2_s") / 1e12)
+    b = per.select(
+        "label",
+        "dim",
+        F.floor(norm * 10).cast("long").alias("norm_decile_bucket"),
+        F.when(F.col("n2_s") == 0, 1).otherwise(0).alias("is_zero"),
+        norm.alias("norm"),
+        "n_zero_elems",
+    )
+    return b.groupBy("label", "dim", "norm_decile_bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("is_zero").cast("long").alias("n_zero_vecs"),
+        F.sum("n_zero_elems").cast("long").alias("n_zero_elems"),
+        (rlong(F.min("norm") * 1e6) / 1e6).alias("min_norm"),
+        (rlong(F.max("norm") * 1e6) / 1e6).alias("max_norm"),
+    )

@@ -181,7 +181,8 @@ _R5_WINDOW = (
 # (operators/temporal.py), q_stat_ks (operators/stats.py),
 # q_text_encode (llm/text.py), q_source_text (operators/scans.py),
 # q_agg_weighted_median (operators/aggregates.py), q_survival_km
-# (operators/stats.py), plus
+# (operators/stats.py), q_embed_norm_audit (llm/similarity.py),
+# q_feature_store (llm/features.py), plus
 # whatever round 6 adds — put them first in
 # _R6_WINDOW, then refresh the oldest families (round-1-era
 # scans/filters/joins/windows/aggregates rows).

@@ -575,3 +575,50 @@ def test_survival_km_matches_python(spark):
         # the curve is monotone nonincreasing and ends above 0
         assert 0.0 < s <= 1.0
     assert n_rows == len(got) > 0
+
+
+def test_embed_norm_audit_matches_numpy(spark):
+    got = QUERIES["q_embed_norm_audit"](spark, SF_SMOKE).toPandas()
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").toPandas()
+    rows = []
+    for r in e.itertuples():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        n2 = int(sum(int(math.floor(x * x * 1e12 + 0.5)) for x in v))
+        norm = math.sqrt(n2 / 1e12)
+        rows.append((r.label, len(v), int(norm * 10 // 1), n2 == 0, int((v == 0).sum()), norm))
+    df = pd.DataFrame(rows, columns=["label", "dim", "bkt", "zero", "nze", "norm"])
+    g = got.set_index(["label", "dim", "norm_decile_bucket"])
+    for (lab, dim, bkt), grp in df.groupby(["label", "dim", "bkt"]):
+        r = g.loc[(lab, dim, bkt)]
+        assert r.n_vecs == len(grp)
+        assert r.n_zero_vecs == int(grp.zero.sum())
+        assert r.n_zero_elems == int(grp.nze.sum())
+        assert abs(r.min_norm - grp.norm.min()) < 1e-6
+        assert abs(r.max_norm - grp.norm.max()) < 1e-6
+    assert len(got) == df.groupby(["label", "dim", "bkt"]).ngroups
+
+
+def test_feature_store_composes_consistently(spark):
+    """The wide table must agree column-for-column with the three source
+    operators it composes, and cover exactly the customer base."""
+    wide = QUERIES["q_feature_store"](spark, SF_SMOKE).toPandas().set_index("c_custkey")
+    scale = QUERIES["q_feature_scale"](spark, SF_SMOKE).toPandas().set_index("c_custkey")
+    rfm = QUERIES["q_rfm_segmentation"](spark, SF_SMOKE).toPandas().set_index("c_custkey")
+    cyc = QUERIES["q_purchase_cycle"](spark, SF_SMOKE).toPandas().set_index("o_custkey")
+    assert set(wide.index) == set(scale.index)
+    for ck, row in wide.iterrows():
+        s = scale.loc[ck]
+        assert (row.segment, row.cents, row.z_ppm, row.mm_ppm) == (
+            s.segment, s.cents, s.z_ppm, s.mm_ppm
+        )
+        if ck in rfm.index:
+            r = rfm.loc[ck]
+            assert (row.r_score, row.f_score, row.m_score) == (
+                r.r_score, r.f_score, r.m_score
+            )
+        else:
+            assert pd.isna(row.r_score)
+        if ck in cyc.index:
+            assert abs(row.mean_gap_days - cyc.loc[ck].mean_gap_days) < 1e-9
+        else:
+            assert pd.isna(row.mean_gap_days)
