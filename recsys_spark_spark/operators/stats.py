@@ -898,3 +898,115 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_risk").cast("long").alias("n_at_risk"),
         (rlong(F.exp(F.col("cum_nano") / 1e9) * 1e6) / 1e6).alias("survival"),
     )
+
+
+# --------------------------------------------------------------------------
+# M156: two-sided p-values + Bonferroni verdicts for the conversion tests
+# --------------------------------------------------------------------------
+
+# Zelen & Severo normal-CDF polynomial (Abramowitz & Stegun 26.2.17,
+# |eps| < 7.5e-8) — ONE set of double literals embedded in BOTH engines'
+# plans, so the approximation is bit-identical across engines by
+# construction (the q_audit_benford constant discipline).
+_AS_P = 0.2316419
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _phi_sql(z: str) -> str:
+    """DuckDB upper-tail P(Z > z) for z >= 0 via A&S 26.2.17."""
+    t = f"(1.0 / (1.0 + {_AS_P!r} * ({z})))"
+    poly = " + ".join(f"{b!r} * pow({t}, {i + 1})" for i, b in enumerate(_AS_B))
+    return f"({_INV_SQRT_2PI!r} * exp(-0.5 * ({z}) * ({z})) * ({poly}))"
+
+
+def _phi_col(z):
+    """Spark twin of :func:`_phi_sql` — same literals, same tree."""
+    t = 1.0 / (1.0 + _AS_P * z)
+    poly = None
+    for i, b in enumerate(_AS_B):
+        term = F.lit(b) * F.pow(t, float(i + 1))
+        poly = term if poly is None else poly + term
+    return F.lit(_INV_SQRT_2PI) * F.exp(-0.5 * z * z) * poly
+
+
+BONF_M = 5  # five one-vs-rest comparisons share the alpha
+ALPHA = 0.05
+
+
+@query(
+    "q_stat_pvalue",
+    oracle=f"""
+WITH d AS (
+  SELECT c_mktsegment AS segment,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS conv
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+seg AS (
+  SELECT segment, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS pos
+  FROM d GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS tn, SUM(pos) AS tp FROM seg),
+z AS (
+  SELECT segment,
+         (CAST(pos AS DOUBLE) / n - CAST(tp - pos AS DOUBLE) / (tn - n))
+         / sqrt((CAST(tp AS DOUBLE) / tn) * (1 - CAST(tp AS DOUBLE) / tn)
+                * (1.0 / n + 1.0 / (tn - n))) AS z
+  FROM seg CROSS JOIN tot
+),
+p AS (
+  SELECT segment, z, 2 * {_phi_sql("abs(z)")} AS p2
+  FROM z
+)
+SELECT segment, ROUND(z * 1e6, 0) / 1e6 AS z_stat,
+       ROUND(p2 * 1e9, 0) / 1e9 AS p_two_sided,
+       CAST(CASE WHEN p2 < {ALPHA!r} THEN 1 ELSE 0 END AS BIGINT) AS significant,
+       CAST(CASE WHEN p2 * {BONF_M} < {ALPHA!r} THEN 1 ELSE 0 END AS BIGINT) AS significant_bonferroni
+FROM p
+""",
+)
+def q_stat_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M156: two-sided p-values and multiple-testing verdicts for the
+    one-vs-rest conversion z-tests (q_stat_twoprop's statistics carried
+    to decisions): p = 2*P(Z > |z|) via the Zelen-Severo normal-CDF
+    polynomial (A&S 26.2.17, |eps| < 7.5e-8 — far inside the 9dp display
+    rounding), plus raw alpha=0.05 and Bonferroni (m={BONF_M}) verdicts.
+    The polynomial's coefficients are ONE set of python double literals
+    embedded in both engines' plans, so the approximation is identical
+    across engines by construction.
+
+    Shape: identical to q_stat_twoprop — one keyed aggregate + broadcast
+    totals; the CDF is pure row-local arithmetic. The verdict compares
+    the UNROUNDED p against alpha on both engines (same doubles), so the
+    flags cannot straddle a display rounding."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    d = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("conv"),
+    )
+    seg = d.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("pos")
+    )
+    tot = seg.agg(F.sum("n").alias("tn"), F.sum("pos").alias("tp"))
+    p1 = F.col("pos").cast("double") / F.col("n")
+    p2_rate = (F.col("tp") - F.col("pos")).cast("double") / (F.col("tn") - F.col("n"))
+    pp = F.col("tp").cast("double") / F.col("tn")
+    z = (p1 - p2_rate) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n") + 1.0 / (F.col("tn") - F.col("n")))
+    )
+    withz = seg.join(F.broadcast(tot)).select("segment", z.alias("z"))
+    ptwo = 2 * _phi_col(F.abs(F.col("z")))
+    return withz.select(
+        "segment",
+        (rlong(F.col("z") * 1e6) / 1e6).alias("z_stat"),
+        (rlong(ptwo * 1e9) / 1e9).alias("p_two_sided"),
+        F.when(ptwo < ALPHA, 1).otherwise(0).cast("long").alias("significant"),
+        F.when(ptwo * BONF_M < ALPHA, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("significant_bonferroni"),
+    )

@@ -182,7 +182,8 @@ _R5_WINDOW = (
 # q_text_encode (llm/text.py), q_source_text (operators/scans.py),
 # q_agg_weighted_median (operators/aggregates.py), q_survival_km
 # (operators/stats.py), q_embed_norm_audit (llm/similarity.py),
-# q_feature_store (llm/features.py), plus
+# q_feature_store (llm/features.py), q_stat_pvalue (operators/stats.py),
+# plus
 # whatever round 6 adds — put them first in
 # _R6_WINDOW, then refresh the oldest families (round-1-era
 # scans/filters/joins/windows/aggregates rows).

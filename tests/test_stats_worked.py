@@ -622,3 +622,26 @@ def test_feature_store_composes_consistently(spark):
             assert abs(row.mean_gap_days - cyc.loc[ck].mean_gap_days) < 1e-9
         else:
             assert pd.isna(row.mean_gap_days)
+
+
+def test_pvalue_matches_scipy_free_referent(spark):
+    """p-values must match an independent python normal-CDF (math.erfc)
+    within the A&S polynomial's documented 7.5e-8 error, and the verdicts
+    must equal recomputed z-test decisions."""
+    rows = {r.segment: r for r in QUERIES["q_stat_pvalue"](spark, SF_SMOKE).collect()}
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    d = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    d["conv"] = (d.o_orderpriority == "1-URGENT").astype(int)
+    pp = d.conv.mean()
+    for seg in d.c_mktsegment.unique():
+        a, b = d.conv[d.c_mktsegment == seg], d.conv[d.c_mktsegment != seg]
+        z = (a.mean() - b.mean()) / math.sqrt(
+            pp * (1 - pp) * (1 / len(a) + 1 / len(b))
+        )
+        p = math.erfc(abs(z) / math.sqrt(2))  # exact two-sided normal p
+        r = rows[seg]
+        assert abs(r.z_stat - z) < 1e-5, seg
+        assert abs(r.p_two_sided - p) < 2e-7, (seg, r.p_two_sided, p)
+        assert r.significant == int(p < 0.05), seg
+        assert r.significant_bonferroni == int(p * 5 < 0.05), seg
