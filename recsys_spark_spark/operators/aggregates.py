@@ -725,3 +725,77 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("totw").cast("long").alias("totw"),
         F.col("cents").alias("weighted_median_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# M158: categorical diversity entropy per group
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_diversity_entropy",
+    oracle="""
+WITH cnt AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS c
+  FROM customer GROUP BY 1, 2
+),
+tot AS (SELECT c_nationkey, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+terms AS (
+  SELECT cnt.c_nationkey, n,
+         CAST(ROUND(-(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)) * 1e9, 0) AS BIGINT) AS h_nano
+  FROM cnt JOIN tot USING (c_nationkey)
+),
+h AS (
+  SELECT c_nationkey, n, COUNT(*) AS k, CAST(SUM(h_nano) AS BIGINT) AS hn
+  FROM terms GROUP BY 1, 2
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, n AS n_customers,
+       CAST(k AS BIGINT) AS k_segments,
+       ROUND(hn / 1e9 * 1e6, 0) / 1e6 AS entropy_nats,
+       ROUND(CASE WHEN k = 1 THEN 0.0 ELSE hn / 1e9 / ln(CAST(k AS DOUBLE)) END * 1e6, 0) / 1e6 AS entropy_norm,
+       ROUND(exp(hn / 1e9) * 1e6, 0) / 1e6 AS effective_segments
+FROM h
+""",
+)
+def q_agg_diversity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M158: Shannon diversity of each nation's segment mix — entropy in
+    nats, its normalized form H/ln(k), and the effective category count
+    exp(H) (Hill number N1): the concentration/diversity screen for any
+    categorical composition (customer mix, traffic mix, corpus domain
+    mix). Complements q_text_entropy (per-document tokens) with the
+    per-GROUP categorical form.
+
+    Shape: two keyed aggregates (cell counts, group totals joined back —
+    group-count-sized) and a third over <= k rows per group. Exactness:
+    each -p·ln p term is nano-rounded to an INTEGER before the
+    cross-category sum (hash-agg addition order cannot pin a float sum;
+    the q_text_perplexity discipline), so H is exact and ln/exp evaluate
+    the same doubles on both engines."""
+    c = table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    cnt = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("c_nationkey").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    terms = cnt.join(tot, "c_nationkey").select(
+        "c_nationkey",
+        "n",
+        rlong(-p * F.log(p) * 1e9).cast("long").alias("h_nano"),
+    )
+    h = terms.groupBy("c_nationkey", "n").agg(
+        F.count(F.lit(1)).alias("k"), F.sum("h_nano").alias("hn")
+    )
+    hnats = F.col("hn") / 1e9
+    return h.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("k").cast("long").alias("k_segments"),
+        (rlong(hnats * 1e6) / 1e6).alias("entropy_nats"),
+        (
+            rlong(
+                F.when(F.col("k") == 1, 0.0)
+                .otherwise(hnats / F.log(F.col("k").cast("double")))
+                * 1e6
+            )
+            / 1e6
+        ).alias("entropy_norm"),
+        (rlong(F.exp(hnats) * 1e6) / 1e6).alias("effective_segments"),
+    )

@@ -1346,3 +1346,75 @@ def q_trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").cast("long").alias("score"),
         "rnk",
     )
+
+
+# --------------------------------------------------------------------------
+# M159: top session journey paths
+# --------------------------------------------------------------------------
+
+PATH_MAX_STEPS = 8
+PATH_TOP = 20
+
+
+@query(
+    "q_session_paths",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+),
+paths AS (
+  SELECT user_id, session_id,
+         array_to_string(list_slice(string_split(
+           string_agg(event_type, '>' ORDER BY ts, event_id), '>'), 1, {PATH_MAX_STEPS}), '>') AS path
+  FROM numbered GROUP BY 1, 2
+),
+cnt AS (SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY 1)
+SELECT path, n_sessions, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rnk FROM cnt
+) WHERE rnk <= {PATH_TOP}
+""",
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M159: top user-journey paths — each inactivity-gap session's first
+    {PATH_MAX_STEPS} event types joined into a '>' path, counted across
+    all sessions, top-{PATH_TOP} reported ("what do users actually DO in
+    a session"). The path-mining complement of q_funnel_conversion's
+    fixed funnel and q_item_transitions' item bigrams; same session
+    definition as q_sessionize_batch (30-min gap, (ts, event_id) order).
+
+    Shape: one user-keyed window chain (lag + running sum — single
+    exchange), a (user, session)-keyed ordered reassembly whose state is
+    one session's events, the path truncated to {PATH_MAX_STEPS} steps
+    ROW-LOCALLY (bounded string regardless of session length), one
+    path-keyed count, and a rank-filtered top-{PATH_TOP} head over the
+    path-count-sized aggregate (the q_vocab_build pattern)."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    numbered = e.withColumn(
+        "_new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("_new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    paths = numbered.groupBy("user_id", "session_id").agg(
+        F.expr(
+            "array_join(slice(transform(array_sort(collect_list(struct(ts, event_id, event_type))),"
+            f" s -> s.event_type), 1, {PATH_MAX_STEPS}), '>')"
+        ).alias("path")
+    )
+    cnt = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    top = cnt.orderBy(F.col("n_sessions").desc(), "path").limit(PATH_TOP)
+    wr = Window.orderBy(F.col("n_sessions").desc(), "path")
+    return top.withColumn("rnk", F.row_number().over(wr).cast("long")).select(
+        "path", F.col("n_sessions").cast("long").alias("n_sessions"), "rnk"
+    )

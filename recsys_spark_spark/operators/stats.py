@@ -1010,3 +1010,98 @@ def q_stat_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("significant_bonferroni"),
     )
+
+
+# --------------------------------------------------------------------------
+# M157: one-way ANOVA across segments
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stat_anova",
+    oracle="""
+WITH d AS (
+  SELECT c_mktsegment AS segment, CAST(ROUND(o_totalprice, 0) AS BIGINT) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+seg AS (
+  SELECT segment, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM d GROUP BY 1
+),
+terms AS (
+  SELECT n, s1, s2,
+         CAST(ROUND(CAST(s1 AS DOUBLE) * s1 / n, 0) AS BIGINT) AS t_int
+  FROM seg
+),
+s AS (
+  SELECT COUNT(*) AS k, SUM(n) AS nt, CAST(SUM(s1) AS BIGINT) AS t1,
+         CAST(SUM(s2) AS BIGINT) AS t2, CAST(SUM(t_int) AS BIGINT) AS tsum
+  FROM terms
+),
+f AS (
+  SELECT k, nt,
+         tsum - CAST(t1 AS DOUBLE) * t1 / nt AS ssb,
+         CAST(t2 AS DOUBLE) - tsum AS ssw,
+         CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE) * t1 / nt AS sst
+  FROM s
+)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(nt AS BIGINT) AS n_total,
+       CAST(k - 1 AS BIGINT) AS df_between, CAST(nt - k AS BIGINT) AS df_within,
+       ROUND((ssb / (k - 1)) / (ssw / (nt - k)) * 1e6, 0) / 1e6 AS f_stat,
+       ROUND(ssb / sst * 1e9, 0) / 1e9 AS eta_squared
+FROM f
+""",
+)
+def q_stat_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M157: one-way ANOVA of order value across the market segments
+    (Fisher): F = (SSB/(k-1)) / (SSW/(N-k)) with effect size
+    eta² = SSB/SST — the k-group generalization of q_stat_ttest, deciding
+    "does segment matter AT ALL" before pairwise tests.
+
+    Shape: the same (n, Σx, Σx²) sufficient statistics per group, one
+    broadcast-free second aggregate over k rows. Exactness: the one
+    cross-group float sum (Σ_g s1_g²/n_g, whose addition order a hash
+    aggregate cannot pin) is ROUNDED TO AN INTEGER PER GROUP before
+    summation — the q_text_perplexity pre-sum discipline, here at unit
+    scale (terms ~1e15, error ±0.5/group vs 6dp display of an O(1..100)
+    F: nine orders of magnitude of headroom) — so every engine-side sum
+    is exact and the closed form runs on identical doubles."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    d = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), _dollars("o_totalprice").alias("x")
+    )
+    seg = d.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    terms = seg.select(
+        "n",
+        "s1",
+        "s2",
+        rlong(F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+        .cast("long")
+        .alias("t_int"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nt"),
+        F.sum("s1").alias("t1"),
+        F.sum("s2").alias("t2"),
+        F.sum("t_int").alias("tsum"),
+    )
+    t1d = F.col("t1").cast("double")
+    ssb = F.col("tsum") - t1d * F.col("t1") / F.col("nt")
+    ssw = F.col("t2").cast("double") - F.col("tsum")
+    sst = F.col("t2").cast("double") - t1d * F.col("t1") / F.col("nt")
+    k, nt = F.col("k"), F.col("nt")
+    return s.select(
+        k.cast("long").alias("k_groups"),
+        nt.cast("long").alias("n_total"),
+        (k - 1).cast("long").alias("df_between"),
+        (nt - k).cast("long").alias("df_within"),
+        (rlong((ssb / (k - 1)) / (ssw / (nt - k)) * 1e6) / 1e6).alias("f_stat"),
+        (rlong(ssb / sst * 1e9) / 1e9).alias("eta_squared"),
+    )

@@ -182,7 +182,9 @@ _R5_WINDOW = (
 # q_text_encode (llm/text.py), q_source_text (operators/scans.py),
 # q_agg_weighted_median (operators/aggregates.py), q_survival_km
 # (operators/stats.py), q_embed_norm_audit (llm/similarity.py),
-# q_feature_store (llm/features.py), q_stat_pvalue (operators/stats.py),
+# q_feature_store (llm/features.py), q_stat_pvalue / q_stat_anova
+# (operators/stats.py), q_agg_diversity_entropy
+# (operators/aggregates.py), q_session_paths (operators/analytics.py),
 # plus
 # whatever round 6 adds — put them first in
 # _R6_WINDOW, then refresh the oldest families (round-1-era

@@ -645,3 +645,65 @@ def test_pvalue_matches_scipy_free_referent(spark):
         assert abs(r.p_two_sided - p) < 2e-7, (seg, r.p_two_sided, p)
         assert r.significant == int(p < 0.05), seg
         assert r.significant_bonferroni == int(p * 5 < 0.05), seg
+
+
+def test_anova_matches_numpy(spark, seg_dollars):
+    row = QUERIES["q_stat_anova"](spark, SF_SMOKE).collect()[0]
+    d = seg_dollars
+    groups = [g.x.to_numpy(dtype=float) for _, g in d.groupby("c_mktsegment")]
+    allx = d.x.to_numpy(dtype=float)
+    ssb = sum(len(g) * (g.mean() - allx.mean()) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    k, n = len(groups), len(allx)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (row.k_groups, row.n_total, row.df_between, row.df_within) == (
+        k, n, k - 1, n - k
+    )
+    assert abs(row.f_stat - f) < 1e-4, (row.f_stat, f)
+    assert abs(row.eta_squared - ssb / (ssb + ssw)) < 1e-6
+
+
+def test_diversity_entropy_matches_numpy(spark):
+    rows = {r.nationkey: r for r in
+            QUERIES["q_agg_diversity_entropy"](spark, SF_SMOKE).collect()}
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    for nk, grp in c.groupby("c_nationkey"):
+        p = grp.c_mktsegment.value_counts(normalize=True).to_numpy()
+        h = float(-(p * np.log(p)).sum())
+        r = rows[nk]
+        assert r.n_customers == len(grp) and r.k_segments == len(p)
+        assert abs(r.entropy_nats - h) < 1e-5
+        want_norm = 0.0 if len(p) == 1 else h / math.log(len(p))
+        assert abs(r.entropy_norm - want_norm) < 1e-5
+        assert abs(r.effective_segments - math.exp(h)) < 1e-4
+        # Hill-number sanity: 1 <= exp(H) <= k
+        assert 1.0 - 1e-9 <= r.effective_segments <= len(p) + 1e-9
+
+
+def test_session_paths_matches_python(spark):
+    got = [(r.path, r.n_sessions, r.rnk) for r in
+           QUERIES["q_session_paths"](spark, SF_SMOKE).collect()]
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    from collections import Counter
+
+    cnt = Counter()
+    for _, grp in e.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        prev, path = None, []
+        paths = []
+        for r in g.itertuples():
+            if prev is not None and (r.ts - prev).total_seconds() <= 1800:
+                path.append(r.event_type)
+            else:
+                if path:
+                    paths.append(path)
+                path = [r.event_type]
+            prev = r.ts
+        paths.append(path)
+        for p in paths:
+            cnt[">".join(p[:8])] += 1
+    want = [
+        (p, n, i + 1)
+        for i, (p, n) in enumerate(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20])
+    ]
+    assert got == want
