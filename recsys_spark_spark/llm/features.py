@@ -520,3 +520,83 @@ def q_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_gap_days",
         )
     )
+
+
+WINSOR_LO_PCT = 5   # clamp below the 5th percentile
+WINSOR_HI_PCT = 95  # and above the 95th
+
+
+@query(
+    "q_feature_winsorize",
+    oracle=f"""
+WITH d AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY segment ORDER BY cents, c_custkey) AS rn,
+         COUNT(*) OVER (PARTITION BY segment) AS n
+  FROM d
+),
+cuts AS (
+  SELECT segment,
+         MIN(CASE WHEN rn = CAST(CEIL(n * {WINSOR_LO_PCT} / 100.0) AS BIGINT) THEN cents END) AS lo,
+         MIN(CASE WHEN rn = CAST(CEIL(n * {WINSOR_HI_PCT} / 100.0) AS BIGINT) THEN cents END) AS hi
+  FROM ranked GROUP BY 1
+)
+SELECT c_custkey, d.segment, cents, lo, hi,
+       CAST(LEAST(GREATEST(cents, lo), hi) AS BIGINT) AS cents_winsorized,
+       CAST(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END AS BIGINT) AS is_clamped
+FROM d JOIN cuts ON d.segment = cuts.segment
+""",
+)
+def q_feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M161: per-group winsorization — account balance clamped to the
+    segment's [p{WINSOR_LO_PCT}, p{WINSOR_HI_PCT}] percentile-disc cuts,
+    the robust-preprocessing step that tames outliers WITHOUT dropping
+    rows (the complement of q_outlier_mad's detection: this repairs).
+    Percentile-disc semantics — the value at rank ceil(n·p) of the
+    (value, custkey) total order — keep the cut an actual data value and
+    the whole definition integer-exact (no interpolation to diverge
+    engines on).
+
+    Shape: one SEGMENT-keyed ranked window over the group (partitioned,
+    never global), cuts reduce to a segment-count-sized table that
+    BROADCASTS back onto the rows for a row-local clamp. Exactness: rank
+    positions and cut values are exact integers; ceil(n·p/100) uses the
+    same double ceil on both engines (n·5/100 with n < 2^40 is exact in
+    a double, so the ceil cannot straddle)."""
+    from recsys_spark_spark.functions.determinism import rlong
+
+    d = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        rlong(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    wr = Window.partitionBy("segment").orderBy("cents", "c_custkey")
+    wc = Window.partitionBy("segment")
+    ranked = d.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    lo_rank = F.ceil(F.col("n") * WINSOR_LO_PCT / 100.0).cast("long")
+    hi_rank = F.ceil(F.col("n") * WINSOR_HI_PCT / 100.0).cast("long")
+    cuts = ranked.groupBy("segment").agg(
+        F.min(F.when(F.col("rn") == lo_rank, F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("rn") == hi_rank, F.col("cents"))).alias("hi"),
+    )
+    j = d.join(F.broadcast(cuts), "segment")
+    return j.select(
+        "c_custkey",
+        "segment",
+        "cents",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+        .cast("long")
+        .alias("cents_winsorized"),
+        F.when((F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi")), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_clamped"),
+    )

@@ -982,3 +982,93 @@ def q_purchase_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_gap_days"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# M160: per-series linear trend fit + forecast
+# --------------------------------------------------------------------------
+
+FORECAST_AHEAD_DAYS = 7
+
+
+@query(
+    "q_forecast_linear",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+mn AS (SELECT event_type, MIN(day) AS d0 FROM daily GROUP BY 1),
+idx AS (
+  SELECT d.event_type, date_diff('day', d0, day) AS t, v
+  FROM daily d JOIN mn USING (event_type)
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(v) AS BIGINT) AS sy,
+         CAST(SUM(t * v) AS BIGINT) AS sxy, CAST(SUM(t * t) AS BIGINT) AS sxx,
+         MAX(t) AS tmax
+  FROM idx GROUP BY 1
+),
+f AS (
+  SELECT event_type, n, tmax,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+         (CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n AS icept
+  FROM s
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       ROUND(slope * 1e6, 0) / 1e6 AS slope_cents_per_day,
+       ROUND(icept * 1e6, 0) / 1e6 AS intercept_cents,
+       ROUND((icept + slope * (tmax + {FORECAST_AHEAD_DAYS})) * 1e6, 0) / 1e6 AS forecast_cents
+FROM f
+""",
+)
+def q_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M160: per-series linear trend fit and {FORECAST_AHEAD_DAYS}-day-ahead
+    point forecast — OLS of daily value on day index per event type, the
+    capacity-planning baseline every dashboard draws (and the detrending
+    step q_seasonal_index's indices divide into). Completes the
+    regression family's time axis: q_price_elasticity fits y-on-x per
+    group; this fits y-on-TIME per series.
+
+    Shape: facts → bounded daily integer series → day indices against a
+    per-type broadcast-joined min-date → one keyed aggregate to 5
+    mergeable integer sums; slope/intercept/forecast close per group.
+    Exactness: t (day index < 3k) and v (cents) are exact integers
+    (Σt·v < 2^63 by orders of magnitude); identical closed form, one
+    6dp display rounding."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"),
+        rlong(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(F.sum("cents").alias("v"))
+    mn = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
+    idx = daily.join(F.broadcast(mn), "event_type").select(
+        "event_type", F.datediff("day", "d0").cast("long").alias("t"), "v"
+    )
+    s = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("sx"),
+        F.sum("v").alias("sy"),
+        F.sum(F.col("t") * F.col("v")).alias("sxy"),
+        F.sum(F.col("t") * F.col("t")).alias("sxx"),
+        F.max("t").alias("tmax"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    den = nd * F.col("sxx") - sxd * F.col("sx")
+    slope = num / den
+    icept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        (rlong(slope * 1e6) / 1e6).alias("slope_cents_per_day"),
+        (rlong(icept * 1e6) / 1e6).alias("intercept_cents"),
+        (
+            rlong((icept + slope * (F.col("tmax") + FORECAST_AHEAD_DAYS)) * 1e6) / 1e6
+        ).alias("forecast_cents"),
+    )

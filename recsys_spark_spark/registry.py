@@ -185,7 +185,8 @@ _R5_WINDOW = (
 # q_feature_store (llm/features.py), q_stat_pvalue / q_stat_anova
 # (operators/stats.py), q_agg_diversity_entropy
 # (operators/aggregates.py), q_session_paths (operators/analytics.py),
-# plus
+# q_forecast_linear (operators/temporal.py), q_feature_winsorize
+# (llm/features.py), plus
 # whatever round 6 adds — put them first in
 # _R6_WINDOW, then refresh the oldest families (round-1-era
 # scans/filters/joins/windows/aggregates rows).

@@ -707,3 +707,41 @@ def test_session_paths_matches_python(spark):
         for i, (p, n) in enumerate(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20])
     ]
     assert got == want
+
+
+def test_forecast_linear_matches_polyfit(spark):
+    rows = {r.event_type: r for r in
+            QUERIES["q_forecast_linear"](spark, SF_SMOKE).collect()}
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    e["day"] = e.ts.dt.normalize()
+    e["cents"] = np.floor(e.value * 100 + 0.5).astype("int64")
+    daily = e.groupby(["event_type", "day"]).cents.sum().reset_index()
+    for et, grp in daily.groupby("event_type"):
+        t = (grp.day - grp.day.min()).dt.days.to_numpy(dtype=float)
+        slope, icept = np.polyfit(t, grp.cents.to_numpy(dtype=float), 1)
+        r = rows[et]
+        assert r.n_days == len(grp)
+        assert abs(r.slope_cents_per_day - slope) < 1e-3 * max(1, abs(slope)), et
+        assert abs(r.intercept_cents - icept) < 1e-5 * max(1, abs(icept)), et
+        want_fc = icept + slope * (t.max() + 7)
+        assert abs(r.forecast_cents - want_fc) < 1e-5 * max(1, abs(want_fc)), et
+
+
+def test_winsorize_matches_numpy_quantiles(spark):
+    got = QUERIES["q_feature_winsorize"](spark, SF_SMOKE).toPandas().set_index("c_custkey")
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    c["cents"] = np.floor(c.c_acctbal * 100 + 0.5).astype("int64")
+    n_clamped = 0
+    for seg, grp in c.groupby("c_mktsegment"):
+        xs = grp.sort_values(["cents", "c_custkey"]).cents.to_numpy()
+        n = len(xs)
+        lo = int(xs[math.ceil(n * 5 / 100) - 1])
+        hi = int(xs[math.ceil(n * 95 / 100) - 1])
+        for r in grp.itertuples():
+            g = got.loc[r.c_custkey]
+            assert (g.lo, g.hi) == (lo, hi), seg
+            want = min(max(r.cents, lo), hi)
+            assert g.cents_winsorized == want, r.c_custkey
+            assert g.is_clamped == int(r.cents < lo or r.cents > hi)
+            n_clamped += int(g.is_clamped)
+    assert 0 < n_clamped < len(c) * 0.12  # ~10% of rows clamp at 5/95
