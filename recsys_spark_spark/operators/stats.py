@@ -40,14 +40,11 @@ def _dollars(col: str) -> F.Column:
     return rlong(F.col(col)).cast("long")
 
 
-# --------------------------------------------------------------------------
-# M130: Welch's two-sample t-test (segment vs rest)
-# --------------------------------------------------------------------------
+# Shared sufficient-statistics blocks — ONE definition each for the Spark
+# side and the oracle side, so the tests that share them (t-test/ANOVA on
+# dollars; two-proportion z/p-value on conversions) can never drift apart.
 
-
-@query(
-    "q_stat_ttest",
-    oracle="""
+DOLLAR_SEG_CTES = """
 WITH d AS (
   SELECT c_mktsegment AS segment, CAST(ROUND(o_totalprice, 0) AS BIGINT) AS x
   FROM orders JOIN customer ON o_custkey = c_custkey
@@ -56,7 +53,71 @@ seg AS (
   SELECT segment, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s1,
          CAST(SUM(x * x) AS BIGINT) AS s2
   FROM d GROUP BY 1
+)"""
+
+CONV_SEG_CTES = """
+WITH d AS (
+  SELECT c_mktsegment AS segment,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS conv
+  FROM orders JOIN customer ON o_custkey = c_custkey
 ),
+seg AS (
+  SELECT segment, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS pos
+  FROM d GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS tn, SUM(pos) AS tp FROM seg)"""
+
+
+def _segment_dollar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment (n, Σx, Σx²) of whole-dollar order totals — the Spark
+    twin of DOLLAR_SEG_CTES, shared by q_stat_ttest and q_stat_anova."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    d = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), _dollars("o_totalprice").alias("x")
+    )
+    return d.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+
+
+def _segment_conv_stats(spark: SparkSession, sf_dir: str):
+    """(seg, tot) for the urgent-conversion flag — the Spark twin of
+    CONV_SEG_CTES, shared by q_stat_twoprop and q_stat_pvalue. Also
+    returns the pooled two-proportion z expression over the joined frame."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    d = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("conv"),
+    )
+    seg = d.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("pos")
+    )
+    tot = seg.agg(F.sum("n").alias("tn"), F.sum("pos").alias("tp"))
+    p1 = F.col("pos").cast("double") / F.col("n")
+    p2 = (F.col("tp") - F.col("pos")).cast("double") / (F.col("tn") - F.col("n"))
+    pp = F.col("tp").cast("double") / F.col("tn")
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n") + 1.0 / (F.col("tn") - F.col("n")))
+    )
+    return seg, tot, p1, p2, z
+
+
+# --------------------------------------------------------------------------
+# M130: Welch's two-sample t-test (segment vs rest)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stat_ttest",
+    oracle=DOLLAR_SEG_CTES
+    + """,
 tot AS (SELECT SUM(n) AS tn, SUM(s1) AS t1, SUM(s2) AS t2 FROM seg),
 w AS (
   SELECT segment, n, tn - n AS nr,
@@ -86,16 +147,7 @@ def q_stat_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no second scan, no self-join). Exactness: all sufficient statistics
     are exact integer sums in whole dollars; both engines evaluate the
     identical closed form on identical doubles and round once at 6dp."""
-    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    d = o.join(c, o.o_custkey == c.c_custkey).select(
-        F.col("c_mktsegment").alias("segment"), _dollars("o_totalprice").alias("x")
-    )
-    seg = d.groupBy("segment").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("s1"),
-        F.sum(F.col("x") * F.col("x")).alias("s2"),
-    )
+    seg = _segment_dollar_stats(spark, sf_dir)
     tot = seg.agg(
         F.sum("n").alias("tn"), F.sum("s1").alias("t1"), F.sum("s2").alias("t2")
     )
@@ -545,17 +597,8 @@ def q_audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stat_twoprop",
-    oracle="""
-WITH d AS (
-  SELECT c_mktsegment AS segment,
-         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS conv
-  FROM orders JOIN customer ON o_custkey = c_custkey
-),
-seg AS (
-  SELECT segment, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS pos
-  FROM d GROUP BY 1
-),
-tot AS (SELECT SUM(n) AS tn, SUM(pos) AS tp FROM seg)
+    oracle=CONV_SEG_CTES
+    + """
 SELECT segment, CAST(n AS BIGINT) AS n_seg, CAST(pos AS BIGINT) AS conv_seg,
        ROUND(CAST(pos AS DOUBLE) / n * 1e6, 0) / 1e6 AS rate_seg,
        ROUND(CAST(tp - pos AS DOUBLE) / (tn - n) * 1e6, 0) / 1e6 AS rate_rest,
@@ -576,25 +619,7 @@ def q_stat_twoprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     is broadcast-total minus own row — raw rows never leave the first
     aggregate, at any scale. Exactness: counts are exact integers; both
     engines evaluate one identical closed form, one 6dp rounding."""
-    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    d = o.join(c, o.o_custkey == c.c_custkey).select(
-        F.col("c_mktsegment").alias("segment"),
-        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
-        .otherwise(0)
-        .cast("long")
-        .alias("conv"),
-    )
-    seg = d.groupBy("segment").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("pos")
-    )
-    tot = seg.agg(F.sum("n").alias("tn"), F.sum("pos").alias("tp"))
-    p1 = F.col("pos").cast("double") / F.col("n")
-    p2 = (F.col("tp") - F.col("pos")).cast("double") / (F.col("tn") - F.col("n"))
-    pp = F.col("tp").cast("double") / F.col("tn")
-    z = (p1 - p2) / F.sqrt(
-        pp * (1 - pp) * (1.0 / F.col("n") + 1.0 / (F.col("tn") - F.col("n")))
-    )
+    seg, tot, p1, p2, z = _segment_conv_stats(spark, sf_dir)
     return seg.join(F.broadcast(tot)).select(
         "segment",
         F.col("n").cast("long").alias("n_seg"),
@@ -936,17 +961,8 @@ ALPHA = 0.05
 
 @query(
     "q_stat_pvalue",
-    oracle=f"""
-WITH d AS (
-  SELECT c_mktsegment AS segment,
-         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS conv
-  FROM orders JOIN customer ON o_custkey = c_custkey
-),
-seg AS (
-  SELECT segment, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS pos
-  FROM d GROUP BY 1
-),
-tot AS (SELECT SUM(n) AS tn, SUM(pos) AS tp FROM seg),
+    oracle=CONV_SEG_CTES
+    + f""",
 z AS (
   SELECT segment,
          (CAST(pos AS DOUBLE) / n - CAST(tp - pos AS DOUBLE) / (tn - n))
@@ -979,25 +995,7 @@ def q_stat_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals; the CDF is pure row-local arithmetic. The verdict compares
     the UNROUNDED p against alpha on both engines (same doubles), so the
     flags cannot straddle a display rounding."""
-    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    d = o.join(c, o.o_custkey == c.c_custkey).select(
-        F.col("c_mktsegment").alias("segment"),
-        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
-        .otherwise(0)
-        .cast("long")
-        .alias("conv"),
-    )
-    seg = d.groupBy("segment").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("pos")
-    )
-    tot = seg.agg(F.sum("n").alias("tn"), F.sum("pos").alias("tp"))
-    p1 = F.col("pos").cast("double") / F.col("n")
-    p2_rate = (F.col("tp") - F.col("pos")).cast("double") / (F.col("tn") - F.col("n"))
-    pp = F.col("tp").cast("double") / F.col("tn")
-    z = (p1 - p2_rate) / F.sqrt(
-        pp * (1 - pp) * (1.0 / F.col("n") + 1.0 / (F.col("tn") - F.col("n")))
-    )
+    seg, tot, _p1, _p2, z = _segment_conv_stats(spark, sf_dir)
     withz = seg.join(F.broadcast(tot)).select("segment", z.alias("z"))
     ptwo = 2 * _phi_col(F.abs(F.col("z")))
     return withz.select(
@@ -1019,16 +1017,8 @@ def q_stat_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stat_anova",
-    oracle="""
-WITH d AS (
-  SELECT c_mktsegment AS segment, CAST(ROUND(o_totalprice, 0) AS BIGINT) AS x
-  FROM orders JOIN customer ON o_custkey = c_custkey
-),
-seg AS (
-  SELECT segment, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s1,
-         CAST(SUM(x * x) AS BIGINT) AS s2
-  FROM d GROUP BY 1
-),
+    oracle=DOLLAR_SEG_CTES
+    + """,
 terms AS (
   SELECT n, s1, s2,
          CAST(ROUND(CAST(s1 AS DOUBLE) * s1 / n, 0) AS BIGINT) AS t_int
@@ -1067,16 +1057,7 @@ def q_stat_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale (terms ~1e15, error ±0.5/group vs 6dp display of an O(1..100)
     F: nine orders of magnitude of headroom) — so every engine-side sum
     is exact and the closed form runs on identical doubles."""
-    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    d = o.join(c, o.o_custkey == c.c_custkey).select(
-        F.col("c_mktsegment").alias("segment"), _dollars("o_totalprice").alias("x")
-    )
-    seg = d.groupBy("segment").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("s1"),
-        F.sum(F.col("x") * F.col("x")).alias("s2"),
-    )
+    seg = _segment_dollar_stats(spark, sf_dir)
     terms = seg.select(
         "n",
         "s1",
