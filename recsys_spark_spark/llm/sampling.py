@@ -680,3 +680,85 @@ def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "keep_ppm", bucket.alias("bucket"))
         .where(F.col("bucket") < F.col("keep_ppm"))
     )
+
+
+# --------------------------------------------------------------------------
+# M162: bootstrap confidence interval (composes the Poisson bootstrap)
+# --------------------------------------------------------------------------
+
+from recsys_spark_spark.registry import ORACLES as _ORACLES
+
+BOOT_Z95 = 1.959963984540054  # Phi^-1(0.975), one literal for both engines
+
+
+@query(
+    "q_stat_bootstrap_ci",
+    oracle=f"""
+WITH reps AS ({{BOOT}}),
+m AS (
+  SELECT CAST(ROUND(mean_total * 100, 0) AS BIGINT) AS mc FROM reps
+),
+s AS (
+  SELECT COUNT(*) AS b, CAST(SUM(mc) AS BIGINT) AS s1,
+         CAST(SUM(mc * mc) AS BIGINT) AS s2,
+         MIN(mc) AS lo, MAX(mc) AS hi
+  FROM m
+)
+SELECT CAST(b AS BIGINT) AS n_replicates,
+       ROUND(CAST(s1 AS DOUBLE) / b / 100 * 1e6, 0) / 1e6 AS boot_mean,
+       ROUND(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / b)) / (b - 1)) / 100 * 1e6, 0) / 1e6 AS boot_se,
+       ROUND((CAST(s1 AS DOUBLE) / b - {BOOT_Z95!r} * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / b)) / (b - 1))) / 100 * 1e6, 0) / 1e6 AS ci95_lo,
+       ROUND((CAST(s1 AS DOUBLE) / b + {BOOT_Z95!r} * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / b)) / (b - 1))) / 100 * 1e6, 0) / 1e6 AS ci95_hi,
+       ROUND(lo / 100.0 * 1e6, 0) / 1e6 AS rep_min,
+       ROUND(hi / 100.0 * 1e6, 0) / 1e6 AS rep_max
+FROM s
+""",
+)
+def q_stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M162: bootstrap standard error + 95% normal-interval CI for the mean
+    order total, composed directly from q_sample_bootstrap's
+    {BOOT_REPLICATES} deterministic Poisson replicates (Chamandy'12's
+    uncertainty step: the spread of the replicate estimates IS the
+    sampling distribution). Emits the replicate mean, bootstrap SE,
+    z-interval bounds (one shared z literal in both plans), and the
+    replicate envelope.
+
+    Shape: the replicate table is {BOOT_REPLICATES} rows — everything
+    after the bootstrap's own one-pass aggregate is constant work.
+    Exactness: replicate means quantize to exact cent integers before
+    the (B, Σ, Σ²) fold, so the SE closed form sees identical integers
+    on both engines. The engine side CALLS the registered bootstrap
+    builder; the oracle SPLICES the registered bootstrap oracle verbatim
+    (one definition of the resampler, the q_feature_store discipline)."""
+    reps = q_sample_bootstrap(spark, sf_dir)
+    m = reps.select(rlong(F.col("mean_total") * 100).cast("long").alias("mc"))
+    s = m.agg(
+        F.count(F.lit(1)).alias("b"),
+        F.sum("mc").alias("s1"),
+        F.sum(F.col("mc") * F.col("mc")).alias("s2"),
+        F.min("mc").alias("lo"),
+        F.max("mc").alias("hi"),
+    )
+    bd = F.col("b")
+    s1d = F.col("s1").cast("double")
+    mean_c = s1d / bd
+    se_c = F.sqrt((F.col("s2").cast("double") - s1d * (s1d / bd)) / (bd - 1))
+    return s.select(
+        bd.cast("long").alias("n_replicates"),
+        (rlong(mean_c / 100 * 1e6) / 1e6).alias("boot_mean"),
+        (rlong(se_c / 100 * 1e6) / 1e6).alias("boot_se"),
+        (rlong((mean_c - BOOT_Z95 * se_c) / 100 * 1e6) / 1e6).alias("ci95_lo"),
+        (rlong((mean_c + BOOT_Z95 * se_c) / 100 * 1e6) / 1e6).alias("ci95_hi"),
+        (rlong(F.col("lo") / 100.0 * 1e6) / 1e6).alias("rep_min"),
+        (rlong(F.col("hi") / 100.0 * 1e6) / 1e6).alias("rep_max"),
+    )
+
+
+# Splice the registered bootstrap oracle verbatim into the CI oracle (same
+# no-silent-no-op guard as llm/retrieval.py's CTE splice).
+assert "{BOOT}" in _ORACLES["q_stat_bootstrap_ci"], "CI oracle placeholder missing"
+_ORACLES["q_stat_bootstrap_ci"] = _ORACLES["q_stat_bootstrap_ci"].replace(
+    "{BOOT}", _ORACLES["q_sample_bootstrap"].strip()
+)
+assert "{BOOT}" not in _ORACLES["q_stat_bootstrap_ci"]
+assert "drawn" in _ORACLES["q_stat_bootstrap_ci"], "bootstrap splice no-opped"

@@ -1418,3 +1418,127 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(wr).cast("long")).select(
         "path", F.col("n_sessions").cast("long").alias("n_sessions"), "rnk"
     )
+
+
+# --------------------------------------------------------------------------
+# M163: data-quality expectations suite
+# --------------------------------------------------------------------------
+
+DQ_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+@query(
+    "q_dq_expectations",
+    oracle=f"""
+SELECT 'orders' AS tbl, 'o_orderkey_unique' AS rule,
+       COUNT(*) AS n_checked,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_failed
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_custkey_fk_customer', COUNT(*),
+       CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'orders', 'o_totalprice_positive_lt_1m', COUNT(*),
+       CAST(SUM(CASE WHEN o_totalprice > 0 AND o_totalprice < 1000000 THEN 0 ELSE 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem', 'l_orderkey_fk_orders', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 'lineitem', 'l_quantity_in_1_50', COUNT(*),
+       CAST(SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 0 ELSE 1 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'customer', 'c_mktsegment_in_domain', COUNT(*),
+       CAST(SUM(CASE WHEN c_mktsegment IN {DQ_SEGMENTS!r} THEN 0 ELSE 1 END) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'customer', 'c_acctbal_not_null', COUNT(*),
+       CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'events', 'value_non_negative', COUNT(*),
+       CAST(SUM(CASE WHEN value >= 0 THEN 0 ELSE 1 END) AS BIGINT)
+FROM events
+""",
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M163: declarative data-quality expectations suite (the
+    Great-Expectations / dbt-test pattern, run IN the engine): one row
+    per rule — uniqueness, referential integrity, range, domain, and
+    null checks across four tables — with checked/failed counts. The
+    admission gate a 100 TB ingest runs before anything downstream
+    trusts the batch; complements q_data_profile (describes) and
+    q_fk_audit (one FK in depth) with the assertion form.
+
+    Shape: every rule is a single map-side-combinable aggregate (the FK
+    rules are broadcast-or-shuffled keyed left joins folded straight
+    into a count) and the union is rule-count-sized. Nothing here
+    collects, loops, or depends on row order — counts only."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+    e = table(spark, sf_dir, "events")
+
+    def rule(df, tbl, name, fail_col):
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(fail_col).cast("long").alias("n_failed"),
+        ).select("tbl", "rule", "n_checked", "n_failed")
+
+    uniq = o.agg(
+        F.lit("orders").alias("tbl"),
+        F.lit("o_orderkey_unique").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("long").alias("n_failed"),
+    ).select("tbl", "rule", "n_checked", "n_failed")
+    fk_cust = rule(
+        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left"),
+        "orders",
+        "o_custkey_fk_customer",
+        F.when(F.col("c_custkey").isNull(), 1).otherwise(0),
+    )
+    price = rule(
+        o,
+        "orders",
+        "o_totalprice_positive_lt_1m",
+        F.when((F.col("o_totalprice") > 0) & (F.col("o_totalprice") < 1_000_000), 0).otherwise(1),
+    )
+    fk_ord = rule(
+        l.join(o.select("o_orderkey"), l.l_orderkey == F.col("o_orderkey"), "left"),
+        "lineitem",
+        "l_orderkey_fk_orders",
+        F.when(F.col("o_orderkey").isNull(), 1).otherwise(0),
+    )
+    qty = rule(
+        l,
+        "lineitem",
+        "l_quantity_in_1_50",
+        F.when((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50), 0).otherwise(1),
+    )
+    dom = rule(
+        c,
+        "customer",
+        "c_mktsegment_in_domain",
+        F.when(F.col("c_mktsegment").isin(*DQ_SEGMENTS), 0).otherwise(1),
+    )
+    nn = rule(
+        c,
+        "customer",
+        "c_acctbal_not_null",
+        F.when(F.col("c_acctbal").isNull(), 1).otherwise(0),
+    )
+    val = rule(
+        e,
+        "events",
+        "value_non_negative",
+        F.when(F.col("value") >= 0, 0).otherwise(1),
+    )
+    out = uniq
+    for r in (fk_cust, price, fk_ord, qty, dom, nn, val):
+        out = out.unionAll(r)
+    return out

@@ -745,3 +745,34 @@ def test_winsorize_matches_numpy_quantiles(spark):
             assert g.is_clamped == int(r.cents < lo or r.cents > hi)
             n_clamped += int(g.is_clamped)
     assert 0 < n_clamped < len(c) * 0.12  # ~10% of rows clamp at 5/95
+
+
+def test_bootstrap_ci_matches_replicates(spark):
+    """CI must equal a direct recompute over the registered bootstrap's
+    own replicate output (cent-quantized), and the envelope must bracket
+    the truth reasonably."""
+    row = QUERIES["q_stat_bootstrap_ci"](spark, SF_SMOKE).collect()[0]
+    reps = QUERIES["q_sample_bootstrap"](spark, SF_SMOKE).toPandas()
+    mc = np.array([math.floor(v * 100 + 0.5) for v in reps.mean_total], dtype="int64")
+    mean = mc.mean() / 100
+    se = mc.std(ddof=1) / 100
+    z = 1.959963984540054
+    assert row.n_replicates == len(mc)
+    assert abs(row.boot_mean - mean) < 1e-5
+    assert abs(row.boot_se - se) < 1e-5
+    assert abs(row.ci95_lo - (mean - z * se)) < 1e-4
+    assert abs(row.ci95_hi - (mean + z * se)) < 1e-4
+    assert row.rep_min <= row.boot_mean <= row.rep_max
+    truth = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas().o_totalprice.mean()
+    assert row.ci95_lo < truth < row.ci95_hi
+
+
+def test_dq_expectations_all_pass_on_clean_fixtures(spark):
+    """The synthetic fixtures are clean by construction: every rule must
+    check a positive row count and fail zero rows — and the rule set
+    must cover the four tables."""
+    got = QUERIES["q_dq_expectations"](spark, SF_SMOKE).toPandas()
+    assert len(got) == 8
+    assert set(got.tbl) == {"orders", "lineitem", "customer", "events"}
+    assert (got.n_checked > 0).all()
+    assert (got.n_failed == 0).all(), got[got.n_failed > 0]
