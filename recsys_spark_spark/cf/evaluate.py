@@ -328,3 +328,86 @@ def q_eval_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sum(rr9) / F.count(F.lit(1)) / F.lit(1e9), 6).alias("mrr5"),
         F.count(F.lit(1)).alias("n_eval_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# M164: recommendation novelty (inverse-popularity surprise)
+# --------------------------------------------------------------------------
+
+from recsys_spark_spark.registry import ORACLES as _ORACLES
+
+
+@query(
+    "q_eval_novelty",
+    oracle="""
+WITH recs AS ({RECS}),
+pop AS (
+  SELECT l_partkey AS item_id, COUNT(DISTINCT o_custkey) AS cnt
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM pop),
+nov AS (
+  SELECT item_id,
+         CAST(ROUND(-ln(cnt / CAST(t AS DOUBLE)) * 1e9, 0) AS BIGINT) AS nov_nano
+  FROM pop CROSS JOIN tot
+)
+SELECT r.user_id, COUNT(*) AS n_recs,
+       ROUND(CAST(SUM(nov_nano) AS DOUBLE) / COUNT(*) / 1e9 * 1e6, 0) / 1e6 AS mean_novelty
+FROM recs r JOIN nov USING (item_id)
+GROUP BY 1
+""",
+)
+def q_eval_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M164: per-user recommendation novelty (Vargas & Castells, RecSys
+    2011): mean self-information -ln(p(i)) of the flagship's top-5 items,
+    where p(i) is the item's share of all distinct user-item
+    interactions. High novelty = the recommender surfaces long-tail
+    items; a popularity recommender scores the floor. Completes the
+    beyond-accuracy metric set next to q_eval_metrics' coverage.
+
+    Shape: the engine side CALLS the registered flagship builder (its
+    persisted interaction matrix is reused, not recomputed); the item
+    novelty table is item-catalog-sized and BROADCASTS onto the
+    recommendation stream; one user-keyed aggregate closes. The oracle
+    SPLICES the registered flagship oracle verbatim (guarded — the
+    q_stat_bootstrap_ci discipline). Exactness: each item's -ln share is
+    nano-rounded to an INTEGER once, so per-user sums are exact."""
+    from recsys_spark_spark.cf.itemcf import q_cf_recommend
+
+    recs = q_cf_recommend(spark, sf_dir).select("user_id", "item_id")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pop = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(F.col("l_partkey").alias("item_id"))
+        .agg(F.countDistinct("o_custkey").alias("cnt"))
+    )
+    tot = pop.agg(F.sum("cnt").alias("t"))
+    nov = pop.join(F.broadcast(tot)).select(
+        "item_id",
+        rlong(-F.log(F.col("cnt") / F.col("t").cast("double")) * 1e9)
+        .cast("long")
+        .alias("nov_nano"),
+    )
+    return (
+        recs.join(F.broadcast(nov), "item_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_recs"),
+            (
+                rlong(
+                    F.sum("nov_nano").cast("double") / F.count(F.lit(1)) / 1e9 * 1e6
+                )
+                / 1e6
+            ).alias("mean_novelty"),
+        )
+    )
+
+
+assert "{RECS}" in _ORACLES["q_eval_novelty"], "novelty oracle placeholder missing"
+_ORACLES["q_eval_novelty"] = _ORACLES["q_eval_novelty"].replace(
+    "{RECS}", _ORACLES["q_cf_recommend"].strip()
+)
+assert "{RECS}" not in _ORACLES["q_eval_novelty"]
+assert "unseen" in _ORACLES["q_eval_novelty"], "flagship splice no-opped"

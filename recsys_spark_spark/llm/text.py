@@ -1015,3 +1015,73 @@ def q_text_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array_join(transform(array_sort(collect_list(struct(ord, id))), s -> cast(s.id as string)), ',')"
         ).alias("ids"),
     )
+
+
+# --------------------------------------------------------------------------
+# M165: readability scoring
+# --------------------------------------------------------------------------
+
+# Flesch constants — single python literals shared by both plans.
+FLESCH_BASE = 206.835
+FLESCH_WORDS_PER_SENT = 1.015
+FLESCH_SYLL_PER_WORD = 84.6
+_VOWEL_RE = "[aeiouyAEIOUY]+"
+_SENT_RE = "[.!?]+"
+
+
+@query(
+    "q_text_readability",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         GREATEST(CAST(len(regexp_extract_all(text, '{_SENT_RE}')) AS BIGINT), 1) AS n_sents,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         GREATEST(CAST(len(regexp_extract_all(text, '{_VOWEL_RE}')) AS BIGINT), 1) AS n_syll
+  FROM documents
+)
+SELECT doc_id, n_sents, n_words, n_syll,
+       ROUND(({FLESCH_BASE!r} - {FLESCH_WORDS_PER_SENT!r} * (CAST(n_words AS DOUBLE) / n_sents)
+              - {FLESCH_SYLL_PER_WORD!r} * (CAST(n_syll AS DOUBLE) / n_words)) * 1e6, 0) / 1e6 AS flesch_score
+FROM m
+""",
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M165: Flesch reading-ease per document (Flesch 1948), with the
+    standard cheap proxies — sentences by terminal punctuation runs,
+    syllables by vowel-group count (both floored at 1 so empty/unpunctuated
+    docs stay finite). A corpus-quality signal orthogonal to
+    q_text_quality's ratios and q_text_perplexity's LM surprise: flags
+    machine-generated run-ons and keyword-stuffed fragments at the two
+    ends of the scale.
+
+    Shape: three row-local regex/split counts and one arithmetic
+    expression — shuffle-free, embarrassingly parallel at any scale.
+    Exactness: counts are exact integers; the Flesch constants are ONE
+    set of python literals in both plans (the q_audit_benford
+    discipline); one identical expression, one 6dp rounding."""
+    d = table(spark, sf_dir, "documents")
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(_SENT_RE), 0)).cast("long"), F.lit(1)
+    )
+    n_words = F.size(F.split("text", " ")).cast("long")
+    n_syll = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(_VOWEL_RE), 0)).cast("long"), F.lit(1)
+    )
+    m = d.select(
+        "doc_id",
+        n_sents.alias("n_sents"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syll"),
+    )
+    score = (
+        F.lit(FLESCH_BASE)
+        - F.lit(FLESCH_WORDS_PER_SENT) * (F.col("n_words").cast("double") / F.col("n_sents"))
+        - F.lit(FLESCH_SYLL_PER_WORD) * (F.col("n_syll").cast("double") / F.col("n_words"))
+    )
+    return m.select(
+        "doc_id",
+        "n_sents",
+        "n_words",
+        "n_syll",
+        (rlong(score * 1e6) / 1e6).alias("flesch_score"),
+    )

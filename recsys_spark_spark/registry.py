@@ -187,7 +187,8 @@ _R5_WINDOW = (
 # (operators/aggregates.py), q_session_paths (operators/analytics.py),
 # q_forecast_linear (operators/temporal.py), q_feature_winsorize
 # (llm/features.py), q_stat_bootstrap_ci (llm/sampling.py),
-# q_dq_expectations (operators/analytics.py), plus
+# q_dq_expectations (operators/analytics.py), q_eval_novelty
+# (cf/evaluate.py), q_text_readability (llm/text.py), plus
 # whatever round 6 adds — put them first in
 # _R6_WINDOW, then refresh the oldest families (round-1-era
 # scans/filters/joins/windows/aggregates rows).

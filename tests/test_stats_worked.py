@@ -776,3 +776,39 @@ def test_dq_expectations_all_pass_on_clean_fixtures(spark):
     assert set(got.tbl) == {"orders", "lineitem", "customer", "events"}
     assert (got.n_checked > 0).all()
     assert (got.n_failed == 0).all(), got[got.n_failed > 0]
+
+
+def test_novelty_matches_python(spark):
+    """Per-user novelty must equal -mean ln(item share) recomputed in
+    python over the flagship's own recommendations."""
+    rows = {r.user_id: r for r in QUERIES["q_eval_novelty"](spark, SF_SMOKE).collect()}
+    recs = QUERIES["q_cf_recommend"](spark, SF_SMOKE).toPandas()
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    l = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").toPandas()
+    ui = o.merge(l, left_on="o_orderkey", right_on="l_orderkey")[
+        ["o_custkey", "l_partkey"]
+    ].drop_duplicates()
+    cnt = ui.groupby("l_partkey").o_custkey.nunique()
+    tot = int(cnt.sum())
+    assert set(rows) == set(recs.user_id)
+    for uid, grp in recs.groupby("user_id"):
+        nov = np.mean([-math.log(cnt[i] / tot) for i in grp.item_id])
+        r = rows[uid]
+        assert r.n_recs == len(grp)
+        assert abs(r.mean_novelty - nov) < 1e-5, (uid, r.mean_novelty, nov)
+
+
+def test_readability_matches_python(spark):
+    import re
+
+    got = {r.doc_id: r for r in QUERIES["q_text_readability"](spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    assert len(got) == len(docs)
+    for row in docs.itertuples():
+        s = max(len(re.findall(r"[.!?]+", row.text)), 1)
+        w = len(row.text.split(" "))
+        y = max(len(re.findall(r"[aeiouyAEIOUY]+", row.text)), 1)
+        score = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        r = got[row.doc_id]
+        assert (r.n_sents, r.n_words, r.n_syll) == (s, w, y), row.doc_id
+        assert abs(r.flesch_score - score) < 1e-5, row.doc_id
