@@ -818,26 +818,38 @@ def q_cf_incremental_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the difference between "similarity refresh touches
     yesterday's orders" and "similarity refresh re-reads years of history"
     (same maintenance contract as q_incr_agg, for a SELF-JOIN aggregate).
+
+    Plan shape: the four terms come from ONE user-keyed self-join, not four
+    — each edge carries its old/new flag through the join, and the pair
+    table is grouped by (i, j, a_new, b_new), so the four decomposition
+    terms are the four flag slices of a single grouped intermediate. The
+    original form ran pairs() four times (4 joins + 4 aggregates + a
+    3-way union); under a default-conf 1 GiB-heap session that plan sat on
+    the OOM edge (observed: the r5 replay lost tasks to Java-heap OOM at
+    this query after 22 prior window entries had warmed the heap, while
+    the identical prefix passed on the 194-entry tree — marginal, not
+    deterministic). One join + one aggregate is ~4x less shuffle I/O and
+    removes the concurrent-hash-map pressure of the 3-way union's merge.
     All joins are user-keyed on one partitioning; counts are exact ints."""
     first_seen = _first_seen(spark, sf_dir)
-    old = first_seen.where(F.col("m") < F.lit(COOC_CUTOFF)).select("u", "i")
-    new = first_seen.where(F.col("m") >= F.lit(COOC_CUTOFF)).select("u", "i")
-
-    def pairs(a: DataFrame, b: DataFrame) -> DataFrame:
-        return (
-            a.select("u", F.col("i").alias("pi"))
-            .join(b.select("u", F.col("i").alias("pj")), "u")
-            .where(F.col("pi") != F.col("pj"))
-            .groupBy(F.col("pi").alias("i"), F.col("pj").alias("j"))
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-
-    base = pairs(old, old)
-    delta = (
-        pairs(old, new)
-        .unionByName(pairs(new, old))
-        .unionByName(pairs(new, new))
+    edges = first_seen.select(
+        "u", "i", (F.col("m") >= F.lit(COOC_CUTOFF)).alias("is_new")
     )
+    a = edges.select("u", F.col("i").alias("pi"), F.col("is_new").alias("a_new"))
+    b = edges.select("u", F.col("i").alias("pj"), F.col("is_new").alias("b_new"))
+    terms = (
+        a.join(b, "u")
+        .where(F.col("pi") != F.col("pj"))
+        .groupBy(
+            F.col("pi").alias("i"), F.col("pj").alias("j"), "a_new", "b_new"
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # base = old x old; delta = the three terms touching a NEW edge.  The
+    # slices are disjoint and exhaustive, so base+delta reconstructs the
+    # full pair table exactly — which the from-scratch oracle verifies.
+    base = terms.where(~F.col("a_new") & ~F.col("b_new"))
+    delta = terms.where(F.col("a_new") | F.col("b_new"))
     merged = (
         base.unionByName(delta)
         .groupBy("i", "j")

@@ -449,10 +449,14 @@ def test_negative_sampling_seen_filter_is_anti_join(spark):
 
 
 def test_incremental_cooc_has_no_cartesian(spark):
-    # all four pair terms are user-keyed equi self-joins
+    # the four decomposition terms are flag slices of ONE user-keyed equi
+    # self-join (restructured from 4 separate joins after the r5 replay
+    # OOM) — so the plan must stay equi-join-only and the flagged pair
+    # aggregate must appear exactly once
     plan = plan_of(spark, "q_cf_incremental_cooc")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("a_new") >= 1  # flags survive into the grouped terms
 
 
 def test_assoc_rules_pairs_ride_basket_key(spark):
