@@ -1542,3 +1542,89 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in (fk_cust, price, fk_ord, qty, dom, nn, val):
         out = out.unionAll(r)
     return out
+
+
+# --------------------------------------------------------------------------
+# M176: event-pattern detection (MATCH_RECOGNIZE-style rising runs)
+# --------------------------------------------------------------------------
+
+RISE_MIN_RUN = 3  # report customers whose longest rising run reaches this
+
+
+@query(
+    "q_pattern_rising_runs",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey AS c, o_orderdate AS d, o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), f AS (
+  SELECT c, d, k,
+         CASE WHEN cents > LAG(cents) OVER (PARTITION BY c ORDER BY d, k)
+              THEN 0 ELSE 1 END AS brk
+  FROM o
+), r AS (
+  SELECT c, SUM(brk) OVER (PARTITION BY c ORDER BY d, k
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+  FROM f
+), g AS (
+  SELECT c, rid, CAST(COUNT(*) AS BIGINT) AS len FROM r GROUP BY 1, 2
+)
+SELECT c AS custkey,
+       CAST(SUM(len) AS BIGINT) AS n_orders,
+       CAST(MAX(len) AS BIGINT) AS longest_run,
+       CAST(SUM(CASE WHEN len >= {RISE_MIN_RUN} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_runs_ge{RISE_MIN_RUN}
+FROM g GROUP BY 1 HAVING MAX(len) >= {RISE_MIN_RUN}
+""",
+)
+def q_pattern_rising_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M176: event-pattern detection over each customer's order sequence —
+    SQL:2016 MATCH_RECOGNIZE's `PATTERN (A B+)` ("a row followed by one or
+    more strictly-rising rows") re-expressed as run-length encoding, the
+    DataFrame-native form of the pattern matcher Spark lacks: flag each
+    order that does NOT rise above its predecessor as a run BREAK, prefix-
+    sum the breaks inside the customer partition to assign run ids, and
+    aggregate run lengths. A run of length L ≡ L−1 consecutive rises;
+    customers whose longest run reaches RISE_MIN_RUN are reported with
+    their order count, longest streak, and number of qualifying streaks.
+
+    Scale shape: both windows (LAG and the running break-sum) are
+    PARTITIONED by customer — no global window anywhere; run aggregation
+    and the final per-customer rollup ride the same customer-keyed
+    exchange, so the whole match is one shuffle over the fact table.
+    Comparisons happen on exact integer cents; every output is an exact
+    integer — nothing to round."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+        rlong(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("c").orderBy("d", "k")
+    f = o.select(
+        "c",
+        "d",
+        "k",
+        F.when(F.col("cents") > F.lag("cents").over(w), 0)
+        .otherwise(1)
+        .alias("brk"),
+    )
+    r = f.select(
+        "c",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("rid"),
+    )
+    g = r.groupBy("c", "rid").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        g.groupBy(F.col("c").alias("custkey"))
+        .agg(
+            F.sum("len").cast("long").alias("n_orders"),
+            F.max("len").cast("long").alias("longest_run"),
+            F.sum(F.when(F.col("len") >= RISE_MIN_RUN, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_runs_ge{RISE_MIN_RUN}"),
+        )
+        .where(F.col("longest_run") >= RISE_MIN_RUN)
+    )

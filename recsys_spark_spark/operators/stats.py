@@ -1086,3 +1086,350 @@ def q_stat_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rlong((ssb / (k - 1)) / (ssw / (nt - k)) * 1e6) / 1e6).alias("f_stat"),
         (rlong(ssb / sst * 1e9) / 1e9).alias("eta_squared"),
     )
+
+
+# --------------------------------------------------------------------------
+# M174: Mann-Whitney U — rank-sum test with exact tie correction
+# --------------------------------------------------------------------------
+
+MWU_GROUP_A = "1-URGENT"
+MWU_GROUP_B = "5-LOW"
+
+
+@query(
+    "q_stat_mannwhitney",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(ROUND(o_totalprice, 0) AS BIGINT) AS x,
+         CASE WHEN o_orderpriority = '{MWU_GROUP_A}' THEN 1 ELSE 0 END AS g1
+  FROM orders WHERE o_orderpriority IN ('{MWU_GROUP_A}', '{MWU_GROUP_B}')
+), v AS (
+  SELECT x, CAST(SUM(g1) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS nv
+  FROM d GROUP BY 1
+), c AS (
+  SELECT x, c1, nv,
+         CAST(SUM(nv) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cumn
+  FROM v
+), s AS (
+  SELECT CAST(SUM(c1 * (2 * (cumn - nv) + nv + 1)) AS BIGINT) AS two_r1,
+         CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS tsum,
+         CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(nv) AS BIGINT) AS n
+  FROM c
+), u AS (
+  SELECT n1, n - n1 AS n2, n, tsum,
+         (CAST(two_r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2 AS u1
+  FROM s
+), z AS (
+  SELECT n1, n2, u1,
+         (u1 - CAST(n1 AS DOUBLE) * n2 / 2)
+         / sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                * ((CAST(n AS DOUBLE) + 1)
+                   - CAST(tsum AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))) AS zs
+  FROM u
+)
+SELECT n1 AS n_a, n2 AS n_b,
+       ROUND(u1 * 1e6, 0) / 1e6 AS u_stat,
+       ROUND(zs * 1e6, 0) / 1e6 AS z_stat,
+       ROUND(2 * {_phi_sql('abs(zs)')} * 1e9, 0) / 1e9 AS p_two_sided
+FROM z
+""",
+)
+def q_stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M174: Mann-Whitney U (Wilcoxon rank-sum) test of urgent- vs
+    low-priority order values — the NON-PARAMETRIC complement to
+    q_stat_ttest: does one distribution stochastically dominate the
+    other, with no normality assumption. Average ranks for ties and the
+    exact tie-correction term Σ(t³−t) in the variance, z via the same
+    Abramowitz-Stegun Φ both engines share (_phi_sql/_phi_col).
+
+    Exactness: ranks never materialize per row — per distinct VALUE, the
+    average rank is (rows before) + (nv+1)/2, so 2·R₁ = Σ c1·(2·cum_before
+    + nv + 1) is an exact integer aggregate over the value table, as are
+    n₁, n and the tie term. One identical closed form on both engines.
+
+    Shape: facts collapse to one row per distinct dollar value (keyed
+    agg); the rank prefix comes from the same bucket-offset distributed
+    prefix-sum pass as q_stat_ks (never an unpartitioned window); the
+    closed form evaluates on ONE reduced row. Σ2R₁ ≤ 2n² keeps the
+    integer path exact through ~sf10, the module-wide envelope."""
+    from recsys_spark_spark.operators.sorts import ordered_prefix_sums
+
+    o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderpriority")
+    d = o.where(F.col("o_orderpriority").isin(MWU_GROUP_A, MWU_GROUP_B)).select(
+        _dollars("o_totalprice").alias("x"),
+        F.when(F.col("o_orderpriority") == MWU_GROUP_A, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("g1"),
+    )
+    v = d.groupBy("x").agg(
+        F.sum("g1").alias("c1"), F.count(F.lit(1)).alias("nv")
+    )
+    c = ordered_prefix_sums(
+        spark, v, order_col="x", tiebreak="x", sum_cols={"nv": "cumn"},
+        descending=False,
+    )
+    s = c.agg(
+        F.sum(
+            F.col("c1")
+            * (2 * (F.col("cumn") - F.col("nv")) + F.col("nv") + 1)
+        ).alias("two_r1"),
+        F.sum(F.col("nv") * F.col("nv") * F.col("nv") - F.col("nv")).alias("tsum"),
+        F.sum("c1").alias("n1"),
+        F.sum("nv").alias("n"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2 = F.col("n") - F.col("n1")
+    n2d = n2.cast("double")
+    nd = F.col("n").cast("double")
+    u1 = (F.col("two_r1").cast("double") - n1d * (F.col("n1") + 1)) / 2
+    zs = (u1 - n1d * n2 / 2) / F.sqrt(
+        (n1d * n2 / 12.0)
+        * ((nd + 1) - F.col("tsum").cast("double") / (nd * (F.col("n") - 1)))
+    )
+    return s.select(
+        F.col("n1").cast("long").alias("n_a"),
+        n2.cast("long").alias("n_b"),
+        (rlong(u1 * 1e6) / 1e6).alias("u_stat"),
+        (rlong(zs * 1e6) / 1e6).alias("z_stat"),
+        (rlong(2 * _phi_col(F.abs(zs)) * 1e9) / 1e9).alias("p_two_sided"),
+    )
+
+
+# --------------------------------------------------------------------------
+# M175: covariance / correlation matrix — one-pass sufficient statistics
+# --------------------------------------------------------------------------
+
+# (name, source column) — all scaled x100 to exact integer hundredths
+COV_FEATS = (
+    ("qty", "l_quantity"),
+    ("price", "l_extendedprice"),
+    ("disc", "l_discount"),
+    ("tax", "l_tax"),
+)
+_COV_PAIRS = [
+    (COV_FEATS[i][0], COV_FEATS[j][0])
+    for i in range(len(COV_FEATS))
+    for j in range(i, len(COV_FEATS))
+]
+
+
+def _cov_sql_expr(a: str, b: str) -> str:
+    """DuckDB population covariance from exact sums, in original units."""
+    return (
+        f"((CAST(s_{a}_{b} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE) / n) / n / 1e4)"
+    )
+
+
+_COV_ORACLE = (
+    "WITH d AS (SELECT "
+    + ", ".join(
+        f"CAST(ROUND({src} * 100, 0) AS BIGINT) AS {nm}" for nm, src in COV_FEATS
+    )
+    + " FROM lineitem), s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    + ", ".join(f"CAST(SUM({nm}) AS HUGEINT) AS s_{nm}" for nm, _ in COV_FEATS)
+    + ", "
+    + ", ".join(
+        f"SUM(CAST({a} AS HUGEINT) * {b}) AS s_{a}_{b}" for a, b in _COV_PAIRS
+    )
+    + " FROM d)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS feat_x, '{b}' AS feat_y, n AS n_rows, "
+        f"ROUND({_cov_sql_expr(a, b)} * 1e2, 0) / 1e2 AS cov_pop, "
+        f"ROUND({_cov_sql_expr(a, b)} / sqrt({_cov_sql_expr(a, a)}"
+        f" * {_cov_sql_expr(b, b)}) * 1e6, 0) / 1e6 AS corr FROM s"
+        for a, b in _COV_PAIRS
+    )
+)
+
+
+@query("q_feature_covariance", oracle=_COV_ORACLE)
+def q_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M175: population covariance/correlation MATRIX over the lineitem
+    measures (quantity, extendedprice, discount, tax) in long format —
+    the whitening/PCA/feature-selection precursor: which measures move
+    together, computed without ever sampling to a notebook.
+
+    Exactness: built-in covar_pop/corr stream doubles through
+    order-dependent running means — nondeterministic across shuffle
+    schedules and engines. Here every sufficient statistic is exact:
+    per-row integer hundredths, Σx as HUGEINT/DECIMAL(38,0), Σx·y as a
+    DECIMAL(38,0) sum of per-row long products (|x·y| ≤ 1e14 per row, so
+    the per-row product is exact in 64 bits at any sf; the unbounded
+    ACCUMULATION is where 128-bit width is required — Σprice² ≈ 6e21 at
+    sf10). cov = (Σxy − ΣxΣy/n)/n and corr = cov/√(var·var) evaluate on
+    one reduced row with the identical op tree on both engines.
+
+    Shape: ONE map-side-combined aggregate pass over the fact table (15
+    exact sums), then a 10-row stack of the closed forms — the matrix
+    costs one scan at any scale, vs k² covar_pop aggs for the naive
+    per-pair loop."""
+    li = table(spark, sf_dir, "lineitem")
+    d = li.select(
+        *[rlong(F.col(src) * 100).cast("long").alias(nm) for nm, src in COV_FEATS]
+    )
+    s = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(nm).cast("decimal(38,0)").alias(f"s_{nm}") for nm, _ in COV_FEATS],
+        *[
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)")).alias(f"s_{a}_{b}")
+            for a, b in _COV_PAIRS
+        ],
+    )
+
+    def cov(a: str, b: str):
+        nd = F.col("n").cast("double")
+        return (
+            (
+                F.col(f"s_{a}_{b}").cast("double")
+                - F.col(f"s_{a}").cast("double")
+                * F.col(f"s_{b}").cast("double")
+                / nd
+            )
+            / nd
+            / 1e4
+        )
+
+    for a, b in _COV_PAIRS:
+        # cov magnitudes reach ~1e9 (price x price): 6dp display would need
+        # 16 significant digits — past IEEE double, knife-edge observed at
+        # sf0.1. 2dp keeps >=5000x margin over the ~1e-6 absolute arithmetic
+        # divergence while corr (O(1)) keeps the full 6dp.
+        s = s.withColumn(
+            f"cov_{a}_{b}", (rlong(cov(a, b) * 1e2) / 1e2)
+        ).withColumn(
+            f"corr_{a}_{b}",
+            (
+                rlong(cov(a, b) / F.sqrt(cov(a, a) * cov(b, b)) * 1e6) / 1e6
+            ),
+        )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', cov_{a}_{b}, corr_{a}_{b}" for a, b in _COV_PAIRS
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        f"stack({len(_COV_PAIRS)}, {stack_args})"
+        " AS (feat_x, feat_y, cov_pop, corr)",
+    ).select("feat_x", "feat_y", "n_rows", "cov_pop", "corr")
+
+
+# --------------------------------------------------------------------------
+# M177: logistic regression via distributed Newton steps (IRLS)
+# --------------------------------------------------------------------------
+
+GLM_STEPS = 2  # fixed Newton iterations from beta = 0 (deterministic unroll)
+_GLM_Q = 1e10  # per-row quantization of the float sufficient statistics
+
+# shared per-row expressions: y = is-returned flag, x = discount (exact 2dp)
+_GLM_MU = "(1.0 / (1.0 + exp(-(b0 + b1 * x))))"
+_GLM_W = f"({_GLM_MU} * (1.0 - {_GLM_MU}))"
+
+
+def _glm_iter_sql(i: int) -> str:
+    """One Newton iteration as SQL CTEs: exact-integer sums of the
+    quantized per-row gradient/Hessian contributions, then the 2x2
+    Cramer solve — the same op tree the Spark side builds."""
+    s = f"""it{i} AS (
+  SELECT b0, b1,
+    CAST(SUM(CAST(ROUND((y - {_GLM_MU}) * {_GLM_Q:.0f}, 0) AS HUGEINT)) AS DOUBLE) / {_GLM_Q:.0f} AS g0,
+    CAST(SUM(CAST(ROUND((y - {_GLM_MU}) * x * {_GLM_Q:.0f}, 0) AS HUGEINT)) AS DOUBLE) / {_GLM_Q:.0f} AS g1,
+    CAST(SUM(CAST(ROUND({_GLM_W} * {_GLM_Q:.0f}, 0) AS HUGEINT)) AS DOUBLE) / {_GLM_Q:.0f} AS h00,
+    CAST(SUM(CAST(ROUND({_GLM_W} * x * {_GLM_Q:.0f}, 0) AS HUGEINT)) AS DOUBLE) / {_GLM_Q:.0f} AS h01,
+    CAST(SUM(CAST(ROUND({_GLM_W} * x * x * {_GLM_Q:.0f}, 0) AS HUGEINT)) AS DOUBLE) / {_GLM_Q:.0f} AS h11
+  FROM d CROSS JOIN b{i - 1} GROUP BY b0, b1
+), b{i} AS (
+  SELECT b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+         b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+  FROM it{i}
+)"""
+    return s
+
+
+_GLM_ORACLE = (
+    """
+WITH d AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         ROUND(l_discount * 100, 0) / 100 AS x
+  FROM lineitem
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM d),
+b0 AS (SELECT 0.0 AS b0, 0.0 AS b1),
+"""
+    + ",\n".join(_glm_iter_sql(i) for i in range(1, GLM_STEPS + 1))
+    + f"""
+SELECT n_rows,
+       ROUND(b0 * 1e6, 0) / 1e6 AS beta_intercept,
+       ROUND(b1 * 1e6, 0) / 1e6 AS beta_discount
+FROM b{GLM_STEPS} CROSS JOIN n
+"""
+)
+
+
+@query("q_glm_logistic_newton", oracle=_GLM_ORACLE)
+def q_glm_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M177: logistic regression trained IN the engine — GLM_STEPS exact
+    Newton-Raphson (IRLS) iterations for P(returned | discount) over
+    lineitem, from beta = 0. Each iteration is ONE map-side-combined
+    aggregate pass collecting the 5 sufficient statistics (gradient Σ(y−μ),
+    Σ(y−μ)x and Hessian Σw, Σwx, Σwx² with w = μ(1−μ)), then a 2×2 Cramer
+    solve on the single reduced row. THE "train on 100 TB without leaving
+    the warehouse" primitive: the data never moves, the model is 2 floats.
+
+    Fully lazy on the Spark side — each iteration's beta is a ONE-ROW
+    DataFrame cross-broadcast into the next pass, so the whole K-step
+    train is a single Catalyst plan with K fact-table scans and NO driver
+    round-trip (contrast: MLlib's LogisticRegression collects per-step).
+
+    Exactness: per-row μ is the same IEEE double tree on both engines;
+    contributions quantize to integers at 1e-10 before summation (Σ exact,
+    order-free; 128-bit accumulators — at sf10 Σw·Q ≈ 1.5e17). A last-ulp
+    exp() divergence between libm and the JVM shifts an integer sum by ±1
+    ≈ 1e-17 relative — absorbed by the single 1e-6 display rounding.
+    Betas propagate as identical doubles computed from identical integer
+    sums, so the unrolled oracle tracks the iteration bit-for-bit."""
+    li = table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        (rlong(F.col("l_discount") * 100) / 100).alias("x"),
+    )
+    beta = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+    )
+    q = F.lit(_GLM_Q)
+
+    def qsum(col) -> F.Column:
+        return F.sum(rlong(col * q).cast("decimal(38,0)")).cast("double") / q
+
+    for _ in range(GLM_STEPS):
+        mu = 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))
+        w = mu * (1.0 - mu)
+        it = (
+            d.crossJoin(F.broadcast(beta))
+            .groupBy("b0", "b1")
+            .agg(
+                qsum(F.col("y") - mu).alias("g0"),
+                qsum((F.col("y") - mu) * F.col("x")).alias("g1"),
+                qsum(w).alias("h00"),
+                qsum(w * F.col("x")).alias("h01"),
+                qsum(w * F.col("x") * F.col("x")).alias("h11"),
+            )
+        )
+        det = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+        beta = it.select(
+            (
+                F.col("b0")
+                + (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1")) / det
+            ).alias("b0"),
+            (
+                F.col("b1")
+                + (F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0")) / det
+            ).alias("b1"),
+        )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    return beta.crossJoin(F.broadcast(n)).select(
+        "n_rows",
+        (rlong(F.col("b0") * 1e6) / 1e6).alias("beta_intercept"),
+        (rlong(F.col("b1") * 1e6) / 1e6).alias("beta_discount"),
+    )

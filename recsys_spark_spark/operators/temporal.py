@@ -1072,3 +1072,73 @@ def q_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             rlong((icept + slope * (F.col("tmax") + FORECAST_AHEAD_DAYS)) * 1e6) / 1e6
         ).alias("forecast_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# M173: interval concurrency — sweep-line peak of simultaneously-open work
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_interval_concurrency",
+    oracle="""
+WITH iv AS (
+  SELECT CAST(o_orderdate AS DATE) AS s, CAST(l_shipdate AS DATE) AS e
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), deltas AS (
+  SELECT s AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e + 1 AS day, -1 AS delta FROM iv
+), daily AS (
+  SELECT day, SUM(delta) AS d FROM deltas GROUP BY 1
+), run AS (
+  SELECT day, SUM(d) OVER (ORDER BY day) AS open_cnt FROM daily
+)
+SELECT date_trunc('month', day) AS month,
+       CAST(COUNT(*) AS BIGINT) AS event_days,
+       CAST(MAX(open_cnt) AS BIGINT) AS peak_open
+FROM run GROUP BY 1
+""",
+)
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M173: sweep-line interval concurrency — for each month, the peak
+    number of line items simultaneously "open" (ordered but not yet
+    shipped: the [o_orderdate, l_shipdate] interval). THE
+    resource-load/backlog primitive: warehouses size capacity off peak
+    concurrent open work, not off daily throughput.
+
+    Scale shape (why this beats the naive interval-x-calendar join): each
+    interval becomes two delta events (+1 at start, -1 the day AFTER the
+    end — half-open sweep), deltas pre-aggregate per DAY (one keyed
+    aggregate; the only pass over the fact table), and the running
+    concurrency is a prefix sum over the tiny day-level table via the
+    bucket-offset primitive (operators.sorts.ordered_prefix_sums) — never
+    an unpartitioned window, never an explode to one-row-per-open-day.
+    100 TB of lineitem still collapses to ~date-range-sized input for the
+    prefix step. Peak is evaluated on event days (the running count only
+    changes there, and every interval start IS an event day, so the true
+    global peak is never missed; a month's carry-in plateau with no events
+    is reported under the month where it started).
+
+    All counts are exact integers; month labels come from the UTC-pinned
+    date columns on both engines."""
+    from recsys_spark_spark.operators.sorts import ordered_prefix_sums
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("s")
+    )
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("e")
+    )
+    iv = l.join(o, l.l_orderkey == o.o_orderkey).select("s", "e")
+    deltas = iv.select(F.col("s").alias("day"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.date_add("e", 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").cast("long").alias("d"))
+    run = ordered_prefix_sums(
+        spark, daily, order_col="day", tiebreak="day", sum_cols={"d": "open_cnt"}
+    )
+    return run.groupBy(F.date_trunc("month", "day").alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("event_days"),
+        F.max("open_cnt").cast("long").alias("peak_open"),
+    )

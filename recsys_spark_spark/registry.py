@@ -189,6 +189,9 @@ _R5_WINDOW = (
 # (llm/features.py), q_stat_bootstrap_ci (llm/sampling.py),
 # q_dq_expectations (operators/analytics.py), q_eval_novelty
 # (cf/evaluate.py), q_text_readability (llm/text.py), plus
+# q_interval_concurrency (operators/temporal.py), q_stat_mannwhitney /
+# q_feature_covariance / q_glm_logistic_newton (operators/stats.py),
+# q_pattern_rising_runs (operators/analytics.py), plus
 # whatever round 6 adds — put them first in
 # _R6_WINDOW, then refresh the oldest families (round-1-era
 # scans/filters/joins/windows/aggregates rows).
