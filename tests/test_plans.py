@@ -560,3 +560,65 @@ def test_part_abc_prefix_sum_is_distributed(spark):
     assert window_lines, "expected a Window node for the running sum"
     assert all("_bkt" in ln for ln in window_lines), window_lines
     assert "CartesianProduct" not in plan
+
+
+def test_interval_concurrency_prefix_sum_is_distributed(spark):
+    # the sweep-line running count rides the value-bucketed prefix sum —
+    # every Window node carries the bucket key, never a global window;
+    # the fact pass is one keyed day-level aggregate
+    plan = plan_of(spark, "q_interval_concurrency")
+    window_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and "windowspecdefinition" in ln
+    ]
+    assert window_lines, "expected a Window node for the running count"
+    assert all("_bkt" in ln for ln in window_lines), window_lines
+    assert "CartesianProduct" not in plan
+
+
+def test_mannwhitney_rank_prefix_is_distributed(spark):
+    # rank prefix = bucketed prefix sum over the VALUE table (like KS);
+    # the closed form folds on one reduced row
+    plan = plan_of(spark, "q_stat_mannwhitney")
+    window_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and "windowspecdefinition" in ln
+    ]
+    assert window_lines
+    assert all("_bkt" in ln for ln in window_lines), window_lines
+    assert "CartesianProduct" not in plan
+
+
+def test_feature_covariance_single_scan(spark):
+    # the whole matrix comes from ONE aggregate pass over lineitem —
+    # one scan, partial aggregation map-side, no join anywhere
+    plan = plan_of(spark, "q_feature_covariance")
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_pattern_rising_runs_windows_are_partitioned(spark):
+    # both the lag and the running break-sum ride the customer partition
+    plan = plan_of(spark, "q_pattern_rising_runs")
+    window_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and "windowspecdefinition" in ln
+    ]
+    assert window_lines
+    assert all("c#" in ln for ln in window_lines), window_lines
+
+
+def test_glm_newton_betas_broadcast_not_collected(spark):
+    # each Newton step's beta is a 1-row BROADCAST frame feeding the next
+    # aggregate pass: K fact scans, K broadcast exchanges, zero driver
+    # round-trips (no LocalTableScan of a collected beta)
+    from recsys_spark_spark.operators.stats import GLM_STEPS
+
+    plan = plan_of(spark, "q_glm_logistic_newton")
+    assert plan.count("Scan parquet") == GLM_STEPS + 1  # K passes + count
+    assert plan.count("BroadcastExchange") >= GLM_STEPS
+    assert "CartesianProduct" not in plan
