@@ -327,3 +327,67 @@ def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("max_k"),
         F.sum(F.when(F.col("m").isNull(), 1).otherwise(0)).cast("long").alias("n_missing"),
     )
+
+
+@query(
+    "q_array_lambda",
+    oracle="""
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       ROUND(list_sum(list_transform(list_filter(embedding, x -> x > 0),
+                                     x -> CAST(x AS DOUBLE))) * 1e6, 0) / 1e6
+         AS pos_mass,
+       ROUND(list_sum(list_transform(list_zip(embedding, list_reverse(embedding)),
+                                     p -> CAST(p[1] AS DOUBLE) * p[2])) * 1e6, 0) / 1e6
+         AS dot_reversed,
+       ROUND(CAST(list_max(embedding) AS DOUBLE) * 1e6, 0) / 1e6 AS vmax,
+       (len(list_filter(embedding, x -> x > 0.2)) > 0) AS has_big
+FROM embeddings
+""",
+)
+def q_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H10: higher-order lambda functions over array columns — the
+    JVM-side vector toolbox (transform / filter / exists / aggregate /
+    zip_with) exercised as a first-class surface, the same primitives the
+    similarity family composes for its no-Python-UDF dot products
+    (llm/similarity.py). Per row: positive-component count and mass
+    (filter ∘ transform ∘ aggregate), the dot product with the REVERSED
+    vector (zip_with ∘ reverse — a genuinely paired lambda), the max
+    component, and an exists-style predicate.
+
+    All row-local and codegen-fused — zero shuffles at any scale. Float
+    lambdas accumulate in doubles in ARRAY ORDER on both engines (the
+    fold is sequential per row, not a reduction tree), so values are
+    bit-stable; one 6dp display rounding absorbs float→double widening
+    differences."""
+    e = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+        (
+            F.round(
+                F.aggregate(
+                    F.filter(v, lambda x: x > 0),
+                    F.lit(0.0),
+                    lambda acc, x: acc + dbl(x),
+                )
+                * 1e6
+            )
+            / 1e6
+        ).alias("pos_mass"),
+        (
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, F.reverse(v), lambda a, b: dbl(a) * dbl(b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * 1e6
+            )
+            / 1e6
+        ).alias("dot_reversed"),
+        (F.round(dbl(F.array_max(v)) * 1e6) / 1e6).alias("vmax"),
+        F.exists(v, lambda x: x > 0.2).alias("has_big"),
+    )

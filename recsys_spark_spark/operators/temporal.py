@@ -1142,3 +1142,116 @@ def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("event_days"),
         F.max("open_cnt").cast("long").alias("peak_open"),
     )
+
+
+# --------------------------------------------------------------------------
+# M178: classical time-series decomposition (trend + seasonal + residual)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_decompose",
+    oracle="""
+WITH e AS (
+  SELECT event_type AS t, CAST(ts AS DATE) AS d,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+), daily AS (
+  SELECT t, d, CAST(SUM(cents) AS BIGINT) AS v FROM e GROUP BY 1, 2
+), tr AS (
+  SELECT t, d, v,
+         CAST(SUM(v) OVER w7 AS BIGINT) AS s7,
+         CAST(COUNT(*) OVER w7 AS BIGINT) AS c7
+  FROM daily
+  WINDOW w7 AS (PARTITION BY t ORDER BY d
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), detr AS (
+  SELECT t, d, v, CAST(s7 AS DOUBLE) / c7 AS trend,
+         CAST(ROUND((v - CAST(s7 AS DOUBLE) / c7) * 1e4, 0) AS BIGINT) AS dq,
+         CAST(dayofweek(d) AS BIGINT) AS dow
+  FROM tr
+), sea AS (
+  SELECT t, dow, CAST(SUM(dq) AS BIGINT) AS sdq, CAST(COUNT(*) AS BIGINT) AS m
+  FROM detr GROUP BY 1, 2
+), joined AS (
+  SELECT detr.t, detr.d, detr.v,
+         ROUND(detr.trend * 1e4, 0) / 1e4 AS trend_cents,
+         ROUND(CAST(sea.sdq AS DOUBLE) / sea.m / 1e4 * 1e4, 0) / 1e4
+           AS seasonal_cents
+  FROM detr JOIN sea ON detr.t = sea.t AND detr.dow = sea.dow
+)
+SELECT t AS event_type, d AS day, v AS v_cents, trend_cents, seasonal_cents,
+       ROUND((v - trend_cents - seasonal_cents) * 1e4, 0) / 1e4
+         AS residual_cents
+FROM joined
+""",
+)
+def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M178: classical additive decomposition of each event type's daily
+    revenue series — trend (7-day centered row-frame moving average),
+    day-of-week seasonal (mean of the detrended series per weekday), and
+    residual — the anomaly-detection/forecast-prep primitive next to
+    q_seasonal_index (which indexes raw values; this one detrends first,
+    the textbook order).
+
+    Exactness: the trend is a ratio of two exact integer window sums (Σv,
+    count over the 7-row frame); the detrended term quantizes to integer
+    1e-4 cents BEFORE the seasonal mean, so the per-weekday aggregate is
+    an exact integer sum (order-free) divided once; residual subtracts the
+    ROUNDED components from the exact daily integer — every engine pair
+    evaluates identical double trees. Edge days average their partial
+    frame (c7 < 7) — same on both engines.
+
+    Scale shape: one keyed day-level aggregate over the fact table, then
+    ALL windows partitioned by series (event_type) — the per-series row
+    count is bounded by the date range, not data volume; the seasonal
+    table (types × 7) broadcasts back. At 100 TB nothing after the first
+    aggregate grows."""
+    e = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        F.to_date("ts").alias("d"),
+        rlong(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("t", "d").agg(F.sum("cents").cast("long").alias("v"))
+    w7 = Window.partitionBy("t").orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "t",
+        "d",
+        "v",
+        F.sum("v").over(w7).cast("long").alias("s7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("c7"),
+    )
+    trend = F.col("s7").cast("double") / F.col("c7")
+    detr = tr.select(
+        "t",
+        "d",
+        "v",
+        trend.alias("trend"),
+        rlong((F.col("v") - trend) * 1e4).cast("long").alias("dq"),
+        (F.dayofweek("d") - 1).cast("long").alias("dow"),
+    )
+    sea = detr.groupBy("t", "dow").agg(
+        F.sum("dq").cast("long").alias("sdq"), F.count(F.lit(1)).cast("long").alias("m")
+    )
+    joined = detr.join(F.broadcast(sea), ["t", "dow"]).select(
+        "t",
+        "d",
+        "v",
+        (rlong(F.col("trend") * 1e4) / 1e4).alias("trend_cents"),
+        (
+            rlong(F.col("sdq").cast("double") / F.col("m") / 1e4 * 1e4) / 1e4
+        ).alias("seasonal_cents"),
+    )
+    return joined.select(
+        F.col("t").alias("event_type"),
+        F.col("d").alias("day"),
+        F.col("v").alias("v_cents"),
+        "trend_cents",
+        "seasonal_cents",
+        (
+            rlong(
+                (F.col("v") - F.col("trend_cents") - F.col("seasonal_cents")) * 1e4
+            )
+            / 1e4
+        ).alias("residual_cents"),
+    )

@@ -622,3 +622,25 @@ def test_glm_newton_betas_broadcast_not_collected(spark):
     assert plan.count("Scan parquet") == GLM_STEPS + 1  # K passes + count
     assert plan.count("BroadcastExchange") >= GLM_STEPS
     assert "CartesianProduct" not in plan
+
+
+def test_array_lambda_is_shuffle_free(spark):
+    # higher-order lambdas are row-local codegen — zero exchanges
+    from recsys_spark_spark.plans.audit import executed_plan, shuffle_stage_count
+
+    df = QUERIES["q_array_lambda"](spark, SF_SMOKE)
+    assert shuffle_stage_count(executed_plan(df, materialize=True)) == 0
+
+
+def test_ts_decompose_windows_ride_series_key(spark):
+    # the trend frame and everything after the day-level aggregate is
+    # partitioned by event_type; the seasonal table arrives via broadcast
+    plan = plan_of(spark, "q_ts_decompose")
+    window_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and "windowspecdefinition" in ln
+    ]
+    assert window_lines
+    assert all("t#" in ln for ln in window_lines), window_lines
+    assert "BroadcastHashJoin" in plan

@@ -57,6 +57,32 @@ TABLES = (
 ).split()
 
 
+def _norm_dates(df):
+    """Align DATE representations before the pandas compare: a default
+    (no-Arrow) Spark session returns DateType as object-dtype
+    datetime.date while DuckDB's fetchdf returns datetime64 — equal values
+    that assert_frame_equal rejects on dtype kind alone (the driver's own
+    typed hash accepts them: q_date_funcs/q_cast_coalesce went green in
+    r4 windows with DATE outputs). Both sides become datetime64[us]."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif (
+            s.dtype == object
+            and s.notna().any()
+            and s.map(
+                lambda v: v is None or isinstance(v, (_dt.date, _dt.datetime))
+            ).all()
+        ):
+            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+    return df
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -96,8 +122,8 @@ def main() -> int:
                 elif len(sdf) != len(odf):
                     row["err"] = f"rows {len(sdf)} != {len(odf)}"
                 else:
-                    a = sdf[cols].sort_values(cols).reset_index(drop=True)
-                    b = odf[cols].sort_values(cols).reset_index(drop=True)
+                    a = _norm_dates(sdf[cols].sort_values(cols).reset_index(drop=True))
+                    b = _norm_dates(odf[cols].sort_values(cols).reset_index(drop=True))
                     try:
                         pd.testing.assert_frame_equal(a, b, check_dtype=False)
                         row["ok"] = True
