@@ -1628,3 +1628,205 @@ def q_pattern_rising_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("longest_run") >= RISE_MIN_RUN)
     )
+
+
+# --------------------------------------------------------------------------
+# M179: gaps-and-islands — consecutive-day activity streaks per user
+# --------------------------------------------------------------------------
+
+STREAK_MIN = 3  # a "qualifying" streak for the n_streaks count
+
+
+@query(
+    "q_activity_streaks",
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+), r AS (
+  SELECT u, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY d) AS INTEGER) AS g
+  FROM d
+), s AS (
+  SELECT u, g, CAST(COUNT(*) AS BIGINT) AS len FROM r GROUP BY 1, 2
+)
+SELECT u AS user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(SUM(CASE WHEN len >= {STREAK_MIN} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_streaks_ge{STREAK_MIN}
+FROM s GROUP BY 1
+""",
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M179: gaps-and-islands — each user's consecutive-day activity
+    streaks from the event log (the engagement-streak primitive every
+    product-analytics deployment asks for, and THE canonical SQL islands
+    pattern). An island is a maximal run of consecutive calendar days with
+    activity: subtracting the per-user day row_number from the day itself
+    yields a grouping key that is CONSTANT within a run and distinct
+    across runs — no self-join, no recursive walk.
+
+    Complements q_pattern_rising_runs (value-pattern runs) with CALENDAR-
+    adjacency runs, and q_active_users (per-day counts) with per-user
+    streak structure.
+
+    Scale shape: day-distinct → row_number → island aggregate → per-user
+    rollup all ride ONE user-keyed partitioning; the only shuffle is the
+    initial user_id exchange. Everything is exact integers and dates."""
+    d = (
+        table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("u"), F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("u").orderBy("d")
+    r = d.select(
+        "u", "d", F.date_sub("d", F.row_number().over(w)).alias("g")
+    )
+    s = r.groupBy("u", "g").agg(F.count(F.lit(1)).alias("len"))
+    return s.groupBy(F.col("u").alias("user_id")).agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum(F.when(F.col("len") >= STREAK_MIN, 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_streaks_ge{STREAK_MIN}"),
+    )
+
+
+# --------------------------------------------------------------------------
+# M180: eigenvector centrality — normalized power iteration, unrolled
+# --------------------------------------------------------------------------
+
+EIG_ITERS = 3
+EIG_SCALE = 1e6  # per-iteration integer quantization of the unit vector
+EIG_TOP = 20
+
+# (applicationId, sf_dir) -> persisted WEIGHTED co-occurrence edges
+# (src, dst, c) — same lifecycle pattern as _PR_EDGES; PageRank's edge
+# table is the UNWEIGHTED distinct-pair projection of this one, kept
+# separate because its iteration divides by outdegree, not weight.
+_EIG_EDGES: dict[tuple[str, str], DataFrame] = {}
+
+
+def _eig_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EIG_EDGES.get(key)
+    if cached is not None:
+        lvl = cached.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            cached.persist()
+        return cached
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ui = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    a = ui.select("u", F.col("i").alias("src"))
+    b = ui.select("u", F.col("i").alias("dst"))
+    edges = (
+        a.join(b, "u")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ).persist()
+    _EIG_EDGES[key] = edges
+    return edges
+
+
+def _eig_oracle() -> str:
+    """Unrolled normalized power iteration: each iteration's vector state
+    is a BIGINT both engines agree on exactly; the L2 norm is a double
+    computed from one exact 128-bit sum of squares."""
+    steps = [
+        "v0 AS MATERIALIZED (SELECT node, "
+        f"CAST({EIG_SCALE:.0f} AS BIGINT) AS v_s FROM nodes)"
+    ]
+    for it in range(1, EIG_ITERS + 1):
+        steps.append(
+            f"""w{it} AS MATERIALIZED (
+  SELECT e.src AS node, SUM(CAST(e.c AS HUGEINT) * p.v_s) AS w
+  FROM wedges e JOIN v{it - 1} p ON p.node = e.dst GROUP BY 1
+), n{it} AS (
+  SELECT sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm FROM w{it}
+), v{it} AS MATERIALIZED (
+  SELECT node,
+         CAST(ROUND(CAST(w AS DOUBLE) / nrm * {EIG_SCALE:.0f}, 0) AS BIGINT) AS v_s
+  FROM w{it} CROSS JOIN n{it}
+)"""
+        )
+    return f"""
+WITH ui AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), wedges AS MATERIALIZED (
+  SELECT a.i AS src, b.i AS dst, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ui a JOIN ui b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2
+), nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM wedges),
+{", ".join(steps)}
+SELECT node AS item_id, ROUND(v_s / {EIG_SCALE:.0f}, 6) AS centrality, rnk FROM (
+  SELECT node, v_s,
+         CAST(ROW_NUMBER() OVER (ORDER BY v_s DESC, node) AS BIGINT) AS rnk
+  FROM v{EIG_ITERS}
+) WHERE rnk <= {EIG_TOP}
+"""
+
+
+@query("q_graph_eigencentrality", oracle=_eig_oracle())
+def q_graph_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M180: eigenvector centrality (Bonacich 1972) of the WEIGHTED item
+    co-occurrence graph — the dominant-eigenvector "importance flows from
+    important neighbors" score, i.e. the first spectral embedding
+    dimension of the similarity matrix, computed without MLlib. Next to
+    q_graph_pagerank (random-walk with damping over the unweighted graph)
+    this completes the centrality pair, and the normalized power
+    iteration IS the building block of spectral methods at scale.
+
+    Determinism: each iteration re-quantizes the unit vector to integer
+    1e-6 components, so the iteration state is a BIGINT vector identical
+    on both engines; the L2 norm is one double from an exact 128-bit
+    Σw² (w ≤ Σc·scale ≈ 1e13 at sf10 — products stay in 64 bits per
+    row, squares need the 128-bit accumulator). The oracle unrolls the
+    same {EIG_ITERS} iterations as chained CTEs.
+
+    Scale shape: weighted edges build once from the user-keyed self-join
+    (persisted, module-memoized like PageRank's); each iteration is one
+    dst-keyed join + src-keyed aggregate riding the edge partitioning,
+    plus a 1-row broadcast norm. Output is top-{EIG_TOP} via a
+    rank-limited window."""
+    edges = _eig_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    v = nodes.select(
+        "node", F.lit(int(EIG_SCALE)).cast("long").alias("v_s")
+    )
+    for _ in range(EIG_ITERS):
+        w = (
+            edges.join(v, edges.dst == v.node)
+            .select("src", (F.col("c") * F.col("v_s")).alias("cv"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("cv").cast("decimal(38,0)")).alias("w"))
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(F.col("w") * F.col("w")).cast("double")
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "node",
+            rlong(F.col("w").cast("double") / F.col("nrm") * EIG_SCALE)
+            .cast("long")
+            .alias("v_s"),
+        )
+    ranked = v.select(
+        "node",
+        "v_s",
+        F.row_number()
+        .over(Window.orderBy(F.col("v_s").desc(), F.col("node")))
+        .cast("long")
+        .alias("rnk"),
+    ).where(F.col("rnk") <= EIG_TOP)
+    return ranked.select(
+        F.col("node").alias("item_id"),
+        F.round(F.col("v_s") / EIG_SCALE, 6).alias("centrality"),
+        "rnk",
+    )

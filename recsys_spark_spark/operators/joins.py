@@ -662,3 +662,106 @@ def q_join_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, date_trunc('second', ts) AS sec,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+  FROM events WHERE event_type IN ('click', 'purchase')
+), m AS (
+  SELECT event_id, user_id, tag, sec,
+         LAST_VALUE(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+           OVER wb AS prev_id,
+         LAST_VALUE(CASE WHEN tag = 0 THEN sec END IGNORE NULLS)
+           OVER wb AS prev_sec,
+         FIRST_VALUE(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+           OVER wf AS next_id,
+         FIRST_VALUE(CASE WHEN tag = 0 THEN sec END IGNORE NULLS)
+           OVER wf AS next_sec
+  FROM ev
+  WINDOW wb AS (PARTITION BY user_id ORDER BY sec, tag, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY sec, tag, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id AS purchase_event_id, user_id,
+       CASE WHEN next_id IS NULL
+                 OR (prev_id IS NOT NULL
+                     AND epoch(sec) - epoch(prev_sec)
+                         <= epoch(next_sec) - epoch(sec))
+            THEN prev_id ELSE next_id END AS nearest_click_id,
+       CAST(CASE WHEN next_id IS NULL
+                      OR (prev_id IS NOT NULL
+                          AND epoch(sec) - epoch(prev_sec)
+                              <= epoch(next_sec) - epoch(sec))
+                 THEN epoch(sec) - epoch(prev_sec)
+                 ELSE epoch(next_sec) - epoch(sec) END AS BIGINT) AS dist_s
+FROM m WHERE tag = 1
+""",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8b: NEAREST-direction as-of join — for each purchase, the closest
+    click in time (before OR after, per user; ties prefer the earlier
+    click, pandas merge_asof direction='nearest' semantics). Completes the
+    as-of family next to C8's backward join.
+
+    Same scale argument as C8: one backward carry (last_value ignore
+    nulls) and one forward carry (first_value over the mirrored frame) in
+    a single user-partitioned sort — linear in events, where the naive
+    form is a per-purchase range scan. A same-second click sorts before
+    the purchase (tag ordering), so it lands in the backward carry with
+    distance 0 — never double-counted by the forward frame, which starts
+    AT the purchase row.
+
+    Distances are exact integer seconds (epoch arithmetic on the
+    UTC-pinned second-truncated timestamps)."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        F.date_trunc("second", "ts").alias("sec"),
+        F.when(F.col("event_type") == "click", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("tag"),
+    )
+    order = [F.col("sec"), F.col("tag"), F.col("event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click = F.when(F.col("tag") == 0, F.col("event_id"))
+    click_sec = F.when(F.col("tag") == 0, F.col("sec"))
+    m = tagged.select(
+        "event_id",
+        "user_id",
+        "tag",
+        "sec",
+        F.last(click, ignorenulls=True).over(wb).alias("prev_id"),
+        F.last(click_sec, ignorenulls=True).over(wb).alias("prev_sec"),
+        F.first(click, ignorenulls=True).over(wf).alias("next_id"),
+        F.first(click_sec, ignorenulls=True).over(wf).alias("next_sec"),
+    )
+    d_prev = F.unix_timestamp("sec") - F.unix_timestamp("prev_sec")
+    d_next = F.unix_timestamp("next_sec") - F.unix_timestamp("sec")
+    take_prev = F.col("next_id").isNull() | (
+        F.col("prev_id").isNotNull() & (d_prev <= d_next)
+    )
+    return m.where(F.col("tag") == 1).select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.when(take_prev, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+        .alias("nearest_click_id"),
+        F.when(take_prev, d_prev).otherwise(d_next).cast("long").alias("dist_s"),
+    )

@@ -644,3 +644,39 @@ def test_ts_decompose_windows_ride_series_key(spark):
     assert window_lines
     assert all("t#" in ln for ln in window_lines), window_lines
     assert "BroadcastHashJoin" in plan
+
+
+def test_asof_nearest_single_user_sort(spark):
+    # both carries (backward last_value, forward first_value) ride ONE
+    # user-partitioned sort — no join anywhere in the plan
+    plan = plan_of(spark, "q_join_asof_nearest")
+    assert "Join" not in plan
+    window_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and "windowspecdefinition" in ln
+    ]
+    assert window_lines
+    assert all("user_id" in ln for ln in window_lines), window_lines
+
+
+def test_activity_streaks_one_user_keyed_chain(spark):
+    # islands trick: day-distinct -> row_number -> island agg -> rollup,
+    # all user-partitioned; no join, no global window
+    plan = plan_of(spark, "q_activity_streaks")
+    assert "Join" not in plan
+    window_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and "windowspecdefinition" in ln
+    ]
+    assert all("u#" in ln for ln in window_lines), window_lines
+
+
+def test_eigencentrality_topk_is_group_limited(spark):
+    # the node-sized final rank must be WindowGroupLimit-pruned and the
+    # per-iteration norm must arrive via broadcast, never a cartesian
+    plan = plan_of(spark, "q_graph_eigencentrality")
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
