@@ -1255,3 +1255,84 @@ def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("residual_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# M181: time-weighted average (TWAP) — duration-weighted event values
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_twap",
+    oracle="""
+WITH e AS (
+  SELECT event_type AS t, CAST(ts AS DATE) AS day, event_id,
+         date_trunc('second', ts) AS sec,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+), seg AS (
+  SELECT t, day, cents,
+         CAST(epoch(COALESCE(
+                 LEAD(sec) OVER (PARTITION BY t, day ORDER BY sec, event_id),
+                 CAST(day + 1 AS TIMESTAMP)))
+              - epoch(sec) AS BIGINT) AS dur_s
+  FROM e
+)
+SELECT t AS event_type, day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(dur_s) AS BIGINT) AS span_s,
+       ROUND(CAST(SUM(cents * dur_s) AS DOUBLE) / SUM(dur_s) * 1e6, 0) / 1e6
+         AS twap_cents
+FROM seg GROUP BY 1, 2
+""",
+)
+def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M181: time-weighted average value (TWAP) per event type and day —
+    each observation holds until the next one (the last holds until
+    midnight), so sparse bursts don't dominate the average the way a
+    plain mean lets them: the IoT/finance aggregation for irregularly
+    sampled series. Weighting starts at the day's first observation
+    (the observed span), ends at day close.
+
+    Exactness: timestamps truncate to SECONDS before any arithmetic —
+    flooring each endpoint first and subtracting fractional epochs then
+    truncating disagree on sub-second offsets (measured 0.3–2 cent TWAP
+    drift), so both engines share the truncate-first convention (the C8
+    as-of discipline); durations are then exact integer seconds; values
+    exact cents; Σ(cents·dur) stays in 64 bits (≤ 1e6 · 86400 per row)
+    and the single ratio is rounded once. LEAD is total-ordered by
+    (second, event_id).
+
+    Scale shape: ONE (type, day)-partitioned window (bounded partitions:
+    a day of one type) then a keyed aggregate on the same key — one
+    shuffle end to end, no global window, no self-join."""
+    e = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        F.to_date("ts").alias("day"),
+        "event_id",
+        F.date_trunc("second", "ts").alias("sec"),
+        rlong(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("t", "day").orderBy("sec", "event_id")
+    nxt = F.coalesce(
+        F.lead("sec").over(w),
+        F.date_add("day", 1).cast("timestamp"),
+    )
+    seg = e.select(
+        "t",
+        "day",
+        "cents",
+        (F.unix_timestamp(nxt) - F.unix_timestamp("sec")).cast("long").alias("dur_s"),
+    )
+    return seg.groupBy(F.col("t").alias("event_type"), "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("dur_s").cast("long").alias("span_s"),
+        (
+            rlong(
+                F.sum(F.col("cents") * F.col("dur_s")).cast("double")
+                / F.sum("dur_s")
+                * 1e6
+            )
+            / 1e6
+        ).alias("twap_cents"),
+    )

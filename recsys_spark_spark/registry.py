@@ -194,7 +194,8 @@ _R5_WINDOW = (
 # q_pattern_rising_runs (operators/analytics.py), q_array_lambda
 # (functions/scalar.py), q_ts_decompose (operators/temporal.py),
 # q_activity_streaks / q_graph_eigencentrality (operators/analytics.py),
-# q_join_asof_nearest (operators/joins.py), plus
+# q_join_asof_nearest (operators/joins.py), q_ts_twap
+# (operators/temporal.py), plus
 # whatever round 6 adds — put them first in
 # _R6_WINDOW, then refresh the oldest families (round-1-era
 # scans/filters/joins/windows/aggregates rows).

@@ -83,6 +83,22 @@ PROBE_QUERIES = (
     "q_stat_ks",
     "q_attribution_position",
     "q_stat_mann_kendall",
+    # round-5 final-session additions: the restructured one-join
+    # incremental co-occurrence (densifying, like triangles), the
+    # sweep-line concurrency + rank prefix sums (bucket-offset primitive
+    # under 10x), the K-pass Newton trainer, the iterative normalized
+    # power iteration (densifying weighted edges), and the user-window
+    # pattern/streak/asof chains
+    "q_cf_incremental_cooc",
+    "q_interval_concurrency",
+    "q_stat_mannwhitney",
+    "q_glm_logistic_newton",
+    "q_graph_eigencentrality",
+    "q_ts_decompose",
+    "q_activity_streaks",
+    "q_join_asof_nearest",
+    "q_pattern_rising_runs",
+    "q_feature_covariance",
 )
 
 
