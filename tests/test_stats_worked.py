@@ -812,3 +812,110 @@ def test_readability_matches_python(spark):
         r = got[row.doc_id]
         assert (r.n_sents, r.n_words, r.n_syll) == (s, w, y), row.doc_id
         assert abs(r.flesch_score - score) < 1e-5, row.doc_id
+
+
+def test_mannwhitney_matches_numpy_ranksum(spark):
+    """Textbook U with average ranks + tie-corrected variance, recomputed
+    over pooled scipy-free numpy ranks."""
+    from recsys_spark_spark.operators.stats import MWU_GROUP_A, MWU_GROUP_B
+
+    got = QUERIES["q_stat_mannwhitney"](spark, SF_SMOKE).collect()[0]
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    o = o[o.o_orderpriority.isin([MWU_GROUP_A, MWU_GROUP_B])]
+    x = np.floor(o.o_totalprice + 0.5).astype("int64").to_numpy()
+    g1 = (o.o_orderpriority == MWU_GROUP_A).to_numpy()
+    ranks = pd.Series(x).rank(method="average").to_numpy()  # avg ranks w/ ties
+    n1, n = int(g1.sum()), len(x)
+    n2 = n - n1
+    r1 = float(ranks[g1].sum())
+    u1 = r1 - n1 * (n1 + 1) / 2
+    _, t = np.unique(x, return_counts=True)
+    tie = float((t**3 - t).sum())
+    var = (n1 * n2 / 12) * ((n + 1) - tie / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2) / math.sqrt(var)
+    assert (got.n_a, got.n_b) == (n1, n2)
+    assert abs(got.u_stat - u1) < 1e-6, (got.u_stat, u1)
+    assert abs(got.z_stat - z) < 1e-5, (got.z_stat, z)
+
+
+def test_glm_newton_matches_numpy_irls(spark):
+    """The K-step Newton iteration recomputed in numpy from the same rows
+    (same quantization) must land on the same betas; ALSO check the
+    unquantized textbook iteration agrees to ~1e-5 (the quantization is a
+    determinism device, not a semantics change)."""
+    from recsys_spark_spark.operators.stats import GLM_STEPS, _GLM_Q
+
+    got = QUERIES["q_glm_logistic_newton"](spark, SF_SMOKE).collect()[0]
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    y = (li.l_returnflag == "R").astype(float).to_numpy()
+    x = (np.floor(li.l_discount * 100 + 0.5) / 100).to_numpy()
+
+    def newton(quantize: bool):
+        b0 = b1 = 0.0
+        for _ in range(GLM_STEPS):
+            mu = 1.0 / (1.0 + np.exp(-(b0 + b1 * x)))
+            w = mu * (1 - mu)
+            qs = (
+                (lambda v: np.floor(v * _GLM_Q + 0.5).sum() / _GLM_Q)
+                if quantize
+                else (lambda v: v.sum())
+            )
+            g0, g1 = qs(y - mu), qs((y - mu) * x)
+            h00, h01, h11 = qs(w), qs(w * x), qs(w * x * x)
+            det = h00 * h11 - h01 * h01
+            b0 += (h11 * g0 - h01 * g1) / det
+            b1 += (h00 * g1 - h01 * g0) / det
+        return b0, b1
+    qb0, qb1 = newton(True)
+    tb0, tb1 = newton(False)
+    assert abs(got.beta_intercept - qb0) < 2e-6, (got.beta_intercept, qb0)
+    assert abs(got.beta_discount - qb1) < 2e-6, (got.beta_discount, qb1)
+    assert abs(qb0 - tb0) < 1e-5 and abs(qb1 - tb1) < 1e-5  # quantization inert
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    got = QUERIES["q_feature_covariance"](spark, SF_SMOKE).toPandas()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    from recsys_spark_spark.operators.stats import COV_FEATS
+
+    cols = {nm: np.floor(li[src] * 100 + 0.5) / 100 for nm, src in COV_FEATS}
+    for row in got.itertuples():
+        a, b = cols[row.feat_x].to_numpy(), cols[row.feat_y].to_numpy()
+        cov = float(np.mean(a * b) - a.mean() * b.mean())
+        corr = cov / math.sqrt(
+            (np.mean(a * a) - a.mean() ** 2) * (np.mean(b * b) - b.mean() ** 2)
+        )
+        assert abs(row.cov_pop - cov) < max(5e-3, 1e-9 * abs(cov)), (row, cov)
+        assert abs(row.corr - corr) < 1e-5, (row, corr)
+
+
+def test_eigencentrality_matches_numpy_power_iteration(spark):
+    """The unrolled normalized power iteration recomputed densely in numpy
+    (same per-step integer re-quantization) must reproduce the top-k
+    EXACTLY; and the quantized result must be within vector-noise of the
+    unquantized textbook iteration."""
+    from recsys_spark_spark.operators.analytics import EIG_ITERS, EIG_SCALE, EIG_TOP
+
+    got = QUERIES["q_graph_eigencentrality"](spark, SF_SMOKE).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    l = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    ui = o.merge(l, left_on="o_orderkey", right_on="l_orderkey")[
+        ["o_custkey", "l_partkey"]
+    ].drop_duplicates()
+    e = ui.merge(ui, on="o_custkey")
+    e = e[e.l_partkey_x != e.l_partkey_y]
+    w = e.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    nodes = sorted(set(w.index.get_level_values(0)))
+    idx = {n: k for k, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for (i, j), c in w.items():
+        A[idx[i], idx[j]] = c
+    v = np.full(len(nodes), EIG_SCALE)
+    for _ in range(EIG_ITERS):
+        wv = A @ v
+        v = np.floor(wv / math.sqrt((wv * wv).sum()) * EIG_SCALE + 0.5)
+    order = np.lexsort((nodes, -v))[:EIG_TOP]
+    for rnk, k in enumerate(order, start=1):
+        row = got[got.rnk == rnk].iloc[0]
+        assert row.item_id == nodes[k], (rnk, row.item_id, nodes[k])
+        assert abs(row.centrality - v[k] / EIG_SCALE) < 1e-9
