@@ -1830,3 +1830,99 @@ def q_graph_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("v_s") / EIG_SCALE, 6).alias("centrality"),
         "rnk",
     )
+
+
+# --------------------------------------------------------------------------
+# M182: time-to-convert — first click -> first subsequent purchase
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_time_to_convert",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, date_trunc('second', ts) AS sec,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+  FROM events WHERE event_type IN ('click', 'purchase')
+), m AS (
+  SELECT user_id, tag, sec,
+         MIN(CASE WHEN tag = 0 THEN sec END)
+           OVER (PARTITION BY user_id ORDER BY sec, tag, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fc
+  FROM ev
+), conv AS (
+  SELECT user_id,
+         CAST(MIN(epoch(sec) - epoch(fc)) AS BIGINT) AS tts
+  FROM m WHERE tag = 1 AND fc IS NOT NULL
+  GROUP BY 1
+)
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(MIN(tts) AS BIGINT) AS min_s,
+       CAST(MAX(tts) AS BIGINT) AS max_s,
+       ROUND(CAST(SUM(tts) AS DOUBLE) / COUNT(*) * 1e6, 0) / 1e6 AS avg_s
+FROM conv JOIN customer ON c_custkey = user_id
+GROUP BY 1
+""",
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M182: time-to-convert — seconds from each user's FIRST click to
+    their first purchase at-or-after it, rolled up per customer segment:
+    the conversion-latency KPI beside q_funnel_conversion (which counts
+    the funnel) and q_attribution_last_touch (which assigns credit).
+
+    One pass: a user-partitioned running MIN carries the first click seen
+    so far, every purchase row with a carried click is a conversion
+    candidate, and the per-user minimum gap IS first-click→first-
+    subsequent-purchase (the first qualifying purchase has the smallest
+    gap: later purchases measure against the same first click). Same
+    truncate-to-second-first epoch discipline as q_ts_twap/C8.
+
+    Scale shape: the window, the per-user aggregate, and the customer
+    join all ride ONE user/custkey-keyed partitioning; the segment rollup
+    is segment-sized. All gaps are exact integer seconds; the single avg
+    ratio rounds once."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        F.date_trunc("second", "ts").alias("sec"),
+        F.when(F.col("event_type") == "click", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = tagged.select(
+        "user_id",
+        "tag",
+        "sec",
+        F.min(F.when(F.col("tag") == 0, F.col("sec"))).over(w).alias("fc"),
+    )
+    conv = (
+        m.where((F.col("tag") == 1) & F.col("fc").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.unix_timestamp("sec") - F.unix_timestamp("fc"))
+            .cast("long")
+            .alias("tts")
+        )
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        conv.join(cust, conv.user_id == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.min("tts").cast("long").alias("min_s"),
+            F.max("tts").cast("long").alias("max_s"),
+            (
+                rlong(F.sum("tts").cast("double") / F.count(F.lit(1)) * 1e6) / 1e6
+            ).alias("avg_s"),
+        )
+    )
