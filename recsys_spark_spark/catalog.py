@@ -17,6 +17,7 @@ memory, and Spark's InMemoryFileIndex on the handle keeps the file listing.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -88,6 +89,44 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df is None:
         df = _load(spark, sf_dir, name)
         _HANDLES[key] = df
+    return df
+
+
+# Persisted-DataFrame memos (capped interactions, graph edge tables, rollup
+# tiers, minhash signatures) previously grew without bound: a long-lived
+# session touching many sf_dirs accumulated pinned storage with no unpersist
+# point (r5 ADVICE). memo_persist centralizes the lifecycle: LRU-capped at
+# MEMO_CAP entries per memo dict, evictees unpersist (non-blocking — an
+# in-flight job holding the evicted handle still computes, just uncached).
+# 4 covers the realistic working set (the three test SFs + one ad-hoc dir).
+MEMO_CAP = 4
+
+
+def memo_persist(
+    memo: dict, key: tuple, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Return memo[key], (re)persisted; build+persist+insert on miss.
+
+    Re-persist on hit covers an external ``spark.catalog.clearCache()``
+    having dropped the entry — the multi-branch fan-outs these memos feed
+    must compute their building block once per action, not per branch.
+    """
+    cached = memo.get(key)
+    if cached is not None:
+        lvl = cached.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            cached.persist()
+        memo.pop(key)
+        memo[key] = cached  # refresh LRU position (dicts keep insert order)
+        return cached
+    df = build().persist()
+    memo[key] = df
+    while len(memo) > MEMO_CAP:
+        evicted = memo.pop(next(iter(memo)))
+        try:
+            evicted.unpersist(blocking=False)
+        except Exception:
+            pass  # a stopped session's handle: nothing left to unpin
     return df
 
 

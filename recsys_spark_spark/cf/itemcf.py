@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recsys_spark_spark.catalog import table
+from recsys_spark_spark.catalog import memo_persist, table
 from recsys_spark_spark.functions.determinism import dround, oround, rlong
 from recsys_spark_spark.registry import query
 
@@ -90,25 +90,17 @@ def capped_interactions(spark: SparkSession, sf_dir: str, cap: int = MAX_USER_HI
     persisted (callers fan out into 4+ branches) and keeps
     HashPartitioning(user_id), which the whole downstream CF chain relies on.
     """
+    def build() -> DataFrame:
+        ui = interactions(spark, sf_dir)
+        w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("item_id"))
+        return (
+            ui.withColumn("_hrank", F.row_number().over(w))
+            .where(F.col("_hrank") <= cap)
+            .drop("_hrank")
+        )
+
     key = (spark.sparkContext.applicationId, sf_dir, cap)
-    cached = _CAPPED.get(key)
-    if cached is not None:
-        lvl = cached.storageLevel
-        if not (lvl.useMemory or lvl.useDisk):
-            # an external clearCache() dropped the entry; re-register so the
-            # 4-branch fan-out still computes the matrix once per action
-            cached.persist()
-        return cached
-    ui = interactions(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("item_id"))
-    df = (
-        ui.withColumn("_hrank", F.row_number().over(w))
-        .where(F.col("_hrank") <= cap)
-        .drop("_hrank")
-        .persist()
-    )
-    _CAPPED[key] = df
-    return df
+    return memo_persist(_CAPPED, key, build)
 
 
 def item_norms(ui: DataFrame) -> DataFrame:
@@ -769,22 +761,17 @@ _FIRST_SEEN: dict[tuple[str, str], DataFrame] = {}
 
 
 def _first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+        l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        return (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+            .agg(F.min("o_orderdate").alias("m"))
+        )
+
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _FIRST_SEEN.get(key)
-    if cached is not None:
-        lvl = cached.storageLevel
-        if not (lvl.useMemory or lvl.useDisk):
-            cached.persist()
-        return cached
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    fs = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
-        .agg(F.min("o_orderdate").alias("m"))
-    ).persist()
-    _FIRST_SEEN[key] = fs
-    return fs
+    return memo_persist(_FIRST_SEEN, key, build)
 
 
 @query(

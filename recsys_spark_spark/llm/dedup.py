@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recsys_spark_spark.catalog import table
+from recsys_spark_spark.catalog import memo_persist, table
 from recsys_spark_spark.llm.similarity import _scaled_dot
 from recsys_spark_spark.registry import query
 
@@ -604,41 +604,35 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shingling is row-local; the 16 hash lanes fan out via a broadcast of a
     16-row range (the only nested-loop join in the chain — over 16 rows);
     the signature build is one shuffle keyed by doc_id."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _MH_SIGS.get(key)
-    if cached is not None:
-        lvl = cached.storageLevel
-        if not (lvl.useMemory or lvl.useDisk):
-            cached.persist()
-        return cached
-    d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    bigrams = F.when(
-        F.size("t") >= 2,
-        F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = toks.select("doc_id", F.explode(F.array_distinct(bigrams)).alias("s"))
-    hashed = sh.select(
-        "doc_id",
-        (F.conv(F.substring(F.md5("s"), 25, 8), 16, 10).cast("long") % _MH_P).alias("sm"),
-    )
-    lanes = F.broadcast(spark.range(0, _MH_K).select(F.col("id").alias("i")))
-    minh = (
-        hashed.join(lanes)
-        .select(
+    def build() -> DataFrame:
+        d = table(spark, sf_dir, "documents")
+        toks = d.select("doc_id", F.split("text", " ").alias("t"))
+        bigrams = F.when(
+            F.size("t") >= 2,
+            F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"),
+        ).otherwise(F.array().cast("array<string>"))
+        sh = toks.select("doc_id", F.explode(F.array_distinct(bigrams)).alias("s"))
+        hashed = sh.select(
             "doc_id",
-            "i",
-            (
-                ((F.col("i") * 2654435761 + 1) % _MH_P * F.col("sm")
-                 + (F.col("i") * 40503 + 7)) % _MH_P
-            ).alias("h"),
+            (F.conv(F.substring(F.md5("s"), 25, 8), 16, 10).cast("long") % _MH_P).alias("sm"),
         )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
-        .persist()
-    )
-    _MH_SIGS[key] = minh
-    return minh
+        lanes = F.broadcast(spark.range(0, _MH_K).select(F.col("id").alias("i")))
+        return (
+            hashed.join(lanes)
+            .select(
+                "doc_id",
+                "i",
+                (
+                    ((F.col("i") * 2654435761 + 1) % _MH_P * F.col("sm")
+                     + (F.col("i") * 40503 + 7)) % _MH_P
+                ).alias("h"),
+            )
+            .groupBy("doc_id", "i")
+            .agg(F.min("h").alias("mh"))
+        )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return memo_persist(_MH_SIGS, key, build)
 
 
 @query("q_dedup_minhash_exact", oracle=_MINHASH_EXACT_ORACLE)

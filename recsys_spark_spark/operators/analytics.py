@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recsys_spark_spark.catalog import table
+from recsys_spark_spark.catalog import memo_persist, table
 from recsys_spark_spark.functions.determinism import rlong
 from recsys_spark_spark.registry import query
 
@@ -372,27 +372,28 @@ _PR_EDGES: dict[tuple[str, str], DataFrame] = {}
 
 
 def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        # Build from the CAPPED interaction matrix (itemcf.MAX_USER_HISTORY):
+        # a hot user contributes O(history²) pairs to the self-join, so the
+        # uncapped matrix is the 100×-scale blow-up the flagship already
+        # guards against. At every test SF no user exceeds the cap
+        # (pytest-pinned in tests/test_plans.py), so capped ≡ uncapped and
+        # the UNCAPPED SQL oracle stays exact. Bonus: the persisted matrix
+        # is shared with the whole CF family instead of re-scanning
+        # orders⋈lineitem here.
+        from recsys_spark_spark.cf.itemcf import capped_interactions
+
+        ui = capped_interactions(spark, sf_dir).select(
+            F.col("user_id").alias("u"), F.col("item_id").alias("i")
+        )
+        a = ui.select("u", F.col("i").alias("src"))
+        b = ui.select("u", F.col("i").alias("dst"))
+        return (
+            a.join(b, "u").where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+        )
+
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _PR_EDGES.get(key)
-    if cached is not None:
-        lvl = cached.storageLevel
-        if not (lvl.useMemory or lvl.useDisk):
-            cached.persist()
-        return cached
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    ui = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
-        .distinct()
-    )
-    a = ui.select("u", F.col("i").alias("src"))
-    b = ui.select("u", F.col("i").alias("dst"))
-    edges = (
-        a.join(b, "u").where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
-    ).persist()
-    _PR_EDGES[key] = edges
-    return edges
+    return memo_persist(_PR_EDGES, key, build)
 
 
 # --------------------------------------------------------------------------
@@ -1708,30 +1709,26 @@ _EIG_EDGES: dict[tuple[str, str], DataFrame] = {}
 
 
 def _eig_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        # Capped matrix for the same reasons as _pr_edges (cap ≡ uncapped at
+        # test SFs, pytest-pinned; bounds the O(history²) pair blow-up and
+        # shares the persisted CF matrix instead of a second scan+join).
+        from recsys_spark_spark.cf.itemcf import capped_interactions
+
+        ui = capped_interactions(spark, sf_dir).select(
+            F.col("user_id").alias("u"), F.col("item_id").alias("i")
+        )
+        a = ui.select("u", F.col("i").alias("src"))
+        b = ui.select("u", F.col("i").alias("dst"))
+        return (
+            a.join(b, "u")
+            .where(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _EIG_EDGES.get(key)
-    if cached is not None:
-        lvl = cached.storageLevel
-        if not (lvl.useMemory or lvl.useDisk):
-            cached.persist()
-        return cached
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    ui = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
-        .distinct()
-    )
-    a = ui.select("u", F.col("i").alias("src"))
-    b = ui.select("u", F.col("i").alias("dst"))
-    edges = (
-        a.join(b, "u")
-        .where(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    ).persist()
-    _EIG_EDGES[key] = edges
-    return edges
+    return memo_persist(_EIG_EDGES, key, build)
 
 
 def _eig_oracle() -> str:
@@ -1785,8 +1782,10 @@ def q_graph_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: each iteration re-quantizes the unit vector to integer
     1e-6 components, so the iteration state is a BIGINT vector identical
     on both engines; the L2 norm is one double from an exact 128-bit
-    Σw² (w ≤ Σc·scale ≈ 1e13 at sf10 — products stay in 64 bits per
-    row, squares need the 128-bit accumulator). The oracle unrolls the
+    Σw² (w ≤ Σc·scale ≈ 1e13 at sf10 — products and the edge-sized
+    matvec sum stay exactly in 64 bits, so that hot aggregate is a LONG
+    on the vectorized path; only the node-sized Σw², whose squares reach
+    1e26, uses the 128-bit decimal accumulator). The oracle unrolls the
     same {EIG_ITERS} iterations as chained CTEs.
 
     Scale shape: weighted edges build once from the user-keyed self-join
@@ -1800,15 +1799,23 @@ def q_graph_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.lit(int(EIG_SCALE)).cast("long").alias("v_s")
     )
     for _ in range(EIG_ITERS):
+        # Matvec accumulates in LONG, not decimal(38,0): per-row products
+        # c·v_s ≤ 1e13 at sf10 (docstring bound), so the edge-sized hot
+        # aggregate stays on Spark's vectorized long path — the decimal
+        # aggregation here measured 91× slower in the Newton-trainer probe
+        # (stats.py long-accumulator precedent) and made this the most
+        # expensive query in the registry (104 s at sf0.1). Only the norm's
+        # Σw² genuinely needs 128 bits (w² ≤ 1e26), and that aggregate is
+        # node-sized and runs once per iteration — decimal stays there.
         w = (
             edges.join(v, edges.dst == v.node)
             .select("src", (F.col("c") * F.col("v_s")).alias("cv"))
             .groupBy(F.col("src").alias("node"))
-            .agg(F.sum(F.col("cv").cast("decimal(38,0)")).alias("w"))
+            .agg(F.sum("cv").alias("w"))
         )
         nrm = w.agg(
             F.sqrt(
-                F.sum(F.col("w") * F.col("w")).cast("double")
+                F.sum(F.col("w").cast("decimal(38,0)") * F.col("w")).cast("double")
             ).alias("nrm")
         )
         v = w.crossJoin(F.broadcast(nrm)).select(

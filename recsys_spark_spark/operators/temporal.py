@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recsys_spark_spark.catalog import table
+from recsys_spark_spark.catalog import memo_persist, table
 from recsys_spark_spark.functions.determinism import dround, rlong
 from recsys_spark_spark.registry import query
 
@@ -267,26 +267,17 @@ def minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the cascade EXACTLY mergeable: upper tiers sum longs, so any
     regrouping — minute→hour→day here, or partition-wise partials on a
     cluster — produces bit-identical results."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _MINUTE_TIER.get(key)
-    if cached is not None:
-        lvl = cached.storageLevel
-        if not (lvl.useMemory or lvl.useDisk):
-            cached.persist()
-        return cached
-    from recsys_spark_spark.functions.determinism import rlong
+    def build() -> DataFrame:
+        from recsys_spark_spark.functions.determinism import rlong
 
-    e = table(spark, sf_dir, "events")
-    df = (
-        e.groupBy(F.date_trunc("minute", "ts").alias("minute_b"))
-        .agg(
+        e = table(spark, sf_dir, "events")
+        return e.groupBy(F.date_trunc("minute", "ts").alias("minute_b")).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(rlong(F.col("value") * F.lit(1e6))).alias("sv"),
         )
-        .persist()
-    )
-    _MINUTE_TIER[key] = df
-    return df
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return memo_persist(_MINUTE_TIER, key, build)
 
 
 @query(

@@ -178,10 +178,13 @@ def test_connected_components_raises_on_non_convergence(spark):
 
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 def test_user_history_below_cap_on_fixtures(spark, sf_dir):
-    """The CF oracles assume capped == uncapped interactions, which holds only
-    while no user's distinct item count reaches MAX_USER_HISTORY. Guard that
-    assumption per fixture so a regenerated/denser testdata set fails loudly
-    here instead of silently diverging from the oracle (ADVICE round 3)."""
+    """The CF oracles — and, since round 6, the graph edge builders behind
+    q_graph_pagerank / q_graph_eigencentrality (analytics._pr_edges /
+    _eig_edges, both built from capped_interactions) — assume capped ==
+    uncapped interactions, which holds only while no user's distinct item
+    count reaches MAX_USER_HISTORY. Guard that assumption per fixture so a
+    regenerated/denser testdata set fails loudly here instead of silently
+    diverging from the uncapped SQL oracles (ADVICE round 3)."""
     from pyspark.sql import functions as F
 
     ui = itemcf.interactions(spark, sf_dir)
