@@ -534,9 +534,13 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     discount in percent), the closed forms
         corr  = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)(n·Syy − Sy²))
         covar = (n·Sxy − Sx·Sy) / (n(n−1)),  slope = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²)
-    divide exact integers (all < 2^53, so the double conversions are
-    lossless and sqrt is correctly rounded — bit-identical everywhere),
-    and the /100 rescales the percent scaling back to the raw unit.
+    divide exact integers. Cross-engine parity holds because BOTH engines
+    round the SAME exact integer to double with the same round-to-nearest
+    conversion, then evaluate the identical expression tree — NOT because
+    the products fit in 2^53 (at sf1, n·Sxx ≈ 1.5e16 already exceeds
+    2^53, so the conversion rounds; it just rounds identically on both
+    sides — r5 ADVICE correction). The /100 rescales the percent scaling
+    back to the raw unit.
     Scale shape: one map-side-combinable aggregate per flag — the moment
     vector is 6 longs per group, perfectly mergeable (the same
     partial-aggregation contract as q_incr_agg)."""

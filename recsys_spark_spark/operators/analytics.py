@@ -1407,6 +1407,11 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         F.sum("_new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
     )
+    # The struct sort is lexicographic over (ts, event_id, event_type) while
+    # the oracle's string_agg orders by (ts, event_id) only; the two agree
+    # because event_id is UNIQUE (asserted per fixture in
+    # tests/test_new_ops_worked.py::test_event_id_unique_on_fixtures), so
+    # comparison never reaches the trailing event_type field (r5 ADVICE).
     paths = numbered.groupBy("user_id", "session_id").agg(
         F.expr(
             "array_join(slice(transform(array_sort(collect_list(struct(ts, event_id, event_type))),"
@@ -1932,4 +1937,93 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rlong(F.sum("tts").cast("double") / F.count(F.lit(1)) * 1e6) / 1e6
             ).alias("avg_s"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# M185: degree distribution of the co-occurrence graph
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_graph_degree_stats",
+    oracle=f"""
+WITH {_PR_EDGES_SQL.strip()}
+SELECT CAST(outdeg AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1
+""",
+)
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M185: degree distribution of the item co-occurrence graph — the
+    first diagnostic anyone runs on a graph before centrality/community
+    work (is it scale-free? how heavy is the hub tail that will skew the
+    self-join?). Directly instruments the skew the capped edge builders
+    guard against: the max-degree row IS the blow-up bound.
+
+    Shape: reuses the persisted _pr_edges table (zero extra scans in a
+    session that also ran PageRank), one src-keyed count, one degree-keyed
+    count — output is distinct-degree-sized, orders of magnitude below
+    node count. Exact integers throughout."""
+    edges = _pr_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    return deg.groupBy(F.col("outdeg").cast("long").alias("degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+# --------------------------------------------------------------------------
+# M186: k-anonymity risk profile over quasi-identifiers
+# --------------------------------------------------------------------------
+
+KANON_K = 10
+
+
+@query(
+    "q_dq_kanonymity",
+    oracle=f"""
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(ROUND(c_acctbal / 100, 0) AS BIGINT) AS bal_bucket,
+         COUNT(*) AS sz
+  FROM customer GROUP BY 1, 2, 3
+),
+tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS n FROM cls)
+SELECT CAST(sz AS BIGINT) AS class_size,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(sz * COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(sz * COUNT(*) AS DOUBLE) / n * 1e6, 0) / 1e6 AS row_share,
+       sz < {KANON_K} AS unsafe
+FROM cls CROSS JOIN tot
+GROUP BY sz, n
+""",
+)
+def q_dq_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M186: k-anonymity risk profile (Sweeney 2002) of the customer table
+    under the quasi-identifier set (nation, market segment, account-balance
+    bucket) — the training-data-governance primitive: before releasing or
+    training on user-derived records, measure how many sit in equivalence
+    classes smaller than k (re-identifiable by joining the quasi-identifiers
+    to an external dataset). Output is the class-SIZE histogram: one row per
+    distinct class size with how many classes/rows it covers, its share of
+    all rows, and the unsafe flag (size < {KANON_K}).
+
+    Shape: two cascaded keyed aggregates (quasi-class → size histogram),
+    both map-side combinable; the 1-row total broadcasts. Output is
+    distinct-size-sized — tiny at any scale. The ratio is one exact-long
+    division, display-rounded 6dp."""
+    c = table(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        rlong(F.col("c_acctbal") / 100).cast("long").alias("bal_bucket"),
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    tot = cls.agg(F.sum("sz").cast("long").alias("n"))
+    hist = cls.groupBy("sz").agg(F.count(F.lit(1)).alias("n_classes"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        F.col("sz").cast("long").alias("class_size"),
+        F.col("n_classes").cast("long").alias("n_classes"),
+        (F.col("sz") * F.col("n_classes")).cast("long").alias("n_rows"),
+        (rlong((F.col("sz") * F.col("n_classes")).cast("double") / F.col("n") * 1e6) / 1e6).alias("row_share"),
+        (F.col("sz") < KANON_K).alias("unsafe"),
     )

@@ -1438,3 +1438,103 @@ def q_glm_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rlong(F.col("b0") * 1e6) / 1e6).alias("beta_intercept"),
         (rlong(F.col("b1") * 1e6) / 1e6).alias("beta_discount"),
     )
+
+
+# --------------------------------------------------------------------------
+# M183: multiple linear regression via normal equations (3x3 Cramer solve)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stat_linreg_multi",
+    oracle="""
+WITH d AS (
+  SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x2,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS s2y
+  FROM d
+),
+f AS (
+  SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+         CAST(sy AS DOUBLE) AS sy, CAST(s11 AS DOUBLE) AS s11, CAST(s22 AS DOUBLE) AS s22,
+         CAST(s12 AS DOUBLE) AS s12, CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y,
+         CAST(n AS BIGINT) AS n_rows
+  FROM s
+)
+SELECT n_rows,
+       ROUND((sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y))
+             / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) * 1e4, 0) / 1e4
+         AS beta_intercept_cents,
+       ROUND((n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2))
+             / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) * 1e4, 0) / 1e4
+         AS beta_qty_cents,
+       ROUND((n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2))
+             / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) * 1e4, 0) / 1e4
+         AS beta_discpct_cents
+FROM f
+""",
+)
+def q_stat_linreg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M183: multiple linear regression (2 regressors + intercept) fit
+    in-engine by the normal equations — extended price (cents) on quantity
+    and discount percent over all of lineitem. ONE map-side-combinable
+    aggregate folds the fact table to the 9 OLS sufficient statistics
+    (n, Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y), then a 3×3 Cramer
+    solve closes in constant time — the classic "ML on SQL engines"
+    normal-equation pattern (the k-feature generalization of
+    q_price_elasticity's single-regressor fit, and the linear-model
+    sibling of q_glm_logistic_newton's 2×2 IRLS solve).
+
+    Exactness: all three measures quantize to exact small integers
+    (quantity ≤ 50, discount-pct ≤ 10, price-cents ≤ ~1.1e7), so every
+    sufficient sum stays a 64-bit LONG through sf10 (largest: Σx1·y ≤
+    3e16 at 6e7 rows — vectorized long path, no decimal). Cross-products
+    of SUMS (e.g. Σx1²·Σx2² ~ 9e20) would overflow integers, so the
+    Cramer determinants are computed in DOUBLE from identical long→double
+    conversions of the same exact integers — both engines evaluate the
+    same expression tree on the same inputs, one 4dp rounding at the end
+    (cent-scale betas: 6dp would sit inside double noise at 1e7
+    magnitudes, the q_feature_covariance display-rounding lesson).
+
+    Shape: aggregate → 1-row closed form; partial aggregation makes the
+    shuffle 9 longs per partition regardless of fact volume."""
+    l = table(spark, sf_dir, "lineitem").select(
+        rlong(F.col("l_quantity")).cast("long").alias("x1"),
+        rlong(F.col("l_discount") * 100).cast("long").alias("x2"),
+        rlong(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    s = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    n, s1, s2 = (F.col(c).cast("double") for c in ("n", "s1", "s2"))
+    sy, s11, s22 = (F.col(c).cast("double") for c in ("sy", "s11", "s22"))
+    s12, s1y, s2y = (F.col(c).cast("double") for c in ("s12", "s1y", "s2y"))
+    det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+    det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+    det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)
+    det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)
+    return s.select(
+        F.col("n").cast("long").alias("n_rows"),
+        (rlong(det0 / det * 1e4) / 1e4).alias("beta_intercept_cents"),
+        (rlong(det1 / det * 1e4) / 1e4).alias("beta_qty_cents"),
+        (rlong(det2 / det * 1e4) / 1e4).alias("beta_discpct_cents"),
+    )

@@ -1327,3 +1327,107 @@ def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("twap_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# M184: change-point detection — best single mean-shift split per series
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 1e4, 0) AS BIGINT)) AS BIGINT) AS y_s
+  FROM events GROUP BY 1, 2
+),
+pre AS (
+  SELECT event_type, day, y_s,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) - 1 AS k,
+         CAST(COALESCE(SUM(y_s) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sl,
+         CAST(SUM(y_s) OVER (PARTITION BY event_type) AS BIGINT) AS stot,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+  FROM daily
+),
+scored AS (
+  SELECT event_type, day, k, m - k AS kr, sl, stot - sl AS sr,
+         CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(k AS DOUBLE)
+         + CAST(stot - sl AS DOUBLE) * CAST(stot - sl AS DOUBLE) / CAST(m - k AS DOUBLE) AS b
+  FROM pre WHERE k >= 1 AND m - k >= 1
+)
+SELECT event_type, day AS change_day,
+       CAST(k AS BIGINT) AS days_before, CAST(kr AS BIGINT) AS days_after,
+       ROUND(CAST(sl AS DOUBLE) / CAST(k AS DOUBLE) / 1e4 * 1e6, 0) / 1e6 AS mean_before,
+       ROUND(CAST(sr AS DOUBLE) / CAST(kr AS DOUBLE) / 1e4 * 1e6, 0) / 1e6 AS mean_after
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b DESC, day) AS rnk
+  FROM scored
+) WHERE rnk = 1
+""",
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M184: single change-point detection per event-type daily series —
+    the first step of binary segmentation (Scott & Knott 1974 / the CUSUM
+    family's offline cousin): the split day that minimizes total
+    within-segment SSE, i.e. maximizes the between-segment term
+    B(k) = S_l²/k + S_r²/(m−k) (Σy² is constant across candidate splits,
+    so SSE-argmin ≡ B-argmax — which removes Σy² from the computation
+    entirely and with it the only sum that would overflow int64 at scale).
+    Complements q_ts_cusum (online drift score) with the offline
+    "where did the level shift?" answer.
+
+    Exactness: daily sums quantize to exact longs (1e-4); prefix sums are
+    windowed BIGINT sums (order-free); B and the reported means are
+    doubles computed from identical long→double conversions with an
+    identical expression tree on both engines, so the per-series argmax
+    ranks identical values. One 6dp display rounding.
+
+    Shape: one keyed day-aggregate, then all windows ride the SAME
+    event_type partitioning (prefix sum, series totals, final rank) —
+    a fixed handful of day-count-sized rows per series regardless of
+    event volume; no joins, no global window."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(rlong(F.col("value") * 1e4)).alias("y_s"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wp = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        (F.row_number().over(wo).cast("long") - 1).alias("k"),
+        F.coalesce(
+            F.sum("y_s").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("sl"),
+        F.sum("y_s").over(wp).alias("stot"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("m"),
+    )
+    kd = F.col("k").cast("double")
+    krd = (F.col("m") - F.col("k")).cast("double")
+    sld = F.col("sl").cast("double")
+    srd = (F.col("stot") - F.col("sl")).cast("double")
+    scored = pre.where((F.col("k") >= 1) & (F.col("m") - F.col("k") >= 1)).select(
+        "event_type",
+        "day",
+        "k",
+        (F.col("m") - F.col("k")).alias("kr"),
+        "sl",
+        (F.col("stot") - F.col("sl")).alias("sr"),
+        (sld * sld / kd + srd * srd / krd).alias("b"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.col("b").desc(), "day")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("k").alias("days_before"),
+            F.col("kr").alias("days_after"),
+            (rlong(F.col("sl").cast("double") / F.col("k").cast("double") / 1e4 * 1e6) / 1e6).alias("mean_before"),
+            (rlong(F.col("sr").cast("double") / F.col("kr").cast("double") / 1e4 * 1e6) / 1e6).alias("mean_after"),
+        )
+    )

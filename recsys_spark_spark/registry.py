@@ -45,11 +45,21 @@ ORACLES: dict[str, str] = {}
 #     every round with an exact multiset compare — stricter than the driver's
 #     hash — (tools/check_oracles.py --json, committed as
 #     CORRECTNESS_LOCAL_r{N}.json + BASELINE.md note).
-#   round 5 window: _R5_WINDOW below — the 35 entries that had never had a
-#     driver row (r4's window pin left the late M68-M95 registrations out),
-#     then this round's modified queries, the streaming twins (last checked
-#     r2), and the six new round-5 entries. After r5 EVERY registry entry has
-#     appeared in at least one driver window.
+#   round 5 window: _R5_WINDOW (see git history) — the 35 entries that had
+#     never had a driver row (r4's window pin left the late M68-M95
+#     registrations out), then that round's modified queries, the streaming
+#     twins (last checked r2), and the six new round-5 entries. All 50 green
+#     (CORRECTNESS_r05.json).
+#   round 6 window: _R6_WINDOW below. The r5 registry growth (166→248)
+#     re-created a 76-key never-driver-verified backlog — larger than one
+#     50-entry window, so it drains over r6+r7. Order: the 4 NEW round-6
+#     queries first (driver-verified in their first round), then the 12 keys
+#     the committed r5 local sweep missed (verified by the judge, but the
+#     repo should hold its own artifact), then the full stats/inference
+#     block (the largest never-verified family), then temporal/aggregate/
+#     SQL-mode/graph/analytics keys — 50 exactly. The ~30 remaining
+#     never-verified keys (text/feature/eval/sampling families + lakehouse
+#     time travel + udf_arrow) are queued first for _R7_WINDOW.
 _QUERY_MODULES = (
     "recsys_spark_spark.operators.temporal",
     "recsys_spark_spark.llm.chunking",
@@ -84,121 +94,94 @@ _QUERY_MODULES = (
     "recsys_spark_spark.udf.udfs",
 )
 
-# Round-5 driver window: the first 50 names the driver will verify, in order.
-# 1-35: every registry entry that has NEVER appeared in any driver window
-#   (computed from CORRECTNESS_r01..r04 key sets) — after r5 every entry has
-#   a driver row at least once. Includes the two rows-only members
-#   (q_hll_mergeable, q_multimodal_resize) whose weaker rows-only driver
-#   check is still a first.
-# 36-38: queries MODIFIED this round — q_sort_multi (distributed-rank
-#   rewrite), q_multimodal_features/frames (real BMP/PCM decoders replace
-#   the stubs). q_join_regional_revenue / q_training_triples /
-#   q_sql_scripting / q_rank_fusion were also modified but already sit in
-#   the never-verified block above.
-# 39-44: the streaming batch twins, last driver-checked r2.
-# 45-50: new round-5 registry entries (driver-verified in their first round).
+# Round-6 driver window: the first 50 names the driver will verify, in order.
+# 1-4: NEW round-6 queries (driver-verified in their first round).
+# 5-16: the 12 keys registered after r5's last committed local sweep
+#   (CORRECTNESS_LOCAL_r05 covered 236/248) — judge-verified in r5, but the
+#   repo needs its own driver row.
+# 17-28: the stats/inference block — the largest never-driver-verified
+#   family (registered r4-r5, local-sweep green at both SFs).
+# 29-50: temporal, aggregate-extra, SQL-mode, graph, and analytics keys
+#   from the same never-verified backlog. Everything here EXCEPT rows 1-4
+#   passed CORRECTNESS_LOCAL_r05{,_sf01} exact sweeps; this window converts
+#   that soft signal to driver signal.
 # Names not listed keep their registration order after these.
-_R5_WINDOW = (
-    # -- 35 never-driver-verified --
-    "q_incr_agg",
-    "q_batch_by_length",
-    "q_jdbc_roundtrip",
-    "q_source_python_ds",
-    "q_join_interval",
-    "q_join_fuzzy",
-    "q_join_bloom",
-    "q_join_regional_revenue",
-    "q_window_count_distinct",
-    "q_agg_mode",
-    "q_hll_mergeable",
-    "q_quantile_bins",
-    "q_sql_scripting",
-    "q_cohort_retention",
-    "q_funnel_conversion",
-    "q_histogram",
-    "q_item_transitions",
-    "q_graph_pagerank",
-    "q_active_users",
-    "q_skew_audit",
-    "q_attribution_last_touch",
-    "q_json_variant",
-    "q_cf_incremental_cooc",
-    "q_seq_windows",
-    "q_assoc_rules",
-    "q_dedup_contamination",
-    "q_multimodal_resize",
-    "q_text_redact",
-    "q_text_pmi",
-    "q_rank_fusion",
-    "q_corpus_mix",
-    "q_split_train_test",
-    "q_sample_weighted",
-    "q_sample_negatives",
-    "q_training_triples",
-    # -- modified this round --
-    "q_sort_multi",
-    "q_multimodal_features",
-    "q_multimodal_frames",
-    # -- streaming twins, last driver-checked r2 --
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_late_drop",
-    "q_stream_dedup",
-    "q_stream_anomaly",
-    # -- new in round 5 --
-    "q_sink_merge",
-    "q_sessionize_batch",
-    "q_zorder_layout",
-    "q_compact_files_plan",
-    "q_stratified_sample_exact",
-    "q_decile_lift",
+_R6_WINDOW = (
+    # -- new in round 6 --
+    "q_stat_linreg_multi",
+    "q_ts_changepoint",
+    "q_graph_degree_stats",
+    "q_dq_kanonymity",
+    # -- the 12 post-sweep r5 additions --
+    "q_activity_streaks",
+    "q_array_lambda",
+    "q_feature_covariance",
+    "q_glm_logistic_newton",
+    "q_graph_eigencentrality",
+    "q_interval_concurrency",
+    "q_join_asof_nearest",
+    "q_pattern_rising_runs",
+    "q_stat_mannwhitney",
+    "q_time_to_convert",
+    "q_ts_decompose",
+    "q_ts_twap",
+    # -- stats/inference block --
+    "q_stat_ttest",
+    "q_stat_chisq",
+    "q_drift_psi",
+    "q_gini_concentration",
+    "q_stat_mann_kendall",
+    "q_audit_benford",
+    "q_stat_twoprop",
+    "q_price_elasticity",
+    "q_stat_ks",
+    "q_survival_km",
+    "q_stat_pvalue",
+    "q_stat_anova",
+    # -- temporal family --
+    "q_ts_ewma",
+    "q_ts_interp_linear",
+    "q_ts_acf",
+    "q_ts_cusum",
+    "q_seasonal_index",
+    "q_purchase_cycle",
+    "q_forecast_linear",
+    # -- aggregate extras --
+    "q_agg_corr",
+    "q_agg_moments",
+    "q_agg_weighted_median",
+    "q_agg_diversity_entropy",
+    # -- SQL-mode Spark 4 --
+    "q_sql_correlated",
+    "q_sql_lateral",
+    "q_sql_q21_shape",
+    # -- graph --
+    "q_graph_triangles",
+    "q_graph_jaccard",
+    # -- analytics --
+    "q_outlier_mad",
+    "q_rfm_segmentation",
+    "q_part_abc",
+    "q_attribution_position",
+    "q_trending_items",
+    "q_session_paths",
 )
 
-# Round-6 rotation candidates (registered after the window pin, never
-# driver-verified): q_table_time_travel (lakehouse.py), q_feature_hash and
-# q_label_future_window (llm/features.py), q_cf_slope_one (cf/slopeone.py),
-# q_eval_hitrate (cf/evaluate.py), q_text_entropy / q_text_repetition
-# (llm/text.py), q_ts_ewma (operators/temporal.py), q_outlier_mad /
-# q_graph_triangles (operators/analytics.py), q_sql_correlated
-# (operators/extras.py), q_sample_bootstrap (llm/sampling.py), q_agg_corr
-# (operators/aggregates.py), q_kmeans_step / q_embed_pq_encode
-# (llm/similarity.py), q_cf_hybrid_rec (cf/itemcf.py), q_set_ops_all
-# (operators/sets.py), q_sql_lateral / q_sql_q21_shape
-# (operators/extras.py), q_udf_arrow (udf/udfs.py), q_eval_auc
-# (llm/features.py), q_window_moving_median (operators/windows.py),
-# q_agg_moments (operators/aggregates.py), q_text_perplexity
-# (llm/text.py), q_corpus_mix_temperature (llm/sampling.py),
-# q_ts_interp_linear (operators/temporal.py), q_target_encode_loo /
-# q_woe_iv (llm/features.py), q_stat_ttest / q_stat_chisq / q_drift_psi /
-# q_gini_concentration / q_stat_mann_kendall (operators/stats.py),
-# q_ts_acf / q_ts_cusum (operators/temporal.py), q_feature_scale
-# (llm/features.py), q_audit_benford / q_stat_twoprop
-# (operators/stats.py), q_text_zipf (llm/text.py), q_rfm_segmentation /
-# q_graph_jaccard / q_part_abc / q_attribution_position /
-# q_trending_items (operators/analytics.py), q_price_elasticity
-# (operators/stats.py), q_seasonal_index / q_purchase_cycle
-# (operators/temporal.py), q_stat_ks (operators/stats.py),
-# q_text_encode (llm/text.py), q_source_text (operators/scans.py),
-# q_agg_weighted_median (operators/aggregates.py), q_survival_km
-# (operators/stats.py), q_embed_norm_audit (llm/similarity.py),
-# q_feature_store (llm/features.py), q_stat_pvalue / q_stat_anova
-# (operators/stats.py), q_agg_diversity_entropy
-# (operators/aggregates.py), q_session_paths (operators/analytics.py),
-# q_forecast_linear (operators/temporal.py), q_feature_winsorize
-# (llm/features.py), q_stat_bootstrap_ci (llm/sampling.py),
-# q_dq_expectations (operators/analytics.py), q_eval_novelty
-# (cf/evaluate.py), q_text_readability (llm/text.py), plus
-# q_interval_concurrency (operators/temporal.py), q_stat_mannwhitney /
-# q_feature_covariance / q_glm_logistic_newton (operators/stats.py),
-# q_pattern_rising_runs (operators/analytics.py), q_array_lambda
-# (functions/scalar.py), q_ts_decompose (operators/temporal.py),
-# q_activity_streaks / q_graph_eigencentrality (operators/analytics.py),
-# q_join_asof_nearest (operators/joins.py), q_ts_twap
-# (operators/temporal.py), plus
-# whatever round 6 adds — put them first in
-# _R6_WINDOW, then refresh the oldest families (round-1-era
-# scans/filters/joins/windows/aggregates rows).
+# Round-7 rotation queue (never driver-verified after the r6 window runs):
+# q_source_text (operators/scans.py), q_window_moving_median
+# (operators/windows.py), q_set_ops_all (operators/sets.py),
+# q_dq_expectations (operators/analytics.py), q_cf_hybrid_rec
+# (cf/itemcf.py), q_cf_slope_one (cf/slopeone.py), q_eval_hitrate /
+# q_eval_novelty (cf/evaluate.py), q_kmeans_step / q_embed_pq_encode /
+# q_embed_norm_audit (llm/similarity.py), q_text_entropy /
+# q_text_repetition / q_text_perplexity / q_text_zipf / q_text_encode /
+# q_text_readability (llm/text.py), q_sample_bootstrap /
+# q_corpus_mix_temperature / q_stat_bootstrap_ci (llm/sampling.py),
+# q_feature_hash / q_label_future_window / q_eval_auc /
+# q_target_encode_loo / q_woe_iv / q_feature_scale / q_feature_store /
+# q_feature_winsorize (llm/features.py), q_table_time_travel
+# (lakehouse.py), q_udf_arrow (udf/udfs.py) — put round-7's NEW queries
+# first, these next, then refresh the oldest driver-green families.
 
 _loaded = False
 
@@ -223,10 +206,10 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
     if not _loaded:
         for mod in _QUERY_MODULES:
             importlib.import_module(mod)
-        missing = [n for n in _R5_WINDOW if n not in QUERIES]
+        missing = [n for n in _R6_WINDOW if n not in QUERIES]
         if missing:
             raise RuntimeError(f"window names not registered: {missing}")
-        ordered = list(_R5_WINDOW) + [n for n in QUERIES if n not in set(_R5_WINDOW)]
+        ordered = list(_R6_WINDOW) + [n for n in QUERIES if n not in set(_R6_WINDOW)]
         for reg in (QUERIES, ORACLES):
             tail = {n: reg.pop(n) for n in ordered if n in reg}
             reg.update(tail)  # dicts preserve insertion order -> window first

@@ -285,3 +285,19 @@ def test_ts_interp_linear_matches_python_loop(spark):
                 want[key] = (1, pv + r)
             cur += dt.timedelta(days=1)
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_event_id_unique_on_fixtures(spark, sf_dir):
+    """q_session_paths' struct sort (ts, event_id, event_type) matches its
+    oracle's (ts, event_id)-ordered string_agg only while event_id never
+    ties within a user — guaranteed by global event_id uniqueness. Guard it
+    per fixture so a regenerated events table with duplicate ids fails here
+    instead of silently diverging (r5 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n, d = e.agg(F.count("event_id"), F.countDistinct("event_id")).first()
+    assert n == d, f"{sf_dir}: {n - d} duplicate event_ids"

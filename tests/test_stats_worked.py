@@ -919,3 +919,22 @@ def test_eigencentrality_matches_numpy_power_iteration(spark):
         row = got[got.rnk == rnk].iloc[0]
         assert row.item_id == nodes[k], (rnk, row.item_id, nodes[k])
         assert abs(row.centrality - v[k] / EIG_SCALE) < 1e-9
+
+
+def test_linreg_multi_matches_numpy_lstsq(spark):
+    """q_stat_linreg_multi's 3×3 Cramer solve vs np.linalg.lstsq on the
+    identically-quantized design matrix (quantity, discount-pct → price
+    cents). lstsq solves the same normal equations by SVD, so agreement to
+    ~1e-6 relative validates both the sufficient statistics and the
+    determinant algebra."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").toPandas()
+    x1 = np.floor(li.l_quantity + 0.5).astype("int64").to_numpy(dtype=float)
+    x2 = np.floor(li.l_discount * 100 + 0.5).astype("int64").to_numpy(dtype=float)
+    y = np.floor(li.l_extendedprice * 100 + 0.5).astype("int64").to_numpy(dtype=float)
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    row = QUERIES["q_stat_linreg_multi"](spark, SF_SMOKE).first()
+    assert row.n_rows == len(li)
+    got = (row.beta_intercept_cents, row.beta_qty_cents, row.beta_discpct_cents)
+    for g, ref in zip(got, beta):
+        assert abs(g - ref) <= max(1e-6 * abs(ref), 1e-3), (got, beta)

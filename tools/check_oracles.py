@@ -114,8 +114,33 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--json", dest="json_out", default=None)
+    ap.add_argument(
+        "--verify-sweep",
+        dest="verify_sweep",
+        default=None,
+        metavar="SWEEP_JSON",
+        help="no queries run: exit 1 unless SWEEP_JSON covers every "
+        "registered query (the r5 snapshot shipped a sweep 12 keys behind "
+        "HEAD — run this against the committed CORRECTNESS_LOCAL file "
+        "before every end-of-round snapshot)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    if args.verify_sweep:
+        queries, _ = load_all()
+        with open(args.verify_sweep) as f:
+            swept = set(json.load(f))
+        missing = sorted(set(queries) - swept)
+        extra = sorted(swept - set(queries))
+        if missing or extra:
+            print(f"SWEEP INCOMPLETE vs registry ({len(queries)} keys):")
+            if missing:
+                print(f"  not in sweep ({len(missing)}): {missing}")
+            if extra:
+                print(f"  swept but unregistered ({len(extra)}): {extra}")
+            return 1
+        print(f"sweep covers all {len(queries)} registry keys")
+        return 0
     if not os.path.isdir(args.sf):  # accept the "sf0.01" shorthand
         args.sf = os.path.join("/root/testdata", args.sf)
 

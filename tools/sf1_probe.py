@@ -99,6 +99,20 @@ PROBE_QUERIES = (
     "q_join_asof_nearest",
     "q_pattern_rising_runs",
     "q_feature_covariance",
+    # round-6 additions (VERDICT r5 #6): the heavy never-probed operators —
+    # the full survival curve (global event-time prefix products), the
+    # 3-way feature-store composition, the source-pair contamination join,
+    # the lakehouse merge/time-travel write paths, plus this round's new
+    # queries and the post-fix eigencentrality re-entry
+    "q_survival_km",
+    "q_feature_store",
+    "q_dedup_contamination",
+    "q_sink_merge",
+    "q_table_time_travel",
+    "q_ts_changepoint",
+    "q_stat_linreg_multi",
+    "q_graph_degree_stats",
+    "q_dq_kanonymity",
 )
 
 
@@ -151,6 +165,12 @@ def main() -> int:
         default=None,
         help="probe only these query names (default: full PROBE_QUERIES set)",
     )
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="merge this run's per-query entries into an existing --out file "
+        "instead of replacing it (for incremental subset probes)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="sf1-probe", shuffle_partitions=32)
@@ -188,6 +208,12 @@ def main() -> int:
             print("  plan diff:", {k: (d1[k], d2[k]) for k in d1 if d1[k] != d2[k]}, flush=True)
 
     out = args.out or "SF1_PROBE.json"
+    if args.merge and os.path.exists(out):
+        with open(out) as f:
+            prior = json.load(f)
+        prior["queries"].update(report["queries"])
+        prior["gen_sec"] = report["gen_sec"]
+        report = prior
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print("written", out)
