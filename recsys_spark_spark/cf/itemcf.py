@@ -1074,3 +1074,148 @@ def q_cf_hybrid_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk", F.lit("cold_popularity").alias("source"),
     )
     return warm.unionByName(cold_recs)
+
+
+# --------------------------------------------------------------------------
+# M188: regularized baseline predictor (global mean + item bias + user bias)
+# --------------------------------------------------------------------------
+
+BASELINE_LAMBDA_I = 25  # item-bias shrinkage (Koren 2008 §2.1 defaults)
+BASELINE_LAMBDA_U = 10  # user-bias shrinkage
+BASELINE_TOP = 20
+
+
+@query(
+    "q_cf_baseline_bias",
+    oracle=f"""
+WITH ui AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+r AS (SELECT user_id, item_id, cnt, cnt * 1000000 AS r_s FROM ui),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r_s) AS BIGINT) AS sr FROM r
+),
+mu AS (
+  SELECT CAST(ROUND(CAST(sr AS DOUBLE) / n, 0) AS BIGINT) AS mu_s FROM g
+),
+ib AS (
+  SELECT item_id,
+         CAST(ROUND(CAST(SUM(r_s) - COUNT(*) * mu_s AS DOUBLE)
+                    / ({BASELINE_LAMBDA_I} + COUNT(*)), 0) AS BIGINT) AS bi_s
+  FROM r CROSS JOIN mu GROUP BY item_id, mu_s
+),
+ub AS (
+  SELECT user_id,
+         CAST(ROUND(CAST(SUM(r_s) - COUNT(*) * mu_s - SUM(bi_s) AS DOUBLE)
+                    / ({BASELINE_LAMBDA_U} + COUNT(*)), 0) AS BIGINT) AS bu_s
+  FROM r JOIN ib USING (item_id) CROSS JOIN mu GROUP BY user_id, mu_s
+),
+scored AS (
+  SELECT r.user_id, r.item_id, r.cnt,
+         mu_s + bu_s + bi_s AS pred_s,
+         r.r_s - (mu_s + bu_s + bi_s) AS resid_s
+  FROM r JOIN ib USING (item_id) JOIN ub USING (user_id) CROSS JOIN mu
+)
+SELECT user_id, item_id, cnt,
+       ROUND(pred_s / 1e6, 6) AS baseline_pred,
+       ROUND(resid_s / 1e6, 6) AS residual,
+       rnk
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY resid_s DESC, user_id, item_id) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= {BASELINE_TOP}
+""",
+)
+def q_cf_baseline_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M188: the regularized baseline predictor b_ui = μ + b_u + b_i
+    (Koren 2008 §2.1) over the implicit-count matrix — the model every
+    serious CF stack subtracts BEFORE learning interactions (ALS/
+    neighborhood models fit residuals of this baseline, not raw ratings).
+    Item bias shrinks toward 0 with λ_i={BASELINE_LAMBDA_I}, then user
+    bias is fit on the item-debiased residual with λ_u={BASELINE_LAMBDA_U}
+    — the sequential (non-jointly-optimized) estimate from the paper.
+    Output: the top-{BASELINE_TOP} interactions the baseline most
+    UNDER-predicts (largest positive residual) — the "genuine personal
+    affinity beyond popularity and activity" signal.
+
+    Exactness: counts scale to r_s = cnt·1e6 longs; μ, b_i, b_u each close
+    with ONE double division of exact integers, immediately re-quantized
+    to longs (rlong), so every cross-row aggregate — including Σ_u b_i —
+    sums exact LONGS (order-free; never a float sum). Predictions and
+    residuals are long arithmetic; ranking is on exact longs.
+
+    Scale shape: interactions aggregate once (user-keyed); item bias is
+    one item-keyed aggregate; user bias and the final scoring ride the
+    user partitioning (the item-bias join is item-count-sized — AQE
+    chooses broadcast when it fits, the regional-revenue lesson); the
+    top-{BASELINE_TOP} head is a rank-limited window
+    (TakeOrdered-prunable). μ is a 1-row broadcast."""
+    ui = interactions(spark, sf_dir).select(
+        "user_id", "item_id", "cnt", (F.col("cnt") * 1_000_000).alias("r_s")
+    )
+    g = ui.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("r_s").alias("sr")
+    )
+    mu = F.broadcast(
+        g.select(rlong(F.col("sr").cast("double") / F.col("n")).cast("long").alias("mu_s"))
+    )
+    ib = (
+        ui.crossJoin(mu)
+        .groupBy("item_id", "mu_s")
+        .agg(F.sum("r_s").alias("sri"), F.count(F.lit(1)).alias("ni"))
+        .select(
+            "item_id",
+            rlong(
+                (F.col("sri") - F.col("ni") * F.col("mu_s")).cast("double")
+                / (F.lit(BASELINE_LAMBDA_I) + F.col("ni"))
+            )
+            .cast("long")
+            .alias("bi_s"),
+        )
+    )
+    with_ib = ui.join(ib, "item_id")
+    ub = (
+        with_ib.crossJoin(mu)
+        .groupBy("user_id", "mu_s")
+        .agg(
+            F.sum("r_s").alias("sru"),
+            F.count(F.lit(1)).alias("nu"),
+            F.sum("bi_s").alias("sbi"),
+        )
+        .select(
+            "user_id",
+            rlong(
+                (F.col("sru") - F.col("nu") * F.col("mu_s") - F.col("sbi")).cast("double")
+                / (F.lit(BASELINE_LAMBDA_U) + F.col("nu"))
+            )
+            .cast("long")
+            .alias("bu_s"),
+        )
+    )
+    scored = (
+        with_ib.join(ub, "user_id")
+        .crossJoin(mu)
+        .select(
+            "user_id",
+            "item_id",
+            "cnt",
+            (F.col("mu_s") + F.col("bu_s") + F.col("bi_s")).alias("pred_s"),
+            (F.col("r_s") - (F.col("mu_s") + F.col("bu_s") + F.col("bi_s"))).alias("resid_s"),
+        )
+    )
+    wr = Window.orderBy(F.col("resid_s").desc(), "user_id", "item_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= BASELINE_TOP)
+        .select(
+            "user_id",
+            "item_id",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("pred_s") / 1e6, 6).alias("baseline_pred"),
+            F.round(F.col("resid_s") / 1e6, 6).alias("residual"),
+            "rnk",
+        )
+    )

@@ -1538,3 +1538,106 @@ def q_stat_linreg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rlong(det1 / det * 1e4) / 1e4).alias("beta_qty_cents"),
         (rlong(det2 / det * 1e4) / 1e4).alias("beta_discpct_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# M187: Theil-Sen robust trend estimator per event-type daily series
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stat_theilsen",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 1e4, 0) AS BIGINT)) AS BIGINT) AS y_s
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, y_s,
+         CAST(date_diff('day', MIN(day) OVER (PARTITION BY event_type), day) AS BIGINT) AS x
+  FROM daily
+),
+pairs AS (
+  SELECT a.event_type,
+         a.x AS x1, b.x AS x2,
+         CAST(b.y_s - a.y_s AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) / 1e4 AS slope
+  FROM idx a JOIN idx b ON a.event_type = b.event_type AND a.x < b.x
+),
+ranked AS (
+  SELECT event_type, slope,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope, x1, x2) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+  FROM pairs
+)
+SELECT event_type,
+       CAST(np AS BIGINT) AS n_pairs,
+       ROUND(AVG(slope) * 1e6, 0) / 1e6 AS ts_slope
+FROM ranked
+WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+GROUP BY event_type, np
+""",
+)
+def q_stat_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M187: Theil-Sen slope (Theil 1950 / Sen 1968) per event-type daily
+    series — the median of all pairwise slopes, the robust trend estimate
+    that tolerates ~29% outliers where OLS breaks on one. The natural
+    companion to q_stat_mann_kendall (same O(days²) pair structure; MK
+    answers "is there a monotone trend?", Theil-Sen answers "how steep?"),
+    completing the robust-trend pair the way q_ts_changepoint completes
+    CUSUM.
+
+    Exactness: daily sums quantize to exact longs; each pairwise slope is
+    ONE double division of exact integers (identical both engines); the
+    median is picked BY RANK with a total-order tie-break (slope, x1, x2),
+    so no floating aggregation is involved — the 1-2 middle elements are
+    averaged (even count) with a single identical double op. One 6dp
+    display rounding.
+
+    Scale shape: the pair join is per-series and CALENDAR-bounded —
+    days²/2 pairs per type regardless of event volume (the same bound
+    q_stat_mann_kendall rides), and every window partitions by
+    event_type. 100× more events changes the daily sums, not the pair
+    count."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(rlong(F.col("value") * 1e4)).alias("y_s")
+    )
+    wp = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "y_s",
+        F.datediff("day", F.min("day").over(wp)).cast("long").alias("x"),
+    )
+    a = idx.select("event_type", F.col("x").alias("x1"), F.col("y_s").alias("y1"))
+    b = idx.select("event_type", F.col("x").alias("x2"), F.col("y_s").alias("y2"))
+    pairs = (
+        a.join(b, "event_type")
+        .where(F.col("x1") < F.col("x2"))
+        .select(
+            "event_type",
+            "x1",
+            "x2",
+            (
+                (F.col("y2") - F.col("y1")).cast("double")
+                / (F.col("x2") - F.col("x1")).cast("double")
+                / 1e4
+            ).alias("slope"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "x1", "x2")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("np"),
+    )
+    # floor division, matching DuckDB's `//`: odd np selects the single
+    # middle rank, even np selects both middle ranks (then AVG of the two)
+    mid = ranked.where(
+        (F.col("rn") == F.floor((F.col("np") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("np") + 2) / 2))
+    )
+    return mid.groupBy("event_type", "np").agg(
+        (rlong(F.avg("slope") * 1e6) / 1e6).alias("ts_slope")
+    ).select("event_type", F.col("np").alias("n_pairs"), "ts_slope")

@@ -112,6 +112,8 @@ _R6_WINDOW = (
     "q_ts_changepoint",
     "q_graph_degree_stats",
     "q_dq_kanonymity",
+    "q_stat_theilsen",
+    "q_cf_baseline_bias",
     # -- the 12 post-sweep r5 additions --
     "q_activity_streaks",
     "q_array_lambda",
@@ -163,11 +165,11 @@ _R6_WINDOW = (
     "q_rfm_segmentation",
     "q_part_abc",
     "q_attribution_position",
-    "q_trending_items",
-    "q_session_paths",
 )
 
 # Round-7 rotation queue (never driver-verified after the r6 window runs):
+# q_trending_items / q_session_paths (operators/analytics.py — displaced
+# from the r6 window by the late round-6 additions M187/M188),
 # q_source_text (operators/scans.py), q_window_moving_median
 # (operators/windows.py), q_set_ops_all (operators/sets.py),
 # q_dq_expectations (operators/analytics.py), q_cf_hybrid_rec

@@ -680,3 +680,23 @@ def test_eigencentrality_topk_is_group_limited(spark):
     assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_baseline_bias_topk_is_group_limited(spark):
+    """q_cf_baseline_bias ends in a global (no partitionBy) row_number over
+    all scored interactions; safe only while WindowGroupLimit pre-prunes
+    each partition to the top-20 before the singleton exchange."""
+    plan = plan_of(spark, "q_cf_baseline_bias")
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, (
+        "rank-limit pushdown did not fire on the baseline residual head:\n"
+        + plan.split("+- Project")[0]
+    )
+
+
+def test_theilsen_pair_join_is_keyed_not_cartesian(spark):
+    """q_stat_theilsen's pairwise-slope join must stay an equi-join on
+    event_type (days² per series, calendar-bounded) — a cartesian over the
+    daily table would square the SERIES COUNT too."""
+    plan = plan_of(spark, "q_stat_theilsen")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

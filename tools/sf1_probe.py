@@ -113,6 +113,8 @@ PROBE_QUERIES = (
     "q_stat_linreg_multi",
     "q_graph_degree_stats",
     "q_dq_kanonymity",
+    "q_stat_theilsen",
+    "q_cf_baseline_bias",
 )
 
 
