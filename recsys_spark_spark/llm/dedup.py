@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from recsys_spark_spark.catalog import memo_persist, table
+from recsys_spark_spark.functions.determinism import rlong
 from recsys_spark_spark.llm.similarity import _scaled_dot
 from recsys_spark_spark.registry import query
 
@@ -742,4 +743,201 @@ def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_cross"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# M191: C4-style duplicated-span audit (per-doc share of corpus-dup spans)
+# --------------------------------------------------------------------------
+
+_SPAN_N = 8
+_SPAN_DROP_TAU = 0.5
+
+
+@query(
+    "q_text_span_dedup",
+    oracle=f"""
+WITH ve AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (
+  SELECT doc_id, t, UNNEST(generate_series(1, len(t) - {_SPAN_N} + 1)) AS i
+  FROM ve WHERE len(t) >= {_SPAN_N}
+),
+spans AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i + {_SPAN_N} - 1], ' ')) AS h
+  FROM idx
+),
+cnt AS (SELECT h, COUNT(*) AS nd FROM spans GROUP BY 1),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+  FROM spans s JOIN cnt c USING (h) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       CASE WHEN COALESCE(p.n_spans, 0) = 0 THEN 0.0
+            ELSE ROUND(CAST(p.n_dup_spans AS DOUBLE) / p.n_spans * 1e6, 0) / 1e6
+       END AS dup_share,
+       COALESCE(p.n_dup_spans, 0) * 2 >= COALESCE(p.n_spans, 0) * 1
+         AND COALESCE(p.n_spans, 0) > 0 AS drop_doc
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+)
+def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M191: duplicated-span audit, the C4 dedup rule (Raffel et al. 2020
+    removed any three-sentence span occurring more than once in the
+    corpus) re-expressed over {_SPAN_N}-token rolling spans (this corpus
+    has no sentence punctuation). Per document: how many of its distinct
+    spans also occur in ANOTHER document, the share, and the drop flag at
+    {_SPAN_DROP_TAU} — the span-level complement of the doc-level dedup
+    ladder (exact/near/MinHash pairs): boilerplate detection INSIDE
+    otherwise-unique documents.
+
+    Shape: spans explode row-locally (token-linear, spans carried as md5
+    longs-on-strings, never the raw text); ONE span-hash-keyed aggregate
+    counts document frequency; the rejoin rides the same span-hash keys
+    and the rollup the doc keys. No pair join anywhere — cost is
+    O(total tokens), not O(docs²); the span-frequency table is the only
+    shuffle payload.
+
+    Exactness: integer counts and one 6dp display division; the drop flag
+    compares integers cross-multiplied (n_dup·2 >= n_spans) so no float
+    threshold is involved."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    span_idx = F.when(
+        F.size("t") >= _SPAN_N,
+        F.sequence(F.lit(1), F.size("t") - _SPAN_N + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = (
+        toks.select(
+            "doc_id",
+            F.explode(span_idx).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("t", F.col("i"), _SPAN_N), " ")).alias("h"),
+        )
+        .distinct()
+    )
+    cnt = spans.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    per_doc = (
+        spans.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.when(F.coalesce("n_spans", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(rlong(F.col("n_dup_spans").cast("double") / F.col("n_spans") * 1e6) / 1e6)
+            .alias("dup_share"),
+            (
+                (F.coalesce("n_dup_spans", F.lit(0)) * 2 >= F.coalesce("n_spans", F.lit(0)) * 1)
+                & (F.coalesce("n_spans", F.lit(0)) > 0)
+            ).alias("drop_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# M192: n-gram benchmark-contamination check (GPT-3 style decontamination)
+# --------------------------------------------------------------------------
+
+_CONTAM_NGRAM_N = 8
+_BENCH_SOURCE = "src0"  # the held-out "benchmark" ingest feed
+
+
+@query(
+    "q_text_contamination_ngram",
+    oracle=f"""
+WITH ve AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+idx AS (
+  SELECT doc_id, source, t, UNNEST(generate_series(1, len(t) - {_CONTAM_NGRAM_N} + 1)) AS i
+  FROM ve WHERE len(t) >= {_CONTAM_NGRAM_N}
+),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         md5(array_to_string(t[i:i + {_CONTAM_NGRAM_N} - 1], ' ')) AS h
+  FROM idx
+),
+bench AS (SELECT DISTINCT h FROM grams WHERE source = '{_BENCH_SOURCE}'),
+train AS (SELECT doc_id, source, h FROM grams WHERE source <> '{_BENCH_SOURCE}'),
+hits AS (
+  SELECT t.doc_id, t.source, COUNT(*) AS n_hits
+  FROM train t JOIN bench b USING (h) GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT tr.source, tr.doc_id, COALESCE(h.n_hits, 0) AS n_hits
+  FROM (SELECT DISTINCT doc_id, source FROM train) tr
+  LEFT JOIN hits h USING (doc_id, source)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(SUM(n_hits) AS BIGINT) AS n_gram_hits
+FROM per_doc GROUP BY 1
+""",
+)
+def q_text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M192: exact n-gram benchmark contamination — the GPT-3 appendix-C /
+    PaLM decontamination method: flag a training document when any of its
+    {_CONTAM_NGRAM_N}-grams appears verbatim in the held-out benchmark
+    feed ({_BENCH_SOURCE!r}). Complements q_dedup_contamination (MinHash
+    NEAR-dup across all source pairs) with the exact-substring test the
+    published eval-hygiene protocols actually specify — near-dup misses
+    short verbatim quotes; n-gram membership catches them. Per-source
+    rollup: docs, contaminated docs, total gram hits.
+
+    Shape: the benchmark gram set is ONE semi-join-shaped keyed join
+    (never a pair join): train grams ⋈ benchmark grams on the md5 key —
+    at 100 TB the benchmark side is small (eval suites are MBs) and
+    broadcasts; everything else is row-local explode + keyed counts,
+    O(total tokens). All integers; no rounding anywhere."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.split("text", " ").alias("t"))
+    span_idx = F.when(
+        F.size("t") >= _CONTAM_NGRAM_N,
+        F.sequence(F.lit(1), F.size("t") - _CONTAM_NGRAM_N + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.explode(span_idx).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.md5(F.array_join(F.slice("t", F.col("i"), _CONTAM_NGRAM_N), " ")).alias("h"),
+        )
+        .distinct()
+    )
+    bench = grams.where(F.col("source") == _BENCH_SOURCE).select("h").distinct()
+    train = grams.where(F.col("source") != _BENCH_SOURCE)
+    hits = (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_doc = (
+        train.select("doc_id", "source")
+        .distinct()
+        .join(hits, ["doc_id", "source"], "left")
+        .select("doc_id", "source", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0)).cast("long").alias("n_contaminated"),
+        F.sum("n_hits").cast("long").alias("n_gram_hits"),
     )

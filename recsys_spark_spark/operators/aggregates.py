@@ -803,3 +803,53 @@ def q_agg_diversity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entropy_norm"),
         (rlong(F.exp(hnats) * 1e6) / 1e6).alias("effective_segments"),
     )
+
+
+# --------------------------------------------------------------------------
+# M189: exact distinct counting via mergeable bitmap aggregation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_bitmap_distinct",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_buyers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+""",
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M189: exact distinct buyers per (segment, year) via Spark 3.5+
+    BITMAP aggregation — bitmap_construct_agg over bitmap_bit_position,
+    bucketed by bitmap_bucket_number, then a SUM of per-bucket
+    bitmap_count. The production "exact COUNT(DISTINCT) without the
+    distinct shuffle" pattern: the partial state per (group, bucket) is a
+    fixed 4 KB bitmap that merges by OR — map-side combinable and
+    re-aggregable (store per-bucket bitmaps once, roll up any dimension
+    later), where COUNT(DISTINCT) must shuffle every distinct VALUE.
+    Complements q_agg_approx (HLL, approximate) and q_hll_mergeable
+    (sketch objects) with the exact mergeable variant — the right tool
+    when keys are dense integers (custkey here; at 100 TB any dictionary-
+    encoded id). Oracle is plain COUNT(DISTINCT): identical results, so
+    the bitmap path is exact-verified, not trusted.
+
+    Shape: one join (customer dim side — AQE broadcasts when it fits),
+    ONE shuffle keyed by (segment, year, bucket) carrying 4 KB partials,
+    then the bucket rollup rides the same keys."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.col("o_custkey").alias("k"),
+    )
+    per_bucket = j.groupBy(
+        "segment", "order_year", F.expr("bitmap_bucket_number(k)").alias("b")
+    ).agg(
+        F.expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(k)))").alias("cnt")
+    )
+    return per_bucket.groupBy("segment", "order_year").agg(
+        F.sum("cnt").cast("long").alias("n_buyers")
+    )

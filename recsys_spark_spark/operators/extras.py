@@ -620,3 +620,45 @@ def q_sql_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q21_SHAPE_SQL)
+
+
+# --------------------------------------------------------------------------
+# M190: GROUP BY ALL / ORDER BY ALL — Spark 4 SQL ergonomics surface
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sql_group_by_all",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM orders
+GROUP BY ALL
+""",
+)
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M190: GROUP BY ALL + ORDER BY ALL (Spark 3.4+/4 SQL ergonomics,
+    originally DuckDB's) — every non-aggregate select item becomes a
+    grouping key without restating the list, the idiom analysts actually
+    type. Semantically identical to the explicit GROUP BY (the oracle
+    states it explicitly via its own GROUP BY ALL — both engines resolve
+    the same key set), so this pins Spark's resolution of the implicit
+    key list against DuckDB's. ORDER BY ALL is dropped from the oracle
+    side (the driver compare is order-insensitive) but exercised on the
+    Spark side to cover its resolution path too.
+
+    Shape: one map-side-combinable aggregate; the sort is output-sized."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

@@ -172,3 +172,45 @@ def q_source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.length("value")).cast("long").alias("total_chars"),
     )
+
+
+@query(
+    "q_source_xml",
+    oracle="""
+SELECT r_regionkey, r_name, CAST(n AS BIGINT) AS n_nations FROM (
+  SELECT r_regionkey, r_name, COUNT(*) AS n
+  FROM region JOIN nation ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+""",
+)
+def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3c: XML source/sink round-trip — Spark 4's built-in XML data source
+    (the spark-xml package folded into core), completing the source family
+    beside csv/json/orc/text/parquet. Region and nation are written as
+    rowTag XML documents, read back WITH AN EXPLICIT SCHEMA (XML inference
+    reads every file twice — never at 100 TB), joined and aggregated; the
+    oracle on the original parquet proves values survive the round trip.
+
+    Shape: XML parsing is row-local (whole-stage after the scan); the join
+    broadcasts the 5-row region side; one grouped count."""
+    out = os.path.join(TMP_DIR, "xml")
+    shutil.rmtree(out, ignore_errors=True)
+    region = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region.write.mode("overwrite").format("xml").option("rowTag", "region").save(f"{out}/region")
+    nation.write.mode("overwrite").format("xml").option("rowTag", "nation").save(f"{out}/nation")
+    r_back = (
+        spark.read.schema("r_regionkey int, r_name string")
+        .format("xml").option("rowTag", "region").load(f"{out}/region")
+    )
+    n_back = (
+        spark.read.schema("n_nationkey int, n_regionkey int")
+        .format("xml").option("rowTag", "nation").load(f"{out}/nation")
+    )
+    return (
+        F.broadcast(r_back)
+        .join(n_back, r_back.r_regionkey == n_back.n_regionkey)
+        .groupBy("r_regionkey", "r_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nations"))
+    )

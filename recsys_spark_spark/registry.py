@@ -114,6 +114,12 @@ _R6_WINDOW = (
     "q_dq_kanonymity",
     "q_stat_theilsen",
     "q_cf_baseline_bias",
+    "q_agg_bitmap_distinct",
+    "q_source_xml",
+    "q_sql_group_by_all",
+    "q_stream_enrich",
+    "q_text_span_dedup",
+    "q_text_contamination_ngram",
     # -- the 12 post-sweep r5 additions --
     "q_activity_streaks",
     "q_array_lambda",
@@ -157,19 +163,15 @@ _R6_WINDOW = (
     "q_sql_correlated",
     "q_sql_lateral",
     "q_sql_q21_shape",
-    # -- graph --
-    "q_graph_triangles",
-    "q_graph_jaccard",
-    # -- analytics --
-    "q_outlier_mad",
-    "q_rfm_segmentation",
-    "q_part_abc",
-    "q_attribution_position",
 )
 
 # Round-7 rotation queue (never driver-verified after the r6 window runs):
+# q_graph_triangles / q_graph_jaccard / q_outlier_mad /
+# q_rfm_segmentation / q_part_abc / q_attribution_position /
 # q_trending_items / q_session_paths (operators/analytics.py — displaced
-# from the r6 window by the late round-6 additions M187/M188),
+# from the r6 window by the late round-6 additions M187-M192/A3c/K8;
+# triangles/jaccard are the best-probed keys in SF1_PROBE.json, so they
+# cost the least to defer),
 # q_source_text (operators/scans.py), q_window_moving_median
 # (operators/windows.py), q_set_ops_all (operators/sets.py),
 # q_dq_expectations (operators/analytics.py), q_cf_hybrid_rec

@@ -323,3 +323,40 @@ def q_stream_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(rlong(F.col("value") * F.lit(1e6))) / F.lit(1e6)).alias("sum_value"),
         F.unix_timestamp(F.max("sec")).alias("last_event_s"),
     )
+
+
+@query(
+    "q_stream_enrich",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, c_mktsegment AS segment,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) / 1e6 AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+""",
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8: stream-static enrichment — the most common real streaming
+    topology (join the event stream to a slowly-changing dimension, then
+    window-aggregate by a dimension attribute). Batch twin: events ⋈
+    customer on user_id, tumbling 1h windows per market segment. The
+    streaming form (streams.stream_enrich) joins the SAME static
+    DataFrame inside the micro-batch — Spark re-resolves the static side
+    per trigger, no state store involvement for the join itself; only the
+    windowed aggregate keeps state. Equivalence is pytest-asserted
+    (tests/test_streaming.py), driver-oracled here.
+
+    Shape at 100 TB: the dim side broadcasts per micro-batch (or bucketed
+    joins for a huge dim); the aggregate state is windows × segments —
+    tiny, mergeable scaled-int sums."""
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(rlong(F.col("value") * F.lit(1e6))) / F.lit(1e6)).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "segment", "n", "sum_value")
+    )

@@ -317,3 +317,25 @@ def stream_profile_applyinpandas(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_enrich(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """K8: stream-static enrichment join + tumbling windowed aggregate.
+
+    The static side is a plain batch DataFrame: Spark re-evaluates it per
+    micro-batch (a dim table updated between triggers is picked up), the
+    join itself keeps NO state-store state, and with the watermark only
+    open windows stay in the aggregation state. Mirrors
+    batch_twins.q_stream_enrich exactly (same rlong scaled-int sum), which
+    the pytest harness asserts."""
+    dim = customers.select("c_custkey", "c_mktsegment")
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .join(dim, events.user_id == dim.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(rlong(F.col("value") * F.lit(1e6))) / F.lit(1e6)).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "segment", "n", "sum_value")
+    )

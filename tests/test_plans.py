@@ -700,3 +700,23 @@ def test_theilsen_pair_join_is_keyed_not_cartesian(spark):
     plan = plan_of(spark, "q_stat_theilsen")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_dedup_is_keyed_no_pair_join(spark):
+    """q_text_span_dedup's cost claim is O(total tokens): span-hash keyed
+    aggregate + rejoin, NEVER a doc-pair join. A cartesian or
+    nested-loop join here is the all-pairs blow-up the span-frequency
+    design exists to avoid."""
+    plan = plan_of(spark, "q_text_span_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_ngram_broadcasts_benchmark_side(spark):
+    """q_text_contamination_ngram's membership test joins train grams to
+    the (small) benchmark gram set — that side must broadcast, and there
+    must be no pair join anywhere."""
+    plan = plan_of(spark, "q_text_contamination_ngram")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

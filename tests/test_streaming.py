@@ -286,3 +286,18 @@ def test_profile_fallback_path_is_exercised_without_protobuf(spark, stream_src):
         df = streams.stream_profile_applyinpandas(events)
         plan = df._jdf.queryExecution().analyzed().toString()
         assert "FlatMapGroupsInPandasWithState" in plan, plan[:1500]
+
+
+def test_stream_static_enrich_equals_batch(spark, stream_src):
+    """K8: stream-static dim join + windowed agg emits exactly the batch
+    twin's rows in complete mode once all files are processed."""
+    customers = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    got = run_stream(
+        spark,
+        stream_src,
+        lambda ev: streams.stream_enrich(ev, customers),
+        "complete",
+        "t_enrich",
+    )
+    want = QUERIES["q_stream_enrich"](spark, SF_SMOKE)
+    assert as_multiset(got) == as_multiset(want)
