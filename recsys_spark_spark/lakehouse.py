@@ -237,3 +237,72 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in (0, 1, 2)
     ]
     return audits[0].unionByName(audits[1]).unionByName(audits[2])
+
+
+# --------------------------------------------------------------------------
+# M194: schema evolution — widen a table in place, read old+new unified
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_table_schema_evolution",
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE year(o_orderdate) < 1997
+),
+v2 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+  FROM orders WHERE year(o_orderdate) >= 1997
+),
+unified AS (
+  SELECT o_custkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority FROM v1
+  UNION ALL
+  SELECT o_custkey, o_totalprice, o_orderpriority FROM v2
+)
+SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM unified GROUP BY 1
+""",
+)
+def q_table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M194: in-place schema evolution — the lakehouse ALTER TABLE ADD
+    COLUMN path every long-lived table eventually takes. Writes the
+    pre-1997 orders slice with the ORIGINAL 3-column schema, appends the
+    1997+ slice with a NEW column (o_orderpriority), then reads the whole
+    table with mergeSchema: old files surface the new column as NULL, new
+    files carry values — no rewrite of existing data. The aggregate
+    proves both generations read correctly through one unified schema
+    (legacy rows counted via the NULL marker).
+
+    Shape at 100 TB: schema widening is metadata-only for existing files
+    (the property that makes parquet/lakehouse evolution free); readers
+    pay only the merged-footer resolution. mergeSchema=true on the read
+    is the explicit opt-in (schema inference across millions of footers
+    is a listing cost — a real deployment records the merged schema in
+    the catalog instead; the read here models that resolution)."""
+    path = os.path.join(TMP_DIR, "evo_table")
+    shutil.rmtree(path, ignore_errors=True)
+    o = table(spark, sf_dir, "orders")
+    v1 = o.where(F.year("o_orderdate") < 1997).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = o.where(F.year("o_orderdate") >= 1997).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(path)
+    v2.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_legacy"),
+            F.sum(rlong(F.col("o_totalprice") * 100)).cast("long").alias("rev_cents"),
+        )
+    )

@@ -1431,3 +1431,115 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rlong(F.col("sr").cast("double") / F.col("kr").cast("double") / 1e4 * 1e6) / 1e6).alias("mean_after"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# M193: Holt double exponential smoothing — applyInPandas, recursive oracle
+# --------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5   # exactly representable; l-update halves are exact merges
+_HOLT_BETA = 0.3    # literal on BOTH engines (never derived as 1-0.7)
+_HOLT_BETA1 = 0.7   # literal 1-beta — same parsed double on both engines
+_HOLT_H = 7         # forecast horizon (days)
+
+
+@query(
+    "q_ts_holt",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 1e4, 0) AS BIGINT)) / 1e4 AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y,
+         CAST(date_diff('day', MIN(day) OVER (PARTITION BY event_type), day) AS BIGINT) AS x,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+  FROM daily
+),
+rec AS (
+  SELECT d0.event_type, CAST(0 AS BIGINT) AS x, d0.m,
+         d0.y AS l, d1.y - d0.y AS b
+  FROM idx d0 JOIN idx d1 ON d1.event_type = d0.event_type AND d1.x = 1
+  WHERE d0.x = 0 AND d0.m >= 2
+  UNION ALL
+  SELECT r.event_type, r.x + 1, r.m,
+         {_HOLT_ALPHA!r} * d.y + {_HOLT_ALPHA!r} * (r.l + r.b) AS l,
+         {_HOLT_BETA!r} * (({_HOLT_ALPHA!r} * d.y + {_HOLT_ALPHA!r} * (r.l + r.b)) - r.l)
+           + {_HOLT_BETA1!r} * r.b AS b
+  FROM rec r JOIN idx d ON d.event_type = r.event_type AND d.x = r.x + 1
+)
+SELECT event_type, CAST(m AS BIGINT) AS n_days,
+       ROUND(l * 1e6, 0) / 1e6 AS level,
+       ROUND(b * 1e6, 0) / 1e6 AS trend,
+       ROUND((l + {_HOLT_H} * b) * 1e6, 0) / 1e6 AS forecast_{_HOLT_H}d
+FROM rec WHERE x = m - 1
+""",
+)
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M193: Holt's double exponential smoothing (Holt 1957) per event-type
+    daily series — level + trend state folded sequentially, the
+    short-horizon forecasting workhorse between EWMA (level only,
+    q_ts_ewma) and full decomposition (q_ts_decompose). An inherently
+    SEQUENTIAL recursion, so this is the showcase for the custom-operator
+    tier the SURVEY prescribes when composition runs out: a grouped
+    applyInPandas fold (Arrow batch per series, deterministic loop)
+    exact-checked against a DuckDB RECURSIVE CTE unrolling the same
+    recurrence — the only registry entry pairing a pandas loop with a
+    recursive-SQL oracle.
+
+    Determinism across a pandas loop and a SQL recursion: daily y values
+    are exact-long-derived doubles; both sides evaluate the IDENTICAL
+    expression tree (alpha*y + alpha*(l+b); beta*(l_new-l) + beta1*b)
+    with the same parsed double literals in the same order per step, so
+    the float state is bit-identical at every t. One 6dp half-away
+    display rounding, replicated in the pandas fold by the floor(+0.5)
+    form (python round() is banker's and would diverge).
+
+    Shape: series partition by event_type — each Arrow group is one
+    small daily series (calendar-bounded); one exchange total. At 100 TB
+    the daily pre-aggregate has already reduced events to days×types."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        (F.sum(rlong(F.col("value") * 1e4)) / F.lit(1e4)).alias("y")
+    )
+    wp = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.datediff("day", F.min("day").over(wp)).cast("long").alias("x"),
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values("x")
+        y = pdf["y"].to_numpy(dtype=float)
+        m = len(y)
+        if m < 2:
+            return pd.DataFrame(
+                columns=["event_type", "n_days", "level", "trend", f"forecast_{_HOLT_H}d"]
+            )
+        l, b = y[0], y[1] - y[0]
+        for t in range(1, m):
+            l_new = _HOLT_ALPHA * y[t] + _HOLT_ALPHA * (l + b)
+            b = _HOLT_BETA * (l_new - l) + _HOLT_BETA1 * b
+            l = l_new
+
+        def r6(v: float) -> float:  # half-away-from-zero at 6dp, like ROUND
+            return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [m],
+                "level": [r6(l)],
+                "trend": [r6(b)],
+                f"forecast_{_HOLT_H}d": [r6(l + _HOLT_H * b)],
+            }
+        )
+
+    schema = f"event_type string, n_days long, level double, trend double, forecast_{_HOLT_H}d double"
+    return idx.groupBy("event_type").applyInPandas(holt, schema)

@@ -120,6 +120,8 @@ _R6_WINDOW = (
     "q_stream_enrich",
     "q_text_span_dedup",
     "q_text_contamination_ngram",
+    "q_ts_holt",
+    "q_table_schema_evolution",
     # -- the 12 post-sweep r5 additions --
     "q_activity_streaks",
     "q_array_lambda",
@@ -161,11 +163,10 @@ _R6_WINDOW = (
     "q_agg_diversity_entropy",
     # -- SQL-mode Spark 4 --
     "q_sql_correlated",
-    "q_sql_lateral",
-    "q_sql_q21_shape",
 )
 
 # Round-7 rotation queue (never driver-verified after the r6 window runs):
+# q_sql_lateral / q_sql_q21_shape (operators/extras.py),
 # q_graph_triangles / q_graph_jaccard / q_outlier_mad /
 # q_rfm_segmentation / q_part_abc / q_attribution_position /
 # q_trending_items / q_session_paths (operators/analytics.py — displaced
