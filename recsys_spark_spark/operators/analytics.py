@@ -2027,3 +2027,104 @@ def q_dq_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rlong((F.col("sz") * F.col("n_classes")).cast("double") / F.col("n") * 1e6) / 1e6).alias("row_share"),
         (F.col("sz") < KANON_K).alias("unsafe"),
     )
+
+
+# --------------------------------------------------------------------------
+# M195: event-lateness profile — watermark sizing from the arrival log
+# --------------------------------------------------------------------------
+
+_LATE_NPART = 64  # modeled source partitions (Kafka-style)
+
+
+@query(
+    "q_dq_lateness_profile",
+    oracle="""
+WITH arr AS (
+  SELECT epoch(date_trunc('second', ts)) AS ts_s,
+         date_trunc('hour', ts) AS hr, event_id % 64 AS pid, event_id
+  FROM events
+),
+run AS (
+  SELECT ts_s,
+         MAX(ts_s) OVER (ORDER BY hr, pid, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen
+  FROM arr
+),
+lat AS (SELECT CAST(seen - ts_s AS BIGINT) AS late_s FROM run),
+b AS (
+  SELECT CASE WHEN late_s = 0 THEN 'on-time'
+              WHEN late_s <= 60 THEN '<=1m'
+              WHEN late_s <= 600 THEN '<=10m'
+              WHEN late_s <= 3600 THEN '<=1h'
+              ELSE '>1h' END AS lateness_bucket,
+         COUNT(*) AS n
+  FROM lat GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM b)
+SELECT lateness_bucket, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE) / tot * 1e6, 0) / 1e6 AS share
+FROM b CROSS JOIN t
+""",
+)
+def q_dq_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M195: event-lateness profile — for each event, how far behind the
+    maximum event-time seen so far it arrives, histogrammed into
+    watermark-relevant bands. THE question a streaming deployment answers
+    before choosing withWatermark: the '>1h' mass is exactly the data a
+    1-hour watermark would drop (q_stream_late_drop's threshold made
+    empirical), and the band totals size the state store.
+
+    Arrival model: the testdata ships no ingest log (events are perfectly
+    time-sorted by event_id — under that order every event is on-time and
+    the profile is vacuous), so arrival replays the standard partitioned-
+    log shape: {_LATE_NPART} source partitions (pid = event_id % {_LATE_NPART}),
+    each internally ordered, interleaved hour by hour — total arrival
+    order (hour, pid, event_id). Deterministic from the data; yields the
+    cross-partition disorder any real multi-partition consumer sees.
+
+    Scale shape — distributed prefix-MAX over a composite order: the
+    local running max is a window partitioned by (hour, pid) — the
+    largest sort is one source partition × one hour; the cross-group
+    carry is an EXCLUSIVE prefix max over the (hour, pid) group-max
+    table (hours×{_LATE_NPART} rows — tiny, broadcast back); seen-so-far
+    = greatest(carry, local). Max is associative so the decomposition
+    is exact (the sorts.global_rank bucket contract, in max form); all
+    values are exact integer seconds. The share division is the only
+    double (6dp display)."""
+    e = table(spark, sf_dir, "events")
+    arr = e.select(
+        "event_id",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("ts_s"),
+        F.date_trunc("hour", "ts").alias("hr"),
+        (F.col("event_id") % _LATE_NPART).alias("pid"),
+    )
+    wloc = Window.partitionBy("hr", "pid").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = arr.withColumn("_lmax", F.max("ts_s").over(wloc))
+    gmax = arr.groupBy("hr", "pid").agg(F.max("ts_s").alias("_gmax"))
+    wcarry = Window.orderBy("hr", "pid").rowsBetween(Window.unboundedPreceding, -1)
+    carry = gmax.select("hr", "pid", F.max("_gmax").over(wcarry).alias("_carry"))
+    lat = (
+        local.join(F.broadcast(carry), ["hr", "pid"])
+        .select(
+            (
+                F.greatest(F.coalesce("_carry", F.col("_lmax")), F.col("_lmax"))
+                - F.col("ts_s")
+            ).alias("late_s")
+        )
+    )
+    b = lat.select(
+        F.when(F.col("late_s") == 0, "on-time")
+        .when(F.col("late_s") <= 60, "<=1m")
+        .when(F.col("late_s") <= 600, "<=10m")
+        .when(F.col("late_s") <= 3600, "<=1h")
+        .otherwise(">1h")
+        .alias("lateness_bucket")
+    ).groupBy("lateness_bucket").agg(F.count(F.lit(1)).alias("n"))
+    tot = b.agg(F.sum("n").cast("long").alias("tot"))
+    return b.crossJoin(F.broadcast(tot)).select(
+        "lateness_bucket",
+        F.col("n").cast("long").alias("n"),
+        (rlong(F.col("n").cast("double") / F.col("tot") * 1e6) / 1e6).alias("share"),
+    )

@@ -122,6 +122,8 @@ _R6_WINDOW = (
     "q_text_contamination_ngram",
     "q_ts_holt",
     "q_table_schema_evolution",
+    "q_dq_lateness_profile",
+    "q_stream_chained",
     # -- the 12 post-sweep r5 additions --
     "q_activity_streaks",
     "q_array_lambda",
@@ -160,13 +162,11 @@ _R6_WINDOW = (
     "q_agg_corr",
     "q_agg_moments",
     "q_agg_weighted_median",
-    "q_agg_diversity_entropy",
-    # -- SQL-mode Spark 4 --
-    "q_sql_correlated",
 )
 
 # Round-7 rotation queue (never driver-verified after the r6 window runs):
-# q_sql_lateral / q_sql_q21_shape (operators/extras.py),
+# q_sql_correlated / q_sql_lateral / q_sql_q21_shape (operators/extras.py),
+# q_agg_diversity_entropy (operators/aggregates.py),
 # q_graph_triangles / q_graph_jaccard / q_outlier_mad /
 # q_rfm_segmentation / q_part_abc / q_attribution_position /
 # q_trending_items / q_session_paths (operators/analytics.py — displaced

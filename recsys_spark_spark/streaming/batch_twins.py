@@ -360,3 +360,45 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "segment", "n", "sum_value")
     )
+
+
+@query(
+    "q_stream_chained",
+    oracle="""
+WITH q AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS w15, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT date_trunc('hour', w15) AS window_start, event_type,
+       CAST(MAX(n) AS BIGINT) AS max_quarter_n,
+       CAST(SUM(n) AS BIGINT) AS total_n
+FROM q GROUP BY 1, 2
+""",
+)
+def q_stream_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9: CHAINED windowed aggregations — 15-min tumbling counts
+    re-aggregated into hourly max/total per event type, both stages
+    stateful. Spark supports multiple stateful operators in one streaming
+    query (append mode) since 3.4/4.x — the pattern behind every
+    multi-resolution rollup topology (fine windows feed coarse ones
+    without a second pipeline). Batch twin here; the streaming form
+    (streams.stream_chained) groups on window(window, '1 hour') over the
+    first stage's window column, equivalence pytest-asserted with a
+    watermark-advancing sentinel closing the final windows.
+
+    Shape: stage-1 state is 15-min windows × types; stage-2 state is
+    hours × types — both tiny, both keyed the same way (the hourly
+    grouping is a coarsening of the quarter key, so at scale the second
+    aggregate rides the first's partitioning)."""
+    ev = table(spark, sf_dir, "events")
+    q = ev.groupBy(
+        F.window("ts", "15 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        q.groupBy(F.window(F.col("w.start"), "1 hour").alias("h"), "event_type")
+        .agg(
+            F.max("n").cast("long").alias("max_quarter_n"),
+            F.sum("n").cast("long").alias("total_n"),
+        )
+        .select(F.col("h.start").alias("window_start"), "event_type", "max_quarter_n", "total_n")
+    )

@@ -339,3 +339,27 @@ def stream_enrich(events: DataFrame, customers: DataFrame) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "segment", "n", "sum_value")
     )
+
+
+def stream_chained(events: DataFrame) -> DataFrame:
+    """K9: chained stateful aggregations — 15-min tumbling counts feeding
+    an hourly max/total, in ONE streaming query (append mode; Spark's
+    multiple-stateful-operators support). The second groupBy windows over
+    the FIRST stage's window column; each stage emits a 15-min/hourly row
+    only once its watermark passes, so the test harness appends a
+    far-future sentinel event that advances the watermark past every real
+    window (the sentinel's own window stays in state, never emitted).
+    Mirrors batch_twins.q_stream_chained exactly."""
+    q = (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        q.groupBy(F.window(F.col("w"), "1 hour").alias("h"), "event_type")
+        .agg(
+            F.max("n").cast("long").alias("max_quarter_n"),
+            F.sum("n").cast("long").alias("total_n"),
+        )
+        .select(F.col("h.start").alias("window_start"), "event_type", "max_quarter_n", "total_n")
+    )

@@ -301,3 +301,32 @@ def test_stream_static_enrich_equals_batch(spark, stream_src):
     )
     want = QUERIES["q_stream_enrich"](spark, SF_SMOKE)
     assert as_multiset(got) == as_multiset(want)
+
+
+def test_chained_windowed_aggs_equal_batch(spark, stream_src):
+    """K9: two chained stateful windowed aggregations in one append-mode
+    query emit exactly the batch twin's rows once a far-future sentinel
+    advances the watermark past every real window. The sentinel's own
+    rows stay in state (its windows never close) and so never surface."""
+    import shutil as _sh
+    import uuid as _uuid
+
+    src = f"{TMP}/src-chained-{_uuid.uuid4().hex[:8]}"
+    _sh.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    ev = table(spark, SF_SMOKE, "events")
+    ev.coalesce(1).write.mode("append").parquet(src)
+    sentinel = spark.createDataFrame(
+        [(-1, None, -1, "_wm_sentinel", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).withColumn(
+        "ts",
+        F.lit(ev.agg(F.max("ts")).first()[0]) + F.expr("INTERVAL 6 HOURS"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    try:
+        got = run_stream(spark, src, streams.stream_chained, "append", "t_chained")
+        want = QUERIES["q_stream_chained"](spark, SF_SMOKE)
+        assert as_multiset(got) == as_multiset(want)
+    finally:
+        _sh.rmtree(src, ignore_errors=True)
