@@ -115,6 +115,21 @@ PROBE_QUERIES = (
     "q_dq_kanonymity",
     "q_stat_theilsen",
     "q_cf_baseline_bias",
+    # round-6 late-session additions: token-linear span explodes (the two
+    # decontamination ops), the bitmap distinct rollup, the distributed
+    # prefix-max lateness profile, the applyInPandas Holt fold, the
+    # stream-static enrich and chained-agg batch twins, schema evolution,
+    # and the XML round-trip
+    "q_text_span_dedup",
+    "q_text_contamination_ngram",
+    "q_agg_bitmap_distinct",
+    "q_dq_lateness_profile",
+    "q_ts_holt",
+    "q_stream_enrich",
+    "q_stream_chained",
+    "q_table_schema_evolution",
+    "q_source_xml",
+    "q_sql_group_by_all",
 )
 
 
