@@ -662,3 +662,89 @@ def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+# --------------------------------------------------------------------------
+# M196: SQL scalar function (CREATE FUNCTION ... RETURN expr)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sql_scalar_function",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+         AS net_cents
+FROM lineitem
+GROUP BY 1
+""",
+)
+def q_sql_scalar_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M196: SQL-language scalar UDF (Spark 3.4+ `CREATE FUNCTION ...
+    RETURNS ... RETURN <expr>`) — business logic named ONCE in the
+    catalog and reused across queries, with none of a Python UDF's
+    serialization cost: the body INLINES into the calling plan at
+    analysis time, so the aggregate below runs entirely in whole-stage
+    codegen as if the expression were written in place (the oracle states
+    that inlined form — equality proves the inlining semantics). The
+    function-catalog analog of A5's temp views.
+
+    Shape: identical to the inline query — one map-side-combinable
+    aggregate; the function definition is a catalog entry, not an
+    operator."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_cents(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(ROUND(p * (1 - d) * 100, 0) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(net_cents(l_extendedprice, l_discount)) AS BIGINT) AS net_cents
+        FROM lineitem
+        GROUP BY 1
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# M197: EXECUTE IMMEDIATE — parameterized SQL execution
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sql_execute_immediate",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM orders
+WHERE year(o_orderdate) = 1997 AND o_orderstatus = 'F'
+GROUP BY 1
+""",
+)
+def q_sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M197: EXECUTE IMMEDIATE with positional parameters (Spark 4) — the
+    SQL-injection-safe dynamic-SQL surface: the query template is a
+    string, the parameters bind server-side (`USING`), and the parameter
+    marks behave as typed literals for Catalyst (constant folding,
+    partition pruning all apply). The session-variable + scripting
+    sibling of q_sql_scripting.
+
+    Shape: identical to the static query — parameters are literals by
+    the time the plan exists."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT o_orderpriority,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+         FROM orders
+         WHERE year(o_orderdate) = ? AND o_orderstatus = ?
+         GROUP BY 1'
+        USING 1997, 'F'
+        """
+    )

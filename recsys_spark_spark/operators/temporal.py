@@ -1543,3 +1543,77 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = f"event_type string, n_days long, level double, trend double, forecast_{_HOLT_H}d double"
     return idx.groupBy("event_type").applyInPandas(holt, schema)
+
+
+# --------------------------------------------------------------------------
+# H11: ANSI interval types — day-time interval arithmetic + aggregation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_interval_types",
+    oracle="""
+WITH lag AS (
+  SELECT o_orderpriority,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         date_diff('day', o_orderdate, s.first_ship) AS lag_days
+  FROM orders JOIN (
+    SELECT l_orderkey, MIN(l_shipdate) AS first_ship FROM lineitem GROUP BY 1
+  ) s ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority, o_year,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(lag_days) AS BIGINT) AS total_lag_days,
+       CAST(MAX(lag_days) AS BIGINT) AS max_lag_days,
+       CAST(MIN(lag_days) AS BIGINT) AS min_lag_days
+FROM lag GROUP BY 1, 2
+""",
+)
+def q_interval_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H11: ANSI day-time INTERVAL types (Spark 3.2+) — order-to-first-ship
+    lag computed as timestamp SUBTRACTION (yielding a DayTimeIntervalType
+    column), then aggregated with interval SUM/MAX/MIN per (priority,
+    year) and extracted back to exact day counts. Pins the type-system
+    surface the old CalendarIntervalType could not aggregate or compare —
+    real warehouses express SLA math this way.
+
+    Exactness: timestamps are day-aligned so every interval is a whole
+    number of days (microsecond-exact integers underneath); SUM/MAX/MIN
+    over them are exact integer ops, and extraction divides by exact
+    86400e6. Bound: day-time intervals cap near 1.06e8 days — the
+    per-(priority, year) grouping keeps Σ well under it through sf100
+    (~6e7 days/group at sf100; a coarser grouping would overflow first —
+    that, not precision, is the scale limit, and it is documented here).
+
+    Shape: one orderkey-keyed min-ship aggregate, one join, one grouped
+    aggregate — all map-side combinable."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    first_ship = l.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    lag = (
+        o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+        .select(
+            "o_orderpriority",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("first_ship") - F.col("o_orderdate")).alias("lag_iv"),  # day-time interval
+        )
+    )
+    agg = lag.groupBy("o_orderpriority", "o_year").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lag_iv").alias("sum_iv"),
+        F.max("lag_iv").alias("max_iv"),
+        F.min("lag_iv").alias("min_iv"),
+    )
+    # CAST(day-time interval AS BIGINT) yields total SECONDS (probed on
+    # this Spark build); timestamps are day-aligned so /86400 is exact.
+    day_s = F.lit(86400).cast("long")
+    return agg.select(
+        "o_orderpriority",
+        "o_year",
+        "n",
+        (F.col("sum_iv").cast("long") / day_s).cast("long").alias("total_lag_days"),
+        (F.col("max_iv").cast("long") / day_s).cast("long").alias("max_lag_days"),
+        (F.col("min_iv").cast("long") / day_s).cast("long").alias("min_lag_days"),
+    )

@@ -124,6 +124,10 @@ _R6_WINDOW = (
     "q_table_schema_evolution",
     "q_dq_lateness_profile",
     "q_stream_chained",
+    "q_sql_scalar_function",
+    "q_sql_execute_immediate",
+    "q_udtf_table_arg",
+    "q_interval_types",
     # -- the 12 post-sweep r5 additions --
     "q_activity_streaks",
     "q_array_lambda",
@@ -157,16 +161,13 @@ _R6_WINDOW = (
     "q_ts_cusum",
     "q_seasonal_index",
     "q_purchase_cycle",
-    "q_forecast_linear",
-    # -- aggregate extras --
-    "q_agg_corr",
-    "q_agg_moments",
-    "q_agg_weighted_median",
 )
 
 # Round-7 rotation queue (never driver-verified after the r6 window runs):
 # q_sql_correlated / q_sql_lateral / q_sql_q21_shape (operators/extras.py),
+# q_agg_corr / q_agg_moments / q_agg_weighted_median /
 # q_agg_diversity_entropy (operators/aggregates.py),
+# q_forecast_linear (operators/temporal.py),
 # q_graph_triangles / q_graph_jaccard / q_outlier_mad /
 # q_rfm_segmentation / q_part_abc / q_attribution_position /
 # q_trending_items / q_session_paths (operators/analytics.py — displaced

@@ -240,3 +240,66 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         pri_tag("o_orderpriority", "o_custkey").alias("pri_tag"),
         price_mod("o_totalprice").alias("price_mod"),
     )
+
+
+@query(
+    "q_udtf_table_arg",
+    oracle="""
+WITH b AS (
+  SELECT c_mktsegment, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM b GROUP BY 1
+""",
+)
+def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5c: Python UDTF with a TABLE argument + PARTITION BY (Spark 4) —
+    the polymorphic table function shape: the UDTF consumes WHOLE
+    PARTITIONS of an input relation (here: one market segment each) and
+    emits one summary row per partition from accumulated state. This is
+    the SQL-standard PTF surface (ISO SQL:2016) that lateral-join UDTFs
+    (L5) can't express — eval() sees every row of its partition, with
+    the partitioning declared IN SQL, not in Python.
+
+    The fold keeps exact integers (count, Σcents, max), so the oracle is
+    a plain grouped aggregate — equality proves the partition routing
+    delivered every row exactly once. At 100 TB each partition streams
+    through its UDTF instance via Arrow batches; parallelism = number of
+    partition keys (the same contract as applyInPandas, one tier up in
+    the SQL surface)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="segment string, n long, total_cents long, max_cents long")
+    class SegmentSummary:
+        def __init__(self) -> None:
+            self._seg = None
+            self._n = 0
+            self._sum = 0
+            self._max = None
+
+        def eval(self, row):
+            self._seg = row["c_mktsegment"]
+            self._n += 1
+            c = row["cents"]
+            self._sum += c
+            self._max = c if self._max is None else max(self._max, c)
+
+        def terminate(self):
+            if self._n:
+                yield (self._seg, self._n, self._sum, self._max)
+
+    spark.udtf.register("segment_summary", SegmentSummary)
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    b = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    b.createOrReplaceTempView("seg_cents")
+    return spark.sql(
+        "SELECT * FROM segment_summary(TABLE(seg_cents) PARTITION BY c_mktsegment)"
+    )
