@@ -1641,3 +1641,275 @@ def q_stat_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mid.groupBy("event_type", "np").agg(
         (rlong(F.avg("slope") * 1e6) / 1e6).alias("ts_slope")
     ).select("event_type", F.col("np").alias("n_pairs"), "ts_slope")
+
+
+# --------------------------------------------------------------------------
+# M198: Spearman rank correlation (balance vs lifetime spend)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stat_spearman",
+    oracle=f"""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), d AS (
+  SELECT CAST(ROUND(c_acctbal, 0) AS BIGINT) AS x, COALESCE(y, 0) AS y
+  FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+), vx AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS nv FROM d GROUP BY 1
+), rx AS (
+  SELECT x, 2 * (SUM(nv) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - nv) + nv + 1 AS two_rx
+  FROM vx
+), vy AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS nv FROM d GROUP BY 1
+), ry AS (
+  SELECT y, 2 * (SUM(nv) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - nv) + nv + 1 AS two_ry
+  FROM vy
+), j AS (
+  SELECT two_rx, two_ry FROM d JOIN rx USING (x) JOIN ry USING (y)
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(two_rx) AS BIGINT) AS sx,
+         CAST(SUM(two_ry) AS BIGINT) AS sy,
+         CAST(SUM(two_rx * two_rx) AS BIGINT) AS sxx,
+         CAST(SUM(two_ry * two_ry) AS BIGINT) AS syy,
+         CAST(SUM(two_rx * two_ry) AS BIGINT) AS sxy
+  FROM j
+), r AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS rho
+  FROM s
+), z AS (
+  SELECT n, rho,
+         0.5 * ln((1 + rho) / (1 - rho)) * sqrt(CAST(n AS DOUBLE) - 3) AS zf
+  FROM r
+)
+SELECT n AS n_customers,
+       ROUND(rho * 1e6, 0) / 1e6 AS spearman_rho,
+       ROUND(zf * 1e6, 0) / 1e6 AS fisher_z,
+       ROUND(2 * {_phi_sql('abs(zf)')} * 1e9, 0) / 1e9 AS p_two_sided
+FROM z
+""",
+)
+def q_stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M198: Spearman rank correlation between customer account balance
+    and lifetime order spend — the monotone-association complement to
+    q_agg_corr's Pearson: "do high-balance customers spend more", robust
+    to the heavy right tail of spend. Tie handling is the textbook
+    average-rank form, so rho is exactly Pearson evaluated on average
+    ranks (the definition both engines share).
+
+    Exactness: ranks never materialize per row as doubles — per distinct
+    VALUE the doubled average rank 2*rbar = 2*(rows before) + nv + 1 is
+    an exact integer (the q_stat_mannwhitney identity), joined back to
+    the row set by value, so every sufficient statistic (n, S2x, S2y,
+    S2xx, S2yy, S2xy over the doubled ranks) is an exact integer sum —
+    the 2x scale cancels in the correlation ratio. Bounds: 2r <= 2n ~
+    3e5 at sf1, so S(2rx*2ry) <= 4n^3 ~ 1.4e16 < 2^63 through sf1 and
+    two-level-aggregates exactly beyond. The closed form then divides
+    exact integers in ONE identical double expression tree; the p-value
+    is the Fisher z transform 0.5*ln((1+rho)/(1-rho))*sqrt(n-3) through
+    the shared A&S Phi polynomial (_phi_sql/_phi_col).
+
+    Shape: one keyed left join (orders collapse to per-customer spend
+    first — shuffle sized by customers, not orders), two per-value
+    aggregates whose rank prefixes ride the SAME distributed value-bucket
+    prefix-sum primitive as q_stat_ks/q_stat_mannwhitney (never an
+    unpartitioned window), two value-keyed rank joins, one 1-row
+    reduction. Every stage is keyed or 1-row; nothing is data-sized on
+    the driver."""
+    from recsys_spark_spark.operators.sorts import ordered_prefix_sums
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(rlong(F.col("o_totalprice")).cast("long")).alias("y")
+    )
+    d = (
+        c.join(spend, c.c_custkey == spend.o_custkey, "left")
+        .select(
+            _dollars("c_acctbal").alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    vx = d.groupBy("x").agg(F.count(F.lit(1)).alias("nv"))
+    rx = ordered_prefix_sums(
+        spark, vx, order_col="x", tiebreak="x", sum_cols={"nv": "cum"}
+    ).select(
+        "x", (2 * (F.col("cum") - F.col("nv")) + F.col("nv") + 1).alias("two_rx")
+    )
+    vy = d.groupBy("y").agg(F.count(F.lit(1)).alias("nv"))
+    ry = ordered_prefix_sums(
+        spark, vy, order_col="y", tiebreak="y", sum_cols={"nv": "cum"}
+    ).select(
+        "y", (2 * (F.col("cum") - F.col("nv")) + F.col("nv") + 1).alias("two_ry")
+    )
+    j = d.join(rx, "x").join(ry, "y").select("two_rx", "two_ry")
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("two_rx").alias("sx"),
+        F.sum("two_ry").alias("sy"),
+        F.sum(F.col("two_rx") * F.col("two_rx")).alias("sxx"),
+        F.sum(F.col("two_ry") * F.col("two_ry")).alias("syy"),
+        F.sum(F.col("two_rx") * F.col("two_ry")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    rho = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    zf = 0.5 * F.log((1 + rho) / (1 - rho)) * F.sqrt(nd - 3)
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        (rlong(rho * 1e6) / 1e6).alias("spearman_rho"),
+        (rlong(zf * 1e6) / 1e6).alias("fisher_z"),
+        (rlong(2 * _phi_col(F.abs(zf)) * 1e9) / 1e9).alias("p_two_sided"),
+    )
+
+
+# --------------------------------------------------------------------------
+# M199: Kruskal-Wallis H — k-group rank test across order priorities
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stat_kruskal",
+    oracle="""
+WITH d AS (
+  SELECT o_orderpriority AS g, CAST(ROUND(o_totalprice, 0) AS BIGINT) AS x
+  FROM orders
+), v AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS nv FROM d GROUP BY 1
+), r AS (
+  SELECT x, nv,
+         2 * (SUM(nv) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - nv) + nv + 1 AS two_rbar
+  FROM v
+), vg AS (
+  SELECT g, x, CAST(COUNT(*) AS BIGINT) AS cg FROM d GROUP BY 1, 2
+), grp AS (
+  SELECT g, CAST(SUM(cg * two_rbar) AS BIGINT) AS two_r,
+         CAST(SUM(cg) AS BIGINT) AS ng
+  FROM vg JOIN r USING (x) GROUP BY 1
+), terms AS (
+  SELECT g, ng,
+         CAST(ROUND(CAST(two_r AS DOUBLE) * two_r / (4 * ng), 0)
+              AS BIGINT) AS t_int
+  FROM grp
+), tie AS (
+  SELECT CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS tsum FROM v
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(SUM(t_int) AS BIGINT) AS rsum
+  FROM terms
+), h AS (
+  SELECT k, n, tsum,
+         12.0 / (CAST(n AS DOUBLE) * (n + 1)) * CAST(rsum AS DOUBLE)
+         - 3 * (CAST(n AS DOUBLE) + 1) AS h_raw,
+         1 - CAST(tsum AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n * n - CAST(n AS DOUBLE)) AS c
+  FROM s CROSS JOIN tie
+), adj AS (
+  SELECT k, n, h_raw, h_raw / c AS h_adj FROM h
+)
+SELECT k AS k_groups, n AS n_total,
+       ROUND(h_raw * 1e6, 0) / 1e6 AS h_stat,
+       ROUND(h_adj * 1e6, 0) / 1e6 AS h_adj,
+       ROUND(exp(-h_adj / 2) * (1 + h_adj / 2) * 1e9, 0) / 1e9 AS p_value
+FROM adj
+""",
+)
+def q_stat_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M199: Kruskal-Wallis H test of order value across the five order
+    priorities — the k-group generalization of q_stat_mannwhitney and the
+    non-parametric sibling of q_stat_anova: "does priority shift the
+    value distribution at all", with no normality assumption. Average
+    ranks for ties, the exact tie correction C = 1 - S(t^3-t)/(n^3-n),
+    and the df=4 chi-square survival function in its CLOSED even-df form
+    p = exp(-H/2)*(1 + H/2) — no polynomial approximation needed (the
+    five priorities are a fixed k=5 vocabulary, so df=2k'=4 is exact by
+    construction and asserted by the k_groups output column).
+
+    Exactness: doubled per-value average ranks are exact integers (the
+    Mann-Whitney identity), so each group's doubled rank sum 2R_g =
+    S cg*(2*cum_before + nv + 1) is an exact integer (<= 2n^2 ~ 4.5e12 at
+    sf1). The one cross-group float reduction, S_g R_g^2/n_g, follows the
+    q_stat_anova pre-sum discipline: each group's term is rounded to a
+    UNIT integer (R^2/n_g reaches ~6.7e17 at sf1, inside int64 through
+    ~sf3; beyond that the one unit literal moves to 1e3, the ANOVA
+    envelope note) BEFORE the k-row sum, so the doubles that both
+    engines add arrive in identical, order-free form; the +-0.5/group
+    quantization is ~1e-5 of H even at sf0.001, under display. n^3 is
+    evaluated in doubles (identical tree) so the tie denominator never
+    overflows at any SF.
+
+    Shape: two keyed aggregates (per-value, per-(group,value)), the
+    shared value-bucket distributed prefix sum for rank offsets, one
+    value-keyed join, a k-row reduction and a 1-row cross join — stage
+    sizes are distinct-values then k; nothing data-sized leaves its
+    partition unkeyed."""
+    from recsys_spark_spark.operators.sorts import ordered_prefix_sums
+
+    o = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    d = o.select(
+        F.col("o_orderpriority").alias("g"), _dollars("o_totalprice").alias("x")
+    )
+    v = d.groupBy("x").agg(F.count(F.lit(1)).alias("nv"))
+    r = ordered_prefix_sums(
+        spark, v, order_col="x", tiebreak="x", sum_cols={"nv": "cum"}
+    ).select(
+        "x",
+        "nv",
+        (2 * (F.col("cum") - F.col("nv")) + F.col("nv") + 1).alias("two_rbar"),
+    )
+    vg = d.groupBy("g", "x").agg(F.count(F.lit(1)).alias("cg"))
+    grp = (
+        vg.join(r.select("x", "two_rbar"), "x")
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("cg") * F.col("two_rbar")).alias("two_r"),
+            F.sum("cg").alias("ng"),
+        )
+    )
+    terms = grp.select(
+        "g",
+        "ng",
+        rlong(
+            F.col("two_r").cast("double") * F.col("two_r") / (4 * F.col("ng"))
+        ).alias("t_int"),
+    )
+    tie = v.agg(
+        F.sum(F.col("nv") * F.col("nv") * F.col("nv") - F.col("nv")).alias("tsum")
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("t_int").alias("rsum"),
+    )
+    nd = F.col("n").cast("double")
+    h_raw = 12.0 / (nd * (F.col("n") + 1)) * F.col("rsum").cast("double") - 3 * (
+        nd + 1
+    )
+    c = 1 - F.col("tsum").cast("double") / (nd * F.col("n") * F.col("n") - nd)
+    withh = s.join(F.broadcast(tie)).select(
+        "k", "n", h_raw.alias("h_raw"), (h_raw / c).alias("h_adj")
+    )
+    return withh.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n").cast("long").alias("n_total"),
+        (rlong(F.col("h_raw") * 1e6) / 1e6).alias("h_stat"),
+        (rlong(F.col("h_adj") * 1e6) / 1e6).alias("h_adj"),
+        (
+            rlong(
+                F.exp(-F.col("h_adj") / 2) * (1 + F.col("h_adj") / 2) * 1e9
+            )
+            / 1e9
+        ).alias("p_value"),
+    )

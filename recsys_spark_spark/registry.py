@@ -186,8 +186,10 @@ _R6_WINDOW = (
 # q_feature_hash / q_label_future_window / q_eval_auc /
 # q_target_encode_loo / q_woe_iv / q_feature_scale / q_feature_store /
 # q_feature_winsorize (llm/features.py), q_table_time_travel
-# (lakehouse.py), q_udf_arrow (udf/udfs.py) — put round-7's NEW queries
-# first, these next, then refresh the oldest driver-green families.
+# (lakehouse.py), q_udf_arrow (udf/udfs.py), and the post-window round-6
+# additions q_stat_spearman / q_stat_kruskal (operators/stats.py) — put
+# round-7's NEW queries first, these next, then refresh the oldest
+# driver-green families.
 
 _loaded = False
 

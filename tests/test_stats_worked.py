@@ -938,3 +938,64 @@ def test_linreg_multi_matches_numpy_lstsq(spark):
     got = (row.beta_intercept_cents, row.beta_qty_cents, row.beta_discpct_cents)
     for g, ref in zip(got, beta):
         assert abs(g - ref) <= max(1e-6 * abs(ref), 1e-3), (got, beta)
+
+
+def _avg_ranks(v: np.ndarray) -> np.ndarray:
+    """Average ranks with ties (1-based), scipy-free."""
+    order = np.argsort(v, kind="mergesort")
+    ranks = np.empty(len(v), dtype=float)
+    sv = v[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    return ranks
+
+
+def test_spearman_matches_numpy(spark):
+    row = QUERIES["q_stat_spearman"](spark, SF_SMOKE).collect()[0]
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    spend = (
+        np.floor(o.o_totalprice + 0.5).astype("int64").groupby(o.o_custkey).sum()
+    )
+    x = np.floor(c.c_acctbal + 0.5).astype("int64").to_numpy()
+    y = c.c_custkey.map(spend).fillna(0).astype("int64").to_numpy()
+    rx, ry = _avg_ranks(x), _avg_ranks(y)
+    rho = float(np.corrcoef(rx, ry)[0, 1])
+    n = len(x)
+    zf = 0.5 * math.log((1 + rho) / (1 - rho)) * math.sqrt(n - 3)
+    p = math.erfc(abs(zf) / math.sqrt(2))
+    assert row.n_customers == n
+    assert abs(row.spearman_rho - rho) < 1e-6, (row.spearman_rho, rho)
+    assert abs(row.fisher_z - zf) < 1e-4, (row.fisher_z, zf)
+    assert abs(row.p_two_sided - p) < 2e-7, (row.p_two_sided, p)
+
+
+def test_kruskal_matches_numpy(spark):
+    row = QUERIES["q_stat_kruskal"](spark, SF_SMOKE).collect()[0]
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    x = np.floor(o.o_totalprice + 0.5).astype("int64").to_numpy()
+    g = o.o_orderpriority.to_numpy()
+    ranks = _avg_ranks(x)
+    n = len(x)
+    rsum = 0.0
+    for grp in np.unique(g):
+        rg = ranks[g == grp]
+        rsum += rg.sum() ** 2 / len(rg)
+    h = 12.0 / (n * (n + 1)) * rsum - 3 * (n + 1)
+    _, counts = np.unique(x, return_counts=True)
+    cc = 1 - float((counts.astype(float) ** 3 - counts).sum()) / (
+        float(n) ** 3 - n
+    )
+    h_adj = h / cc
+    p = math.exp(-h_adj / 2) * (1 + h_adj / 2)  # chi2 sf, df=4 closed form
+    assert (row.k_groups, row.n_total) == (5, n)
+    assert abs(row.h_stat - h) < 1e-4, (row.h_stat, h)
+    assert abs(row.h_adj - h_adj) < 1e-4, (row.h_adj, h_adj)
+    # the unit-integer pre-sum quantizes H by ~1e-5 at this SF; through
+    # the chi2 density that is ~1e-7 in p — both engines share it exactly
+    assert abs(row.p_value - p) < 1e-6, (row.p_value, p)
