@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recsys_spark_spark.catalog import table
+from recsys_spark_spark.catalog import memo_persist, table
 from recsys_spark_spark.registry import query
 from recsys_spark_spark.functions.determinism import dround, rlong
 
@@ -1085,3 +1085,169 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_syll",
         (rlong(score * 1e6) / 1e6).alias("flesch_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# M200: distributed BPE merge training over the corpus word dictionary
+# --------------------------------------------------------------------------
+
+BPE_MERGES = 8  # learned merge steps; fixed so both engines unroll identically
+
+
+def _bpe_oracle(k: int) -> str:
+    """DuckDB twin of the merge loop, unrolled to k stages (the
+    _glm_iter_sql precedent: iteration count is a compile-time literal so
+    both engines execute the same finite expression DAG)."""
+    stages = []
+    for i in range(1, k + 1):
+        p = i - 1
+        stages.append(f"""
+p{i} AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(string_split(trim(seq), '  ')) - 1),
+           j -> string_split(trim(seq), '  ')[j] || ' '
+                || string_split(trim(seq), '  ')[j + 1])) AS pair,
+         freq
+  FROM w{p}
+),
+c{i} AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM p{i} GROUP BY 1),
+b{i} AS (
+  SELECT pair, cnt,
+         string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r
+  FROM c{i} ORDER BY cnt DESC, pair LIMIT 1
+),
+w{i} AS (
+  SELECT replace(seq, ' ' || b.l || '  ' || b.r || ' ',
+                 ' ' || b.l || b.r || ' ') AS seq, freq
+  FROM w{p} CROSS JOIN b{i} b
+)""")
+    heads = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, pair, l || r AS new_symbol, "
+        f"cnt AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents)
+  GROUP BY 1
+),
+w0 AS (
+  SELECT ' ' || array_to_string(
+           list_transform(generate_series(1, length(w)), i -> w[i]), '  ')
+         || ' ' AS seq, freq
+  FROM words
+),{",".join(stages)}
+{heads}
+ORDER BY step
+"""
+
+
+_BPE_WORDS: dict[tuple[str, str], DataFrame] = {}
+
+
+@query("q_text_bpe_train", oracle=_bpe_oracle(BPE_MERGES))
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M200: byte-pair-encoding merge training (Sennrich et al. 2016,
+    arXiv:1508.07909) — the first {BPE_MERGES} merge rules learned from
+    the corpus, distributed: tokenizer training as a first-class engine
+    operator rather than a single-node preprocessing script.
+
+    The classic formulation trains on the WORD-FREQUENCY DICTIONARY, and
+    that is the whole scale story: the corpus (100 TB) collapses in one
+    keyed count to a word dict bounded by vocabulary, not data size
+    (~30 entries on this synthetic corpus, ~1e6-1e7 on a web corpus) —
+    every subsequent stage touches only the dict. Each merge step is one
+    keyed pair-count aggregate over the dict, a 1-row deterministic
+    argmax (count desc, pair asc — ties cannot diverge engines), and a
+    broadcast of that single rule back onto the dict; {BPE_MERGES} steps
+    chain lazily into ONE plan with no driver round-trip (the best-pair
+    scalar rides a broadcast cross join, the q_join_asof 1-row pattern,
+    so no .first()/.collect() materializes state driver-side).
+
+    Exactness: symbol sequences are strings over [a-z] joined by a
+    DOUBLE space and wrapped in single edge spaces, so one string
+    replace of ' l  r ' with ' lr ' is EXACTLY the BPE left-to-right
+    non-overlapping merge (consecutive matches share no delimiter:
+    ' a  a  a  a ' -> ' aa  aa '), with identical leftmost-first replace
+    semantics on both engines; pair counts are exact integer sums of
+    word frequencies at overlapping adjacent positions (the published
+    counting rule). The unrolled oracle executes the identical DAG.
+
+    Output: (step, pair, new_symbol, pair_count) — the ordered merge
+    table a tokenizer ships as tokenizer.json's "merges" section."""
+    # The word dict is the ONE corpus-sized reduction; persist it (memo
+    # keyed per app+sf, LRU-evicted) so the 8 chained merge stages and
+    # their 8 union heads re-derive from the tiny dict, not the corpus —
+    # without this, each of the K heads would rescan documents (K scans
+    # of 100 TB instead of one).
+    def build() -> DataFrame:
+        d = table(spark, sf_dir, "documents")
+        return (
+            d.select(
+                F.explode(
+                    F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+                ).alias("w")
+            )
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+
+    words = memo_persist(_BPE_WORDS, (spark.sparkContext.applicationId, sf_dir), build)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substring(F.col("w"), i, 1),
+    )
+    cur = words.select(
+        F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" ")).alias("seq"),
+        "freq",
+    )
+    heads = []
+    for i in range(1, BPE_MERGES + 1):
+        syms = F.split(F.trim(F.col("seq")), "  ")
+        pairs = F.when(
+            F.size(syms) > 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda j: F.concat(
+                    F.element_at(syms, j), F.lit(" "), F.element_at(syms, j + 1)
+                ),
+            ),
+        ).otherwise(F.array(F.lit(None).cast("string")))
+        pc = (
+            cur.select(F.explode(pairs).alias("pair"), "freq")
+            .where(F.col("pair").isNotNull())
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pc.orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .select(
+                "pair",
+                "cnt",
+                F.split("pair", " ")[0].alias("l"),
+                F.split("pair", " ")[1].alias("r"),
+            )
+        )
+        heads.append(
+            best.select(
+                F.lit(i).cast("long").alias("step"),
+                "pair",
+                F.concat("l", "r").alias("new_symbol"),
+                F.col("cnt").cast("long").alias("pair_count"),
+            )
+        )
+        cur = cur.crossJoin(F.broadcast(best.select("l", "r"))).select(
+            F.replace(
+                F.col("seq"),
+                F.concat(F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" ")),
+            ).alias("seq"),
+            "freq",
+        )
+    out = heads[0]
+    for h in heads[1:]:
+        out = out.unionAll(h)
+    return out

@@ -187,7 +187,8 @@ _R6_WINDOW = (
 # q_target_encode_loo / q_woe_iv / q_feature_scale / q_feature_store /
 # q_feature_winsorize (llm/features.py), q_table_time_travel
 # (lakehouse.py), q_udf_arrow (udf/udfs.py), and the post-window round-6
-# additions q_stat_spearman / q_stat_kruskal (operators/stats.py) — put
+# additions q_stat_spearman / q_stat_kruskal (operators/stats.py) and
+# q_text_bpe_train (llm/text.py) — put
 # round-7's NEW queries first, these next, then refresh the oldest
 # driver-green families.
 

@@ -301,3 +301,42 @@ def test_event_id_unique_on_fixtures(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     n, d = e.agg(F.count("event_id"), F.countDistinct("event_id")).first()
     assert n == d, f"{sf_dir}: {n - d} duplicate event_ids"
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The learned merge table must equal a from-scratch Sennrich-style
+    BPE (count overlapping adjacent pairs weighted by word freq, merge
+    the (count desc, pair asc)-best pair left-to-right non-overlapping,
+    repeat) run in plain Python over the same word dictionary."""
+    import re
+    from collections import Counter
+
+    got = QUERIES["q_text_bpe_train"](spark, SF_SMOKE).orderBy("step").collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    words = Counter()
+    for t in docs.text:
+        words.update(re.findall(r"[a-z]+", t.lower()))
+    seqs = {tuple(w): f for w, f in words.items()}
+    expect = []
+    for step in range(1, 9):
+        pc = Counter()
+        for syms, f in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((step, f"{l} {r}", l + r, cnt))
+        merged = {}
+        for syms, f in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + f
+        seqs = merged
+    assert [
+        (row.step, row.pair, row.new_symbol, row.pair_count) for row in got
+    ] == expect
