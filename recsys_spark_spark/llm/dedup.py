@@ -941,3 +941,132 @@ def q_text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0)).cast("long").alias("n_contaminated"),
         F.sum("n_hits").cast("long").alias("n_gram_hits"),
     )
+
+
+# --------------------------------------------------------------------------
+# M201: exact set-similarity join via prefix filtering (AllPairs/PPJoin)
+# --------------------------------------------------------------------------
+
+SSJ_TAU_NUM = 19   # tau = 19/20 = 0.95 as an exact rational — all size and
+SSJ_TAU_DEN = 20   # similarity bounds below stay in integer arithmetic
+SSJ_MIN_TOKENS = 10  # near-dup floors doc length: tiny token sets make
+#                      trivially-high Jaccard pairs that no pipeline wants
+
+_SSJ_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tset
+  FROM documents
+),
+dd AS (
+  SELECT doc_id, lang, tset, len(tset) AS n FROM d WHERE len(tset) >= {SSJ_MIN_TOKENS}
+),
+toks AS (SELECT doc_id, lang, n, unnest(tset) AS t FROM dd),
+dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY 1),
+ranked AS (
+  SELECT k.doc_id, k.lang, k.n, k.t,
+         ROW_NUMBER() OVER (PARTITION BY k.doc_id ORDER BY f.df, k.t) AS pos
+  FROM toks k JOIN dfreq f USING (t)
+),
+prefix AS (
+  SELECT doc_id, lang, n, t FROM ranked
+  WHERE pos <= n - (({SSJ_TAU_NUM} * n + {SSJ_TAU_NUM}) // {SSJ_TAU_DEN}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2
+  FROM prefix a JOIN prefix b
+    ON a.t = b.t AND a.lang = b.lang AND a.doc_id < b.doc_id
+   AND b.n * {SSJ_TAU_DEN} >= a.n * {SSJ_TAU_NUM}
+   AND b.n * {SSJ_TAU_NUM} <= a.n * {SSJ_TAU_DEN}
+),
+verified AS (
+  SELECT c.d1, c.d2, c.n1, c.n2,
+         CAST(len(list_intersect(x.tset, y.tset)) AS BIGINT) AS inter
+  FROM cand c JOIN dd x ON x.doc_id = c.d1 JOIN dd y ON y.doc_id = c.d2
+)
+SELECT d1, d2, inter, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       (inter * 1000000) // (n1 + n2 - inter) AS jacc_ppm
+FROM verified
+WHERE inter * {SSJ_TAU_DEN} >= (n1 + n2 - inter) * {SSJ_TAU_NUM}
+"""
+
+
+@query("q_sim_setjoin_prefix", oracle=_SSJ_ORACLE)
+def q_sim_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M201: EXACT set-similarity self-join (token-set Jaccard >= 0.95,
+    same-language, >= {SSJ_MIN_TOKENS}-token docs) via prefix filtering —
+    the AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08). The lossless counterpart to the lossy blockers in this
+    module: J2/J2b block on (lang, n_chars) and can MISS pairs; MinHash
+    (J3/J3b) is probabilistic. Prefix filtering provably yields every
+    pair with J >= tau: order each doc's tokens by ascending global
+    document frequency (rarest first), keep only the first
+    n - ceil(tau*n) + 1 as the "prefix"; two sets with J >= tau MUST
+    share a prefix token, so the candidate join touches prefixes only.
+    The size filter tau*|a| <= |b| <= |a|/tau (also lossless) prunes
+    further. Losslessness vs the naive all-pairs join is pinned in
+    tests/test_new_ops_worked.py at the smoke SF.
+
+    Scale shape: the global token ordering is one token-keyed count (the
+    df table — mergeable, vocabulary-sized); prefix extraction is a
+    doc-partitioned window (state = one doc's tokens); the candidate
+    join is keyed on (prefix token, lang) — rare tokens by construction,
+    so per-key fan-out stays small on a Zipfian corpus (rare tokens ARE
+    the prefix); verification fetches the two token ARRAYS by doc key
+    and intersects ROW-LOCALLY (array_intersect), never exploding
+    candidates back to token rows. No all-pairs product anywhere.
+
+    Exactness: every bound is integer arithmetic on exact rationals
+    (tau = {SSJ_TAU_NUM}/{SSJ_TAU_DEN}); ceil(tau*n) is the integer
+    identity (a*n + a) div b; similarity itself is reported as exact
+    integer parts-per-million (inter*1e6 div union) — no float appears
+    anywhere in the operator."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("tset")
+    )
+    dd = d.withColumn("n", F.size("tset").cast("long")).where(
+        F.col("n") >= SSJ_MIN_TOKENS
+    )
+    toks = dd.select("doc_id", "lang", "n", F.explode("tset").alias("t"))
+    dfreq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "t")
+    ranked = toks.join(dfreq, "t").withColumn("pos", F.row_number().over(w))
+    prefix_len = F.expr(
+        f"n - (({SSJ_TAU_NUM} * n + {SSJ_TAU_NUM}) div {SSJ_TAU_DEN}) + 1"
+    )
+    prefix = ranked.where(F.col("pos") <= prefix_len).select("doc_id", "lang", "n", "t")
+    a = prefix.select(
+        F.col("doc_id").alias("d1"), "lang", F.col("n").alias("n1"), "t"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("d2"), "lang", F.col("n").alias("n2"), "t"
+    )
+    cand = (
+        a.join(b, ["t", "lang"])
+        .where(
+            (F.col("d1") < F.col("d2"))
+            & (F.col("n2") * SSJ_TAU_DEN >= F.col("n1") * SSJ_TAU_NUM)
+            & (F.col("n2") * SSJ_TAU_NUM <= F.col("n1") * SSJ_TAU_DEN)
+        )
+        .select("d1", "d2", "n1", "n2")
+        .distinct()
+    )
+    x = dd.select(F.col("doc_id").alias("d1"), F.col("tset").alias("ts1"))
+    y = dd.select(F.col("doc_id").alias("d2"), F.col("tset").alias("ts2"))
+    verified = (
+        cand.join(x, "d1")
+        .join(y, "d2")
+        .withColumn(
+            "inter", F.size(F.array_intersect("ts1", "ts2")).cast("long")
+        )
+    )
+    union = F.col("n1") + F.col("n2") - F.col("inter")
+    return verified.where(
+        F.col("inter") * SSJ_TAU_DEN >= union * SSJ_TAU_NUM
+    ).select(
+        "d1",
+        "d2",
+        "inter",
+        "n1",
+        "n2",
+        F.expr("(inter * 1000000) div (n1 + n2 - inter)").alias("jacc_ppm"),
+    )

@@ -340,3 +340,37 @@ def test_bpe_train_matches_python_reference(spark):
     assert [
         (row.step, row.pair, row.new_symbol, row.pair_count) for row in got
     ] == expect
+
+
+def test_setjoin_prefix_lossless_vs_naive_allpairs(spark):
+    """Prefix + size filtering must be LOSSLESS: the filtered join's pair
+    set equals a naive all-pairs Jaccard join (no candidate pruning at
+    all) over the same restricted universe (same-lang, >=10 tokens)."""
+    import duckdb
+
+    got = {
+        (r.d1, r.d2, r.inter, r.n1, r.n2, r.jacc_ppm)
+        for r in QUERIES["q_sim_setjoin_prefix"](spark, SF_SMOKE).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    naive = con.execute(
+        """
+WITH dd AS (
+  SELECT doc_id, lang, list_distinct(string_split(text,' ')) AS tset,
+         len(list_distinct(string_split(text,' '))) AS n
+  FROM documents WHERE len(list_distinct(string_split(text,' '))) >= 10
+)
+SELECT a.doc_id, b.doc_id,
+       len(list_intersect(a.tset, b.tset)),
+       a.n, b.n,
+       (len(list_intersect(a.tset, b.tset)) * 1000000)
+         // (a.n + b.n - len(list_intersect(a.tset, b.tset)))
+FROM dd a JOIN dd b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.tset, b.tset)) * 20
+      >= (a.n + b.n - len(list_intersect(a.tset, b.tset))) * 19
+"""
+    ).fetchall()
+    assert got == {tuple(r) for r in naive} and len(got) > 0
