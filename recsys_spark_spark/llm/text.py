@@ -1094,10 +1094,13 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 8  # learned merge steps; fixed so both engines unroll identically
 
 
-def _bpe_oracle(k: int) -> str:
-    """DuckDB twin of the merge loop, unrolled to k stages (the
-    _glm_iter_sql precedent: iteration count is a compile-time literal so
-    both engines execute the same finite expression DAG)."""
+def _bpe_stages_sql(k: int, carry: str = "") -> str:
+    """Shared DuckDB CTE chain for the merge loop, unrolled to k stages
+    (the _glm_iter_sql precedent: iteration count is a compile-time
+    literal so both engines execute the same finite expression DAG).
+    `carry` is an optional column-list prefix (e.g. ``"w, "``) to keep
+    riding through the per-stage replace — training discards the word
+    identity, encoding needs it back at the end."""
     stages = []
     for i in range(1, k + 1):
         p = i - 1
@@ -1117,15 +1120,10 @@ b{i} AS (
   FROM c{i} ORDER BY cnt DESC, pair LIMIT 1
 ),
 w{i} AS (
-  SELECT replace(seq, ' ' || b.l || '  ' || b.r || ' ',
+  SELECT {carry}replace(seq, ' ' || b.l || '  ' || b.r || ' ',
                  ' ' || b.l || b.r || ' ') AS seq, freq
   FROM w{p} CROSS JOIN b{i} b
 )""")
-    heads = "\nUNION ALL ".join(
-        f"SELECT CAST({i} AS BIGINT) AS step, pair, l || r AS new_symbol, "
-        f"cnt AS pair_count FROM b{i}"
-        for i in range(1, k + 1)
-    )
     return f"""
 WITH words AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
@@ -1134,11 +1132,20 @@ WITH words AS (
   GROUP BY 1
 ),
 w0 AS (
-  SELECT ' ' || array_to_string(
+  SELECT {carry}' ' || array_to_string(
            list_transform(generate_series(1, length(w)), i -> w[i]), '  ')
          || ' ' AS seq, freq
   FROM words
-),{",".join(stages)}
+),{",".join(stages)}"""
+
+
+def _bpe_oracle(k: int) -> str:
+    heads = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, pair, l || r AS new_symbol, "
+        f"cnt AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""{_bpe_stages_sql(k)}
 {heads}
 ORDER BY step
 """
@@ -1194,17 +1201,49 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("freq"))
         )
 
-    words = memo_persist(_BPE_WORDS, (spark.sparkContext.applicationId, sf_dir), build)
+    words = _bpe_words(spark, sf_dir)
+    cur = words.select(_bpe_seq0().alias("seq"), "freq")
+    _, heads = _bpe_merge_stages(cur, BPE_MERGES)
+    out = heads[0]
+    for h in heads[1:]:
+        out = out.unionAll(h)
+    return out
+
+
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memo-persisted corpus word-frequency dictionary (the one
+    corpus-sized reduction every BPE query starts from)."""
+
+    def build() -> DataFrame:
+        d = table(spark, sf_dir, "documents")
+        return (
+            d.select(
+                F.explode(
+                    F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+                ).alias("w")
+            )
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+
+    return memo_persist(_BPE_WORDS, (spark.sparkContext.applicationId, sf_dir), build)
+
+
+def _bpe_seq0():
+    """' a  b  c ' initial symbol-sequence encoding of column ``w``."""
     chars = F.transform(
         F.sequence(F.lit(1), F.length("w")),
         lambda i: F.substring(F.col("w"), i, 1),
     )
-    cur = words.select(
-        F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" ")).alias("seq"),
-        "freq",
-    )
+    return F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" "))
+
+
+def _bpe_merge_stages(cur: DataFrame, k: int, carry: tuple = ()):
+    """Run k lazy merge stages over ``cur`` (``seq``, ``freq`` plus any
+    ``carry`` columns that ride through untouched); returns the final
+    sequence table and the per-step merge-rule heads."""
     heads = []
-    for i in range(1, BPE_MERGES + 1):
+    for i in range(1, k + 1):
         syms = F.split(F.trim(F.col("seq")), "  ")
         pairs = F.when(
             F.size(syms) > 1,
@@ -1240,6 +1279,7 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         cur = cur.crossJoin(F.broadcast(best.select("l", "r"))).select(
+            *carry,
             F.replace(
                 F.col("seq"),
                 F.concat(F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" ")),
@@ -1247,7 +1287,66 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq"),
             "freq",
         )
-    out = heads[0]
-    for h in heads[1:]:
-        out = out.unionAll(h)
-    return out
+    return cur, heads
+
+
+_BPE_ENCODE_ORACLE = f"""{_bpe_stages_sql(BPE_MERGES, carry="w, ")},
+tok AS (
+  SELECT w, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_tok
+  FROM w{BPE_MERGES}
+),
+docw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(d.w)) AS BIGINT) AS n_chars,
+       CAST(SUM(t.n_tok) AS BIGINT) AS n_tokens
+FROM docw d JOIN tok t USING (w)
+GROUP BY 1
+"""
+
+
+@query("q_text_bpe_encode", oracle=_BPE_ENCODE_ORACLE)
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M202: apply the BPE merge table learned by q_text_bpe_train to
+    tokenize the corpus — per-document word/char/BPE-token counts, i.e.
+    the actual 100 TB tokenization pass a training pipeline runs after
+    training the tokenizer (and the input to token-budgeted sampling /
+    packing: q_corpus_mix, q_pack_sequences).
+
+    Scale story, same as training plus one join: the merge chain runs
+    entirely on the vocabulary-sized word dict (carrying the word id
+    through each stage), producing word -> n_subword_tokens; the corpus
+    is then tokenized by ONE broadcast join of that dict onto the
+    exploded word stream and a doc-keyed count — the corpus is touched
+    exactly twice (dict build, token join), never per merge step. The
+    dict is broadcast because it is vocabulary-bounded (~1e6-1e7 rows
+    on a web corpus), not data-bounded.
+
+    Exactness: identical merge DAG as training (same unrolled oracle
+    stages, now carrying w); token counts are exact integers — split of
+    the double-space encoding — and the per-doc sums are exact integer
+    aggregates. Every extracted word is in the dict by construction
+    (dict built from the same corpus), so the inner join drops nothing;
+    documents with zero [a-z]+ words are absent on both engines."""
+    words = _bpe_words(spark, sf_dir)
+    cur = words.select("w", _bpe_seq0().alias("seq"), "freq")
+    final, _ = _bpe_merge_stages(cur, BPE_MERGES, carry=("w",))
+    wt = final.select(
+        "w",
+        F.size(F.split(F.trim(F.col("seq")), "  ")).cast("long").alias("n_tok"),
+    )
+    docw = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"),
+    )
+    return (
+        docw.join(F.broadcast(wt), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )

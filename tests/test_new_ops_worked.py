@@ -374,3 +374,63 @@ WHERE len(list_intersect(a.tset, b.tset)) * 20
 """
     ).fetchall()
     assert got == {tuple(r) for r in naive} and len(got) > 0
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Per-doc BPE token counts must equal a plain-Python Sennrich
+    encoder: learn 8 merges from the word dict, apply them in order
+    (left-to-right, non-overlapping) to every document's words."""
+    import re
+    from collections import Counter
+
+    got = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_tokens)
+        for r in QUERIES["q_text_bpe_encode"](spark, SF_SMOKE).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    words = Counter()
+    for t in docs.text:
+        words.update(re.findall(r"[a-z]+", t.lower()))
+    seqs = {tuple(w): f for w, f in words.items()}
+    merges = []
+    for _ in range(8):
+        pc = Counter()
+        for syms, f in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        (l, r), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r))
+        merged = {}
+        for syms, f in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + f
+        seqs = merged
+    def encode_len(w):
+        syms = list(w)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+    tok_len = {w: encode_len(w) for w in words}
+    expect = {}
+    for doc_id, t in zip(docs.doc_id, docs.text):
+        ws = re.findall(r"[a-z]+", t.lower())
+        if ws:
+            expect[doc_id] = (
+                len(ws), sum(len(w) for w in ws), sum(tok_len[w] for w in ws)
+            )
+    assert got == expect
