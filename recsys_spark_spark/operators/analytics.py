@@ -2128,3 +2128,192 @@ def q_dq_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         (rlong(F.col("n").cast("double") / F.col("tot") * 1e6) / 1e6).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# M203: connected components on the co-purchase graph
+# --------------------------------------------------------------------------
+
+# Alternating large-star/small-star rounds (Kiveris, Lattanzi, Mirrokni,
+# Rastogi, Vassilvitskii: "Connected Components in MapReduce and Beyond",
+# ACM SoCC 2014). Chosen over plain hash-min label propagation after
+# MEASURING both on this graph: the thresholded sf0.1 co-purchase graph has
+# a 4,177-node component whose min-label BFS depth is 65, so hash-min needs
+# 65 rounds, and hash-min + pointer jumping stalls at 44 (labels chain
+# through self-pointing local minima, so jumps compress nothing — the exact
+# failure mode the star operations exist to break, because they rewrite the
+# EDGE set instead of just the label table). Alternating stars converge in
+# 6 rounds here and 15 on an adversarial 20,000-node path. CC_ROUNDS = 8
+# gives 2 rounds of margin; extra rounds on a converged star forest are
+# exact no-ops (pytest pins convergence), and if a future graph were NOT
+# converged at 8 both engines still agree exactly — fixed-round unrolling
+# is a deterministic function of the data, the PageRank contract.
+CC_ROUNDS = 8
+
+
+def _cc_round_sql(k: int) -> str:
+    """One alternating round as DuckDB CTEs: large-star (attach every
+    neighbor larger than the center to the neighborhood min) then
+    small-star (attach the center and its smaller neighbors to their min).
+    Edges stay canonical (a > b) by construction: every emitted target is
+    the minimum of a set containing the source."""
+    p = k - 1
+    return f"""
+n{k} AS (SELECT a AS u, b AS v FROM e{p} UNION ALL SELECT b, a FROM e{p}),
+mn{k} AS MATERIALIZED (
+  SELECT u, LEAST(MIN(v), u) AS m FROM n{k} GROUP BY u
+),
+ls{k} AS MATERIALIZED (
+  SELECT DISTINCT n.v AS a, m.m AS b
+  FROM n{k} n JOIN mn{k} m ON m.u = n.u WHERE n.v > n.u
+),
+sm{k} AS MATERIALIZED (SELECT a AS u, MIN(b) AS m FROM ls{k} GROUP BY a),
+e{k} AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT l.b AS a, s.m AS b FROM ls{k} l JOIN sm{k} s ON s.u = l.a
+    WHERE l.b <> s.m
+    UNION ALL
+    SELECT u AS a, m AS b FROM sm{k}
+  )
+)"""
+
+
+def _cc_oracle() -> str:
+    rounds = ",".join(_cc_round_sql(k) for k in range(1, CC_ROUNDS + 1))
+    return f"""
+WITH ui AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT GREATEST({TRI_MIN_SUPPORT},
+                  CAST(CEIL(COUNT(DISTINCT user_id) / {TRI_USERS_PER_SUPPORT}.0) AS BIGINT)) AS min_c
+  FROM ui
+),
+e0 AS MATERIALIZED (
+  SELECT b.item_id AS a, a.item_id AS b
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT min_c FROM thr)
+),{rounds},
+nodes AS (SELECT a AS node FROM e0 UNION SELECT b FROM e0),
+lab AS (
+  SELECT n.node, COALESCE(MIN(e.b), n.node) AS comp
+  FROM nodes n LEFT JOIN e{CC_ROUNDS} e ON e.a = n.node
+  GROUP BY n.node
+)
+SELECT node AS item_id, comp AS component_id,
+       CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size
+FROM lab
+"""
+
+
+def star_contract(e: DataFrame, rounds: int) -> DataFrame:
+    """Run `rounds` alternating large-star/small-star rounds over a
+    canonical (a > b) edge DataFrame; returns the contracted edge set
+    (a star forest once converged: every edge points a node at its
+    component's minimum id).
+
+    Split from the registered query so tests can drive it with hand-built
+    graphs (tests/test_new_ops_worked.py pins it against union-find).
+
+    Each round references the previous edge set ~12 times through the
+    star joins, so lazy composition would grow the analyzed plan ~12x per
+    round; localCheckpoint(eager=True) truncates the lineage to a
+    LogicalRDD each round (the local-mode stand-in for the cluster
+    checkpoint() a production run would use). State is always edge-sized
+    and strictly within-component; every stage is a keyed min-aggregate
+    plus a keyed join — no driver-side state beyond the fixed round count.
+    """
+    for _ in range(rounds):
+        nbr = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = (
+            nbr.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        ls = (
+            nbr.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        sm = ls.groupBy("a").agg(F.min("b").alias("m"))
+        e1 = (
+            ls.join(sm, "a")
+            .where(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        e2 = sm.select("a", F.col("m").alias("b"))
+        e = e1.unionAll(e2).distinct().localCheckpoint(eager=True)
+    return e
+
+
+@query("q_graph_components", oracle=_cc_oracle())
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M203: connected components of the thresholded co-purchase graph —
+    per item its component id (the component's minimum item id) and the
+    component size. The structural complement of q_graph_triangles'
+    cohesion and q_graph_pagerank's centrality: which items form isolated
+    co-purchase islands at all (the sf0.1 graph splits into 1,926
+    components under the population-scaled support floor).
+
+    Algorithm: alternating large-star/small-star contraction (Kiveris et
+    al., SoCC 2014) for CC_ROUNDS fixed rounds — see the module comment
+    for why hash-min variants were measured and rejected (65-round
+    diameter; pointer jumping stalls on self-pointing local minima).
+
+    Scale shape: edges reuse the triangle query's rule — capped
+    interaction matrix (MAX_USER_HISTORY bounds the per-user pair
+    fan-out) + the population-scaled support floor (a fixed floor stops
+    pruning under user growth; measured 1400x edge blow-up on the sf1
+    probe without it) — so the graph is catalog-sized, not data-sized.
+    Each round is two keyed min-aggregates and two keyed joins over the
+    shrinking edge set; rounds needed grow O(log^2 n) with proven
+    convergence, so a production run loops with a per-round convergence
+    counter while this query unrolls the fixed CC_ROUNDS both engines
+    execute identically (exactness never depends on convergence). The
+    final labeling is one left join of the node list against the star
+    forest; component sizes are a label-partitioned window count."""
+    from recsys_spark_spark.cf.itemcf import capped_interactions, cooccurrence
+
+    ui = capped_interactions(spark, sf_dir)
+    thr = ui.agg(
+        F.greatest(
+            F.lit(TRI_MIN_SUPPORT),
+            F.ceil(
+                F.countDistinct("user_id") / F.lit(float(TRI_USERS_PER_SUPPORT))
+            ),
+        ).alias("min_c")
+    )
+    e0 = (
+        cooccurrence(ui)
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("n_common") >= F.col("min_c"))
+        .select(F.col("item_j").alias("a"), F.col("item_i").alias("b"))
+        .localCheckpoint(eager=True)  # feeds ~12 star refs + the node list
+    )
+    forest = star_contract(e0, CC_ROUNDS)
+    nodes = (
+        e0.select(F.col("a").alias("node"))
+        .union(e0.select("b"))
+        .distinct()
+    )
+    lab = (
+        nodes.join(
+            forest.select(F.col("a").alias("node"), F.col("b").alias("comp_raw")),
+            "node",
+            "left",
+        )
+        .groupBy("node")
+        .agg(F.min("comp_raw").alias("comp_min"))
+        .select("node", F.coalesce("comp_min", "node").alias("comp"))
+    )
+    wc = Window.partitionBy("comp")
+    return lab.select(
+        F.col("node").alias("item_id"),
+        F.col("comp").alias("component_id"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("comp_size"),
+    )

@@ -434,3 +434,76 @@ def test_bpe_encode_matches_python_reference(spark):
                 len(ws), sum(len(w) for w in ws), sum(tok_len[w] for w in ws)
             )
     assert got == expect
+
+
+def test_star_contract_matches_union_find(spark):
+    """star_contract must produce the exact union-find components on a
+    hand-built multi-component graph with an adversarial long path (the
+    shape that stalls hash-min variants — module comment in analytics.py).
+    Also pins convergence margin: one extra round changes nothing."""
+    from recsys_spark_spark.operators.analytics import star_contract
+
+    # path 1-2-...-30 (descending-id adversarial relabel), a 5-clique on
+    # 100..104, one isolated edge (200, 201), and a star at 300.
+    edges = [(i + 1, i) for i in range(1, 30)]
+    edges += [(b, a) for a in range(100, 105) for b in range(a + 1, 105)]
+    edges += [(201, 200)] + [(300 + k, 300) for k in (1, 2, 3)]
+    e = spark.createDataFrame(edges, "a long, b long")
+
+    par = {}
+    def find(x):
+        par.setdefault(x, x)
+        while par[x] != x:
+            par[x] = par.setdefault(par[x], par[x])
+            x = par[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            par[max(ra, rb)] = min(ra, rb)
+    want = {(v, find(v)) for v in par if v != find(v)}
+
+    got8 = {(r.a, r.b) for r in star_contract(e, 8).collect()}
+    got9 = {(r.a, r.b) for r in star_contract(e, 9).collect()}
+    assert got8 == want and got9 == want
+
+
+def test_graph_components_converged_at_smoke(spark):
+    """The registered query's labels at SF_SMOKE must equal union-find on
+    the same thresholded edge set (i.e. CC_ROUNDS has converged, not just
+    cross-engine-agreed)."""
+    from recsys_spark_spark.cf.itemcf import capped_interactions, cooccurrence
+    from recsys_spark_spark.operators.analytics import (
+        TRI_MIN_SUPPORT,
+        TRI_USERS_PER_SUPPORT,
+    )
+
+    ui = capped_interactions(spark, SF_SMOKE)
+    n_users = ui.select("user_id").distinct().count()
+    floor = max(TRI_MIN_SUPPORT, math.ceil(n_users / TRI_USERS_PER_SUPPORT))
+    edges = [
+        (r.item_j, r.item_i)
+        for r in cooccurrence(ui).where(F.col("n_common") >= floor).collect()
+    ]
+    par = {}
+    def find(x):
+        par.setdefault(x, x)
+        while par[x] != x:
+            par[x] = par.setdefault(par[x], par[x])
+            x = par[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            par[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for v in par:
+        comps.setdefault(find(v), set()).add(v)
+    want = {
+        (v, root, len(vs)) for root, vs in comps.items() for v in vs
+    }
+    got = {
+        (r.item_id, r.component_id, r.comp_size)
+        for r in QUERIES["q_graph_components"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
