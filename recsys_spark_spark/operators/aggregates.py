@@ -853,3 +853,129 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("segment", "order_year").agg(
         F.sum("cnt").cast("long").alias("n_buyers")
     )
+
+
+# --------------------------------------------------------------------------
+# M204: Count-Min sketch heavy hitters
+# --------------------------------------------------------------------------
+
+# Fixed pairwise-independent hash family h_j(x) = ((a_j*x + b_j) mod P) mod W
+# (Cormode & Muthukrishnan 2005, J. Algorithms). P = 2^31-1 (Mersenne
+# prime); a_j/b_j are arbitrary fixed constants < P, so both engines
+# evaluate the identical exact-integer expression — the sketch itself is a
+# deterministic function of the data, hence exact-oracled (unlike HLL,
+# whose register layout is implementation-specific).
+CMS_P = 2147483647
+CMS_W = 8192
+CMS_HASHES = ((0, 1222334455, 98765), (1, 987654321, 433494437),
+              (2, 1357924680, 12582917), (3, 246813579, 715827883))
+CMS_TOP = 20
+
+_CMS_VALUES = ", ".join(f"({j}, {a}, {b})" for j, a, b in CMS_HASHES)
+
+
+def _cms_hash_array():
+    """array<struct<j,bucket>> of the d hash evaluations of column ``item``."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (((F.lit(a) * F.col("item") + F.lit(b)) % CMS_P) % CMS_W).alias(
+                    "bucket"
+                ),
+            )
+            for j, a, b in CMS_HASHES
+        ]
+    )
+
+
+def cms_cells(items: DataFrame) -> DataFrame:
+    """Count-Min sketch of an ``item`` column as its (j, bucket, cnt) cell
+    table. Split from the registered query so tests can pin LINEARITY:
+    sketches of disjoint splits sum cell-wise to the whole-data sketch."""
+    return (
+        items.select(F.explode(_cms_hash_array()).alias("h"))
+        .groupBy(F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "q_cms_heavy_hitters",
+    oracle=f"""
+WITH li AS (SELECT l_partkey AS item FROM lineitem),
+h(j, a, b) AS (VALUES {_CMS_VALUES}),
+cells AS MATERIALIZED (
+  SELECT h.j, ((h.a * li.item + h.b) % {CMS_P}) % {CMS_W} AS bucket,
+         COUNT(*) AS cnt
+  FROM li CROSS JOIN h
+  GROUP BY 1, 2
+),
+exact AS MATERIALIZED (SELECT item, COUNT(*) AS n_exact FROM li GROUP BY 1),
+top AS (
+  SELECT item, n_exact FROM (
+    SELECT item, n_exact,
+           ROW_NUMBER() OVER (ORDER BY n_exact DESC, item) AS rnk
+    FROM exact
+  ) WHERE rnk <= {CMS_TOP}
+)
+SELECT t.item AS item_id,
+       CAST(t.n_exact AS BIGINT) AS n_exact,
+       CAST(MIN(c.cnt) AS BIGINT) AS n_cms_est,
+       CAST(MIN(c.cnt) - t.n_exact AS BIGINT) AS overestimate
+FROM top t
+CROSS JOIN h
+JOIN cells c
+  ON c.j = h.j AND c.bucket = ((h.a * t.item + h.b) % {CMS_P}) % {CMS_W}
+GROUP BY t.item, t.n_exact
+""",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M204: Count-Min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimates for the top-{CMS_TOP} most-ordered parts, reported against
+    their exact counts — the linear mergeable frequency sketch beside
+    q_hll_mergeable (distinct) and q_agg_bitmap_distinct (exact bitmap).
+
+    Why it matters at 100 TB: the sketch is a fixed d x w = 4 x 8192
+    integer grid whose cells are PLAIN SUMS — map-side combine collapses
+    every partition to <=32k rows before the one tiny shuffle, partial
+    sketches from any split of the data add up to the global sketch
+    (linearity), and a streaming/incremental pipeline maintains it by
+    adding deltas. Estimating any item is a broadcast lookup of d cells +
+    MIN; the full per-key exact groupBy here exists only as the accuracy
+    referent (and to pick the heavy hitters deterministically:
+    row_number over (count DESC, item)).
+
+    Exactness across engines: the hash family is fixed integer arithmetic
+    (a*x+b mod 2^31-1 mod w; products <= ~1e9 * ~2e5 << 2^63), counts and
+    mins are integers — no floats anywhere. CMS can only OVERestimate
+    (each cell sums the true count plus collisions), pinned per-row in
+    tests/test_new_ops_worked.py along with sketch linearity."""
+    li = table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("item"))
+    hashes = _cms_hash_array()
+    cells = cms_cells(li)
+    exact = li.groupBy("item").agg(F.count(F.lit(1)).alias("n_exact"))
+    w = Window.orderBy(F.col("n_exact").desc(), "item")
+    top = (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= CMS_TOP)
+        .drop("rnk")
+    )
+    probes = top.select("item", "n_exact", F.explode(hashes).alias("h"))
+    return (
+        probes.join(
+            F.broadcast(cells),
+            (F.col("h.j") == F.col("j")) & (F.col("h.bucket") == F.col("bucket")),
+        )
+        .groupBy(F.col("item").alias("item_id"), "n_exact")
+        .agg(
+            F.min("cnt").cast("long").alias("n_cms_est"),
+            (F.min("cnt") - F.first("n_exact")).cast("long").alias("overestimate"),
+        )
+        .select(
+            "item_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            "n_cms_est",
+            "overestimate",
+        )
+    )

@@ -507,3 +507,29 @@ def test_graph_components_converged_at_smoke(spark):
         for r in QUERIES["q_graph_components"](spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cms_never_underestimates_and_is_linear(spark):
+    """The two CMS contracts the oracle can't see: (a) every estimate is
+    >= the exact count (each cell sums the true count plus collisions);
+    (b) linearity — cell tables of a disjoint split sum to the whole-data
+    cell table, the property that makes the sketch mergeable/incremental."""
+    from recsys_spark_spark.operators.aggregates import cms_cells
+
+    rows = QUERIES["q_cms_heavy_hitters"](spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.n_cms_est == r.n_exact + r.overestimate for r in rows)
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        F.col("l_partkey").alias("item"), "l_orderkey"
+    )
+    whole = {
+        (r.j, r.bucket): r.cnt for r in cms_cells(li.select("item")).collect()
+    }
+    even = cms_cells(li.where(F.col("l_orderkey") % 2 == 0).select("item"))
+    odd = cms_cells(li.where(F.col("l_orderkey") % 2 == 1).select("item"))
+    summed: dict = {}
+    for r in even.collect() + odd.collect():
+        summed[(r.j, r.bucket)] = summed.get((r.j, r.bucket), 0) + r.cnt
+    assert summed == whole
