@@ -570,3 +570,163 @@ def q_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rlong(F.min("norm") * 1e6) / 1e6).alias("min_norm"),
         (rlong(F.max("norm") * 1e6) / 1e6).alias("max_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# M205: PQ asymmetric-distance top-k search (the ADC scan of IVFADC)
+# --------------------------------------------------------------------------
+
+PQ_NQ = 5        # query set: first PQ_NQ vec_ids
+PQ_ADC_TOPK = 10
+
+
+
+_PQ_ADC_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS sid, embedding AS sv FROM embeddings ORDER BY vec_id LIMIT {PQ_CODEBOOK}
+), se AS (
+  SELECT sid, s.s, gi.i,
+         CAST(sv[s.s * {PQ_SUBDIM} + gi.i] AS DOUBLE) AS sx
+  FROM seeds,
+       generate_series(0, {PQ_SUBSPACES - 1}) s(s),
+       generate_series(1, {PQ_SUBDIM}) gi(i)
+), ve AS (
+  SELECT vec_id, s.s, gi.i,
+         CAST(embedding[s.s * {PQ_SUBDIM} + gi.i] AS DOUBLE) AS vx
+  FROM embeddings,
+       generate_series(0, {PQ_SUBSPACES - 1}) s(s),
+       generate_series(1, {PQ_SUBDIM}) gi(i)
+), cd AS (
+  SELECT v.vec_id, v.s, e.sid,
+         SUM(CAST(ROUND((vx - sx) * (vx - sx) * 1e12, 0) AS BIGINT)) AS dist_s
+  FROM ve v JOIN se e ON v.s = e.s AND v.i = e.i
+  GROUP BY 1, 2, 3
+), codes AS MATERIALIZED (
+  SELECT vec_id, s, sid AS code FROM (
+    SELECT vec_id, s, sid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist_s, sid) AS rn
+    FROM cd
+  ) WHERE rn = 1
+), qids AS (
+  SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT {PQ_NQ}
+), dtab AS MATERIALIZED (
+  SELECT v.vec_id AS qid, v.s, e.sid,
+         SUM(CAST(ROUND((vx - sx) * (vx - sx) * 1e12, 0) AS BIGINT)) AS qd_s
+  FROM ve v JOIN qids q ON q.qid = v.vec_id
+  JOIN se e ON v.s = e.s AND v.i = e.i
+  GROUP BY 1, 2, 3
+), adc AS (
+  SELECT d.qid, c.vec_id, SUM(d.qd_s) AS total_s
+  FROM codes c JOIN dtab d ON d.s = c.s AND d.sid = c.code
+  WHERE c.vec_id <> d.qid
+  GROUP BY 1, 2
+)
+SELECT qid AS query_id, vec_id AS neighbor_id,
+       ROUND(total_s / 1e12 * 1e6, 0) / 1e6 AS adc_dist, rnk
+FROM (
+  SELECT qid, vec_id, total_s,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY total_s, vec_id) AS BIGINT) AS rnk
+  FROM adc
+) WHERE rnk <= {PQ_ADC_TOPK}
+"""
+
+
+def pq_codes(e: DataFrame) -> DataFrame:
+    """(vec_id, s, code): each vector's nearest-codeword assignment per
+    subspace — the same argmin as q_embed_pq_encode, split out so the ADC
+    search below and tests reuse it."""
+    sub = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))).alias("s")
+    vecs = e.select("vec_id", sub, "embedding").select(
+        "vec_id",
+        "s",
+        F.expr(f"slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("subv"),
+    )
+    seeds = F.broadcast(
+        e.orderBy("vec_id")
+        .limit(PQ_CODEBOOK)
+        .select(F.col("vec_id").alias("sid"), sub, "embedding")
+        .select(
+            "sid",
+            F.col("s").alias("cs"),
+            F.expr(f"slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("codev"),
+        )
+    )
+    dists = vecs.join(seeds, vecs.s == seeds.cs).select(
+        "vec_id", "s", "sid", _scaled_sqdist(F.col("subv"), F.col("codev")).alias("dist_s")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("dist_s", "sid")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("sid").alias("code"))
+    )
+
+
+@query("q_sim_pq_adc", oracle=_PQ_ADC_ORACLE)
+def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M205: PQ asymmetric distance computation (ADC) top-{PQ_ADC_TOPK}
+    search (Jégou et al., TPAMI 2011 §IV) — the scan stage of IVFADC, the
+    query-time complement to q_embed_pq_encode's index build: approximate
+    d(q, x) = Σ_s dtab[q][s][code_s(x)], where dtab holds the EXACT
+    distances from each query subvector to every codeword.
+
+    Why this is the billion-scale plan: at query time the raw vectors are
+    never touched — the scan reads only the code table ({PQ_SUBSPACES}
+    small ints per vector) and joins it against a broadcast distance
+    table of PQ_NQ x {PQ_SUBSPACES} x {PQ_CODEBOOK} precomputed entries
+    (model-to-data, the CF-neighbor pattern); the per-candidate score is
+    a (query, vector)-keyed integer SUM with map-side partials, and the
+    final top-k is a WindowGroupLimit-pruned rank over query partitions.
+    Compare q_sim_cosine_knn (exact brute force, reads every float) and
+    q_sim_ivf_knn (cell-pruned exact): ADC trades recall for a ~32x
+    smaller scan (64 floats -> 8 codes here).
+
+    Exactness: codes and dtab reuse the nano-scaled integer squared-
+    distance fold (_scaled_sqdist), sums of longs, ties broken on ids —
+    deterministic on both engines; self-matches are excluded."""
+    e = table(spark, sf_dir, "embeddings")
+    codes = pq_codes(e)
+    sub = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))).alias("s")
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(PQ_CODEBOOK)
+        .select(F.col("vec_id").alias("sid"), sub, "embedding")
+        .select(
+            "sid",
+            F.col("s").alias("qs"),
+            F.expr(f"slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("codev"),
+        )
+    )
+    qsub = (
+        e.orderBy("vec_id")
+        .limit(PQ_NQ)
+        .select(F.col("vec_id").alias("qid"), sub, "embedding")
+        .select(
+            "qid",
+            "s",
+            F.expr(f"slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("qv"),
+        )
+    )
+    dtab = qsub.join(seeds, qsub.s == seeds.qs).select(
+        "qid", "s", "sid", _scaled_sqdist(F.col("qv"), F.col("codev")).alias("qd_s")
+    )
+    adc = (
+        codes.join(
+            F.broadcast(dtab),
+            (codes.s == dtab.s) & (codes.code == dtab.sid),
+        )
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd_s").alias("total_s"))
+    )
+    w = Window.partitionBy("qid").orderBy("total_s", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= PQ_ADC_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            dround(F.col("total_s") / F.lit(1e12), 6).alias("adc_dist"),
+            "rnk",
+        )
+    )

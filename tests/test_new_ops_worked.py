@@ -533,3 +533,57 @@ def test_cms_never_underestimates_and_is_linear(spark):
     for r in even.collect() + odd.collect():
         summed[(r.j, r.bucket)] = summed.get((r.j, r.bucket), 0) + r.cnt
     assert summed == whole
+
+
+def test_pq_adc_matches_numpy_reference(spark):
+    """ADC top-k must equal a numpy recompute of Jégou ADC: codebook =
+    first-4 vectors' subvectors, codes = per-subspace argmin of the
+    nano-rounded integer squared distance (ties to smaller sid), ADC
+    distance = sum over subspaces of the query->codeword table entry."""
+    import numpy as np
+
+    from recsys_spark_spark.llm.similarity import (
+        PQ_ADC_TOPK,
+        PQ_CODEBOOK,
+        PQ_NQ,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    ids = emb.vec_id.to_numpy()
+    V = np.array([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    sq = lambda a, b: int(
+        sum(int(math.floor(((x - y) * (x - y)) * 1e12 + 0.5)) for x, y in zip(a, b))
+    )
+    sub = lambda v, s: v[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+    cb = V[:PQ_CODEBOOK]
+    codes = {}
+    for vid, v in zip(ids, V):
+        for s in range(PQ_SUBSPACES):
+            d = [(sq(sub(v, s), sub(c, s)), ids[k]) for k, c in enumerate(cb)]
+            codes[(vid, s)] = min(d)[1]
+    want = set()
+    for qid, q in zip(ids[:PQ_NQ], V[:PQ_NQ]):
+        dtab = {
+            (s, ids[k]): sq(sub(q, s), sub(c, s))
+            for s in range(PQ_SUBSPACES)
+            for k, c in enumerate(cb)
+        }
+        scored = sorted(
+            (sum(dtab[(s, codes[(vid, s)])] for s in range(PQ_SUBSPACES)), vid)
+            for vid in ids
+            if vid != qid
+        )
+        for rnk, (t, vid) in enumerate(scored[:PQ_ADC_TOPK], 1):
+            want.add((qid, vid, math.floor(t / 1e12 * 1e6 + 0.5) / 1e6, rnk))
+    got = {
+        (r.query_id, r.neighbor_id, r.adc_dist, r.rnk)
+        for r in QUERIES["q_sim_pq_adc"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) == PQ_NQ * PQ_ADC_TOPK
