@@ -1350,3 +1350,121 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# M206: RAKE keyword extraction (corpus-level)
+# --------------------------------------------------------------------------
+
+RAKE_TOP = 20
+
+# ' w1  w2 ' double-space encoding (the BPE trick above) makes plain
+# non-regex replace() of ' <stopword> ' an exact word-boundary delete even
+# for CONSECUTIVE stopwords — each token owns a space on both sides, so
+# matches never overlap. This keeps the phrase splitter identical on both
+# engines without lookahead regex (DuckDB's RE2 has none).
+_RAKE_SEQ_SQL = "' ' || array_to_string(regexp_extract_all(lower(text), '[a-z]+'), '  ') || ' '"
+for _sw in _STOPWORDS:
+    _RAKE_SEQ_SQL = f"replace({_RAKE_SEQ_SQL}, ' {_sw} ', ' | ')"
+
+_RAKE_ORACLE = f"""
+WITH occ AS MATERIALIZED (
+  SELECT array_to_string(string_split(trim(piece), '  '), ' ') AS phrase
+  FROM documents, unnest(string_split({_RAKE_SEQ_SQL}, '|')) AS u(piece)
+  WHERE trim(piece) <> ''
+),
+pw AS MATERIALIZED (
+  SELECT phrase, len(string_split(phrase, ' ')) AS n_words, w.w
+  FROM occ, unnest(string_split(phrase, ' ')) AS w(w)
+),
+ws AS (
+  SELECT w, CAST(ROUND(SUM(n_words) * 1e6 / COUNT(*), 0) AS BIGINT) AS score_s
+  FROM pw GROUP BY 1
+),
+uniq AS (
+  SELECT phrase, COUNT(*) AS n_occ FROM occ GROUP BY 1
+),
+scored AS (
+  SELECT u.phrase, u.n_occ,
+         CAST(len(string_split(u.phrase, ' ')) AS BIGINT) AS n_words,
+         SUM(s.score_s) AS total_s
+  FROM uniq u,
+       unnest(string_split(u.phrase, ' ')) AS w(w)
+  JOIN ws s ON s.w = w.w
+  GROUP BY 1, 2, 3
+)
+SELECT phrase, n_words, CAST(n_occ AS BIGINT) AS n_occurrences,
+       total_s / 1e6 AS rake_score, rnk
+FROM (
+  SELECT phrase, n_words, n_occ, total_s,
+         CAST(ROW_NUMBER() OVER (ORDER BY total_s DESC, phrase) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= {RAKE_TOP}
+"""
+
+
+@query("q_text_rake", oracle=_RAKE_ORACLE)
+def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M206: RAKE keyword extraction (Rose, Engel, Cramer, Cowley 2010)
+    at corpus level — candidate phrases are maximal stopword-free token
+    runs; each word scores deg(w)/freq(w) where freq counts occurrences
+    inside candidates and deg sums the lengths of the phrases containing
+    them; a phrase scores the sum of its words' scores. Top-{RAKE_TOP}
+    distinct phrases with occurrence counts — the unsupervised keyword
+    miner next to q_text_tfidf (per-doc) and q_text_pmi (pairwise).
+
+    Scale shape: phrase splitting is ROW-LOCAL string algebra (the BPE
+    double-space encoding makes plain replace() an exact word-boundary
+    stopword delete — no regex lookahead, no UDF); the word-score table is
+    one token-keyed aggregate, vocabulary-sized, joined back broadcast;
+    phrase scoring is one phrase-keyed integer SUM; the only global sort
+    is the WindowGroupLimit-pruned top-{RAKE_TOP} head. Word scores are
+    micro-scaled integers (rlong(deg*1e6/freq)) so phrase totals are
+    order-free exact integer sums on both engines."""
+    d = table(spark, sf_dir, "documents")
+    seq = F.concat(
+        F.lit(" "),
+        F.array_join(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "  "),
+        F.lit(" "),
+    )
+    for sw in _STOPWORDS:
+        seq = F.replace(seq, F.lit(f" {sw} "), F.lit(" | "))
+    occ = (
+        d.select(F.explode(F.split(seq, "\\|")).alias("piece"))
+        .select(
+            F.array_join(F.split(F.trim(F.col("piece")), "  "), " ").alias("phrase")
+        )
+        .where(F.col("phrase") != "")
+    )
+    pw = occ.select(
+        "phrase",
+        F.size(F.split("phrase", " ")).alias("n_words"),
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    ws = pw.groupBy("w").agg(
+        rlong(F.sum("n_words") * F.lit(1e6) / F.count(F.lit(1))).alias("score_s")
+    )
+    uniq = occ.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    scored = (
+        uniq.select(
+            "phrase",
+            "n_occ",
+            F.size(F.split("phrase", " ")).cast("long").alias("n_words"),
+            F.explode(F.split("phrase", " ")).alias("w"),
+        )
+        .join(F.broadcast(ws), "w")
+        .groupBy("phrase", "n_occ", "n_words")
+        .agg(F.sum("score_s").alias("total_s"))
+    )
+    wr = Window.orderBy(F.col("total_s").desc(), "phrase")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= RAKE_TOP)
+        .select(
+            "phrase",
+            "n_words",
+            F.col("n_occ").cast("long").alias("n_occurrences"),
+            (F.col("total_s") / F.lit(1e6)).alias("rake_score"),
+            "rnk",
+        )
+    )

@@ -190,7 +190,8 @@ _R6_WINDOW = (
 # additions q_stat_spearman / q_stat_kruskal (operators/stats.py) and
 # q_text_bpe_train (llm/text.py), q_sim_setjoin_prefix (llm/dedup.py), q_text_bpe_encode (llm/text.py),
 # q_graph_components (operators/analytics.py), q_cms_heavy_hitters
-# (operators/aggregates.py), q_sim_pq_adc (llm/similarity.py) — put
+# (operators/aggregates.py), q_sim_pq_adc (llm/similarity.py),
+# q_text_rake (llm/text.py) — put
 # round-7's NEW queries first, these next, then refresh the oldest
 # driver-green families.
 

@@ -587,3 +587,47 @@ def test_pq_adc_matches_numpy_reference(spark):
         for r in QUERIES["q_sim_pq_adc"](spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) == PQ_NQ * PQ_ADC_TOPK
+
+
+def test_rake_matches_python_reference(spark):
+    """Corpus-level RAKE top-20 must equal a plain-Python implementation
+    of Rose et al. 2010: phrases = stopword-free runs, word score =
+    deg/freq (micro-rounded), phrase score = sum of word scores."""
+    import re
+    from collections import Counter
+
+    from recsys_spark_spark.llm.text import _STOPWORDS
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    occ = []
+    for t in docs.text:
+        run = []
+        for w in re.findall(r"[a-z]+", t.lower()):
+            if w in _STOPWORDS:
+                if run:
+                    occ.append(tuple(run))
+                run = []
+            else:
+                run.append(w)
+        if run:
+            occ.append(tuple(run))
+    freq, deg = Counter(), Counter()
+    for p in occ:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    score_s = {w: math.floor(deg[w] * 1e6 / freq[w] + 0.5) for w in freq}
+    n_occ = Counter(occ)
+    scored = sorted(
+        (-sum(score_s[w] for w in p), " ".join(p), len(p), c)
+        for p, c in n_occ.items()
+    )[:20]
+    want = {
+        (ph, nw, c, -neg / 1e6, rnk)
+        for rnk, (neg, ph, nw, c) in enumerate(scored, 1)
+    }
+    got = {
+        (r.phrase, r.n_words, r.n_occurrences, r.rake_score, r.rnk)
+        for r in QUERIES["q_text_rake"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
