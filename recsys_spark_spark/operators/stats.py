@@ -1913,3 +1913,110 @@ def q_stat_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e9
         ).alias("p_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# M207: Friedman test (repeated-measures ranks across blocks)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stat_friedman",
+    oracle="""
+WITH cell AS (
+  SELECT c_nationkey AS b, o_orderpriority AS g,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), fullb AS (
+  SELECT b FROM cell GROUP BY 1 HAVING COUNT(*) = 5
+), ranked AS (
+  SELECT g,
+         2 * RANK() OVER (PARTITION BY b ORDER BY cents)
+           + COUNT(*) OVER (PARTITION BY b, cents) - 1 AS two_r
+  FROM cell JOIN fullb USING (b)
+), rs AS (
+  SELECT g, CAST(SUM(two_r) AS BIGINT) AS r2 FROM ranked GROUP BY 1
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(r2 * r2) AS BIGINT) AS sq,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM fullb) AS n
+  FROM rs
+), q AS (
+  SELECT n,
+         12.0 * sq / (4.0 * n * k * (k + 1)) - 3.0 * n * (k + 1) AS q_stat
+  FROM s
+)
+SELECT r.g AS o_orderpriority, q.n AS n_blocks, r.r2 AS rank_sum_2x,
+       ROUND(r.r2 / (2.0 * q.n) * 1e6, 0) / 1e6 AS mean_rank,
+       ROUND(q.q_stat * 1e6, 0) / 1e6 AS q_stat,
+       ROUND(exp(-q.q_stat / 2) * (1 + q.q_stat / 2) * 1e9, 0) / 1e9 AS p_value
+FROM rs r CROSS JOIN q
+""",
+)
+def q_stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M207: Friedman test (Friedman 1937) of order priority across
+    nation blocks — the repeated-measures companion to q_stat_kruskal:
+    each nation is a block, its five priority revenue totals are ranked
+    WITHIN the block (removing the between-nation scale), and Q asks
+    whether any priority consistently ranks high/low across blocks.
+    Doubled midranks keep tie handling exact-integer (the Mann-Whitney
+    identity, shared with Kruskal/Spearman); blocks missing a priority
+    are dropped on both engines, so the design is complete by
+    construction. k = 5 priorities -> df = 4, so the chi-square survival
+    is the closed even-df form exp(-Q/2)(1+Q/2), no approximation.
+
+    Exactness: block cells are exact cent sums (BIGINT); per-block
+    doubled midranks 2*RANK + ties - 1 are exact integers <= 2k; the
+    per-treatment doubled rank sums and their squares stay below ~6e4
+    regardless of SF (blocks = 25 nations always), so every float that
+    feeds Q is an exactly-representable integer and both engines evaluate
+    the identical expression tree.
+
+    Shape: one (nation, priority)-keyed aggregate over the orders
+    join, a k-per-block window rank (block-partitioned, never global),
+    a k-row reduction, and a 1-row cross join onto the k output rows."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cell = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("b"), F.col("o_orderpriority").alias("g"))
+        .agg(F.sum(rlong(F.col("o_totalprice") * 100)).cast("long").alias("cents"))
+    )
+    fullb = cell.groupBy("b").agg(F.count(F.lit(1)).alias("nc")).where(
+        F.col("nc") == 5
+    ).select("b")
+    wrk = Window.partitionBy("b").orderBy("cents")
+    wtie = Window.partitionBy("b", "cents")
+    ranked = cell.join(fullb, "b").select(
+        "g",
+        (
+            2 * F.rank().over(wrk) + F.count(F.lit(1)).over(wtie) - 1
+        ).cast("long").alias("two_r"),
+    )
+    rs = ranked.groupBy("g").agg(F.sum("two_r").cast("long").alias("r2"))
+    nb = fullb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = (
+        rs.agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(F.col("r2") * F.col("r2")).cast("long").alias("sq"),
+        )
+        .crossJoin(F.broadcast(nb))
+    )
+    q = s.select(
+        "n",
+        (
+            F.lit(12.0) * F.col("sq")
+            / (F.lit(4.0) * F.col("n") * F.col("k") * (F.col("k") + 1))
+            - F.lit(3.0) * F.col("n") * (F.col("k") + 1)
+        ).alias("q_stat"),
+    )
+    return rs.crossJoin(F.broadcast(q)).select(
+        F.col("g").alias("o_orderpriority"),
+        F.col("n").alias("n_blocks"),
+        F.col("r2").alias("rank_sum_2x"),
+        (rlong(F.col("r2") / (F.lit(2.0) * F.col("n")) * 1e6) / 1e6).alias("mean_rank"),
+        (rlong(F.col("q_stat") * 1e6) / 1e6).alias("q_stat"),
+        (
+            rlong(F.exp(-F.col("q_stat") / 2) * (1 + F.col("q_stat") / 2) * 1e9) / 1e9
+        ).alias("p_value"),
+    )

@@ -631,3 +631,34 @@ def test_rake_matches_python_reference(spark):
         for r in QUERIES["q_text_rake"](spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_friedman_matches_python_reference(spark):
+    """Friedman Q from a plain-Python midrank recompute over the
+    (nation, priority) revenue-cents cells must equal the query."""
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = (j.o_totalprice * 100).map(lambda v: math.floor(v + 0.5))
+    cells = j.groupby(["c_nationkey", "o_orderpriority"]).cents.sum()
+    blocks = {}
+    for (b, g), v in cells.items():
+        blocks.setdefault(b, {})[g] = v
+    blocks = {b: d for b, d in blocks.items() if len(d) == 5}
+    two_r = {}
+    for b, d in blocks.items():
+        vals = sorted(d.values())
+        for g, v in d.items():
+            less = sum(1 for x in vals if x < v)
+            eq = sum(1 for x in vals if x == v)
+            two_r[g] = two_r.get(g, 0) + 2 * (less + 1) + eq - 1
+    n, k = len(blocks), 5
+    sq = sum(r * r for r in two_r.values())
+    q_stat = 12.0 * sq / (4.0 * n * k * (k + 1)) - 3.0 * n * (k + 1)
+    rows = QUERIES["q_stat_friedman"](spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_blocks == n
+        assert r.rank_sum_2x == two_r[r.o_orderpriority]
+        assert r.q_stat == math.floor(q_stat * 1e6 + 0.5) / 1e6
+        assert 0.0 <= r.p_value <= 1.0
