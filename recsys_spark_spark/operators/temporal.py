@@ -1617,3 +1617,140 @@ def q_interval_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_iv").cast("long") / day_s).cast("long").alias("max_lag_days"),
         (F.col("min_iv").cast("long") / day_s).cast("long").alias("min_lag_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# M208: Holt-Winters additive triple exponential smoothing
+# --------------------------------------------------------------------------
+
+_HW_ALPHA = 0.5    # level gain — exactly representable
+_HW_BETA = 0.3     # trend gain (literal on both engines)
+_HW_BETA1 = 0.7    # literal 1-beta
+_HW_GAMMA = 0.25   # seasonal gain — exactly representable
+_HW_GAMMA1 = 0.75  # literal 1-gamma — exactly representable
+_HW_M = 7          # season length (weekly on the daily series)
+
+# l_new appears in three update expressions; the oracle repeats the same
+# inline expression the pandas fold computes once — identical float tree.
+_HW_LNEW = (
+    f"{_HW_ALPHA!r} * (d.y - r.sv[1]) + {_HW_ALPHA!r} * (r.l + r.b)"
+)
+
+
+@query(
+    "q_ts_holt_winters",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 1e4, 0) AS BIGINT)) AS y4
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y4, y4 / 1e4 AS y,
+         CAST(date_diff('day', MIN(day) OVER (PARTITION BY event_type), day) AS BIGINT) AS x,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+  FROM daily
+),
+init AS (
+  SELECT event_type, MIN(m) AS m,
+         SUM(CASE WHEN x < {_HW_M} THEN y4 ELSE 0 END) AS s0_4,
+         SUM(CASE WHEN x >= {_HW_M} AND x < {2 * _HW_M} THEN y4 ELSE 0 END) AS s1_4,
+         list(y ORDER BY x) FILTER (x < {_HW_M}) AS head
+  FROM idx GROUP BY 1
+),
+rec AS (
+  SELECT event_type, CAST({_HW_M - 1} AS BIGINT) AS x, m,
+         s0_4 / {_HW_M}e4 AS l,
+         (s1_4 / {_HW_M}e4 - s0_4 / {_HW_M}e4) / {_HW_M}.0 AS b,
+         list_transform(head, e -> e - s0_4 / {_HW_M}e4) AS sv
+  FROM init WHERE m >= {2 * _HW_M}
+  UNION ALL
+  SELECT r.event_type, r.x + 1, r.m,
+         {_HW_LNEW} AS l,
+         {_HW_BETA!r} * (({_HW_LNEW}) - r.l) + {_HW_BETA1!r} * r.b AS b,
+         list_append(r.sv[2:],
+                     {_HW_GAMMA!r} * (d.y - ({_HW_LNEW}))
+                       + {_HW_GAMMA1!r} * r.sv[1]) AS sv
+  FROM rec r JOIN idx d ON d.event_type = r.event_type AND d.x = r.x + 1
+)
+SELECT event_type, CAST(m AS BIGINT) AS n_days, h.h,
+       ROUND(l * 1e6, 0) / 1e6 AS level,
+       ROUND(b * 1e6, 0) / 1e6 AS trend,
+       ROUND((l + h.h * b + sv[h.h]) * 1e6, 0) / 1e6 AS forecast
+FROM rec CROSS JOIN generate_series(1, {_HW_M}) h(h)
+WHERE x = m - 1
+""",
+)
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M208: Holt-Winters additive triple exponential smoothing
+    (Winters 1960) per event-type daily series — level + trend +
+    weekly-seasonal state folded sequentially, emitting the next
+    {_HW_M} daily forecasts. Completes the smoothing ladder: EWMA
+    (level, q_ts_ewma) -> Holt (+trend, q_ts_holt) -> this (+season).
+
+    Same custom-operator contract as q_ts_holt: a grouped applyInPandas
+    fold (one Arrow group per series) exact-checked against a DuckDB
+    RECURSIVE CTE that carries the seasonal queue as a LIST column
+    (sv[1] is s_{{t-m}}; each step pops the head and appends s_t).
+
+    Determinism: daily y are exact-long-derived (1e4-scaled sums), the
+    init means use the INTEGER sums (order-free) divided once, and every
+    per-step float op is the identical expression tree with identical
+    parsed literals on both engines, so the (l, b, s) state is
+    bit-identical at every t. Series shorter than two seasons emit
+    nothing on both engines.
+
+    Shape: one (type, day) pre-aggregate reduces events to days x types
+    before any sequential work; the fold is per-series Arrow-local (one
+    exchange); output is {_HW_M} rows per series."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(rlong(F.col("value") * 1e4)).cast("long").alias("y4")
+    )
+    wp = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "y4",
+        (F.col("y4") / F.lit(1e4)).alias("y"),
+        F.datediff("day", F.min("day").over(wp)).cast("long").alias("x"),
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values("x")
+        y4 = pdf["y4"].to_numpy()
+        y = pdf["y"].to_numpy(dtype=float)
+        m = len(y)
+        cols = ["event_type", "n_days", "h", "level", "trend", "forecast"]
+        if m < 2 * _HW_M:
+            return pd.DataFrame(columns=cols)
+        s0_4 = int(y4[:_HW_M].sum())
+        s1_4 = int(y4[_HW_M : 2 * _HW_M].sum())
+        l = s0_4 / float(_HW_M * 10**4)
+        b = (s1_4 / float(_HW_M * 10**4) - s0_4 / float(_HW_M * 10**4)) / float(_HW_M)
+        sv = [y[i] - l for i in range(_HW_M)]
+        for t in range(_HW_M, m):
+            s_used = sv[0]
+            l_new = _HW_ALPHA * (y[t] - s_used) + _HW_ALPHA * (l + b)
+            b = _HW_BETA * (l_new - l) + _HW_BETA1 * b
+            s_new = _HW_GAMMA * (y[t] - l_new) + _HW_GAMMA1 * s_used
+            l = l_new
+            sv = sv[1:] + [s_new]
+
+        def r6(v: float) -> float:
+            return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+        et = pdf["event_type"].iloc[0]
+        return pd.DataFrame(
+            [
+                (et, m, h, r6(l), r6(b), r6(l + h * b + sv[h - 1]))
+                for h in range(1, _HW_M + 1)
+            ],
+            columns=cols,
+        )
+
+    schema = "event_type string, n_days long, h long, level double, trend double, forecast double"
+    return idx.groupBy("event_type").applyInPandas(hw, schema)

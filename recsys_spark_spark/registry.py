@@ -191,7 +191,8 @@ _R6_WINDOW = (
 # q_text_bpe_train (llm/text.py), q_sim_setjoin_prefix (llm/dedup.py), q_text_bpe_encode (llm/text.py),
 # q_graph_components (operators/analytics.py), q_cms_heavy_hitters
 # (operators/aggregates.py), q_sim_pq_adc (llm/similarity.py),
-# q_text_rake (llm/text.py), q_stat_friedman (operators/stats.py) — put
+# q_text_rake (llm/text.py), q_stat_friedman (operators/stats.py),
+# q_ts_holt_winters (operators/temporal.py) — put
 # round-7's NEW queries first, these next, then refresh the oldest
 # driver-green families.
 

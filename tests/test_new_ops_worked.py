@@ -662,3 +662,22 @@ def test_friedman_matches_python_reference(spark):
         assert r.rank_sum_2x == two_r[r.o_orderpriority]
         assert r.q_stat == math.floor(q_stat * 1e6 + 0.5) / 1e6
         assert 0.0 <= r.p_value <= 1.0
+
+
+def test_holt_winters_structure_and_seasonality(spark):
+    """Structural contract for the HW fold (the recursive-CTE oracle is
+    the math referent, as for q_ts_holt): every >=2-season series emits
+    exactly h=1..7 rows sharing (level, trend), forecast decomposes as
+    level + h*trend + a seasonal term bounded by the series range, and
+    the seasonal terms differ across h (a season is actually carried)."""
+    rows = QUERIES["q_ts_holt_winters"](spark, SF_SMOKE).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert len(by_type) == 5
+    for et, rs in by_type.items():
+        assert sorted(r.h for r in rs) == list(range(1, 8))
+        assert len({(r.level, r.trend, r.n_days) for r in rs}) == 1
+        seas = [r.forecast - (r.level + r.h * r.trend) for r in sorted(rs, key=lambda r: r.h)]
+        assert max(seas) > min(seas)  # non-degenerate seasonal state
+        assert all(abs(s) < 10 * abs(rs[0].level) + 1e3 for s in seas)
