@@ -2020,3 +2020,137 @@ def q_stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
             rlong(F.exp(-F.col("q_stat") / 2) * (1 + F.col("q_stat") / 2) * 1e9) / 1e9
         ).alias("p_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# M209: Wilcoxon signed-rank test (paired first-vs-last order value)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stat_wilcoxon",
+    oracle=f"""
+WITH seq AS (
+  SELECT o_custkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS m
+  FROM orders
+), pair AS (
+  SELECT l.o_custkey,
+         CAST(ROUND(l.o_totalprice * 100, 0) AS BIGINT)
+           - CAST(ROUND(f.o_totalprice * 100, 0) AS BIGINT) AS dc
+  FROM seq f JOIN seq l ON f.o_custkey = l.o_custkey AND l.rn = l.m
+  WHERE f.rn = 1 AND f.m >= 2
+), nz AS (
+  SELECT abs(dc) AS ad, CASE WHEN dc > 0 THEN 1 ELSE 0 END AS pos
+  FROM pair WHERE dc <> 0
+), v AS (
+  SELECT ad, CAST(SUM(pos) AS BIGINT) AS npos, CAST(COUNT(*) AS BIGINT) AS nv
+  FROM nz GROUP BY 1
+), c AS (
+  SELECT ad, npos, nv,
+         CAST(SUM(nv) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cumn
+  FROM v
+), s AS (
+  SELECT CAST(SUM(npos * (2 * (cumn - nv) + nv + 1)) AS BIGINT) AS two_wp,
+         CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS tsum,
+         CAST(SUM(nv) AS BIGINT) AS n
+  FROM c
+), z AS (
+  SELECT n, two_wp / 2.0 AS wp,
+         CAST(n AS DOUBLE) * (n + 1) / 2.0 - two_wp / 2.0 AS wm,
+         (two_wp / 2.0 - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+         / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+                - CAST(tsum AS DOUBLE) / 48.0) AS zs
+  FROM s
+)
+SELECT n AS n_pairs,
+       ROUND(wp * 1e6, 0) / 1e6 AS w_plus,
+       ROUND(wm * 1e6, 0) / 1e6 AS w_minus,
+       ROUND(zs * 1e6, 0) / 1e6 AS z_stat,
+       ROUND(2 * {_phi_sql('abs(zs)')} * 1e9, 0) / 1e9 AS p_two_sided
+FROM z
+""",
+)
+def q_stat_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M209: Wilcoxon signed-rank test (Wilcoxon 1945) on PAIRED samples —
+    each repeat customer's first vs last order value (did spend shift
+    over a customer's lifetime?). Completes the rank-test family:
+    Mann-Whitney (independent two-group), Kruskal (k-group), Friedman
+    (blocked k-treatment), Spearman (paired association) — this is the
+    paired two-sample location test. Zero differences dropped, midranks
+    on |d| with the exact tie correction Σ(t³−t)/48 in the variance,
+    z through the shared Abramowitz-Stegun Φ (_phi_sql/_phi_col).
+
+    Exactness: cent differences are exact BIGINTs; per-|d|-value doubled
+    midranks come from the same value-table identity as Mann-Whitney, so
+    2·W⁺ = Σ npos·(2·cum_before + nv + 1) is an exact integer (≤ 2n²,
+    fine through ~sf10); n(n+1)(2n+1) exceeds 2^53 beyond ~sf3 but is
+    evaluated in an IDENTICAL double tree on both engines (the Kruskal
+    n³ precedent), so parity is by identical rounding, not magnitude.
+
+    Shape: the pair extraction is a customer-partitioned window (never
+    global); facts collapse to one row per distinct |d|; the rank prefix
+    rides the value-bucket distributed prefix-sum (ordered_prefix_sums);
+    the closed form evaluates on ONE reduced row."""
+    from recsys_spark_spark.operators.sorts import ordered_prefix_sums
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wcnt = Window.partitionBy("o_custkey")
+    seq = o.select(
+        "o_custkey",
+        rlong(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.row_number().over(wseq).alias("rn"),
+        F.count(F.lit(1)).over(wcnt).alias("m"),
+    )
+    first = seq.where((F.col("rn") == 1) & (F.col("m") >= 2)).select(
+        "o_custkey", F.col("cents").alias("c0")
+    )
+    last = seq.where(F.col("rn") == F.col("m")).select(
+        "o_custkey", F.col("cents").alias("c1")
+    )
+    nz = (
+        first.join(last, "o_custkey")
+        .select((F.col("c1") - F.col("c0")).alias("dc"))
+        .where(F.col("dc") != 0)
+        .select(
+            F.abs("dc").alias("ad"),
+            F.when(F.col("dc") > 0, 1).otherwise(0).cast("long").alias("pos"),
+        )
+    )
+    v = nz.groupBy("ad").agg(
+        F.sum("pos").alias("npos"), F.count(F.lit(1)).alias("nv")
+    )
+    c = ordered_prefix_sums(
+        spark, v, order_col="ad", tiebreak="ad", sum_cols={"nv": "cumn"},
+        descending=False,
+    )
+    s = c.agg(
+        F.sum(
+            F.col("npos") * (2 * (F.col("cumn") - F.col("nv")) + F.col("nv") + 1)
+        ).alias("two_wp"),
+        F.sum(F.col("nv") * F.col("nv") * F.col("nv") - F.col("nv")).alias("tsum"),
+        F.sum("nv").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    wp = F.col("two_wp") / F.lit(2.0)
+    wm = nd * (F.col("n") + 1) / F.lit(2.0) - F.col("two_wp") / F.lit(2.0)
+    zs = (
+        F.col("two_wp") / F.lit(2.0) - nd * (F.col("n") + 1) / F.lit(4.0)
+    ) / F.sqrt(
+        nd * (F.col("n") + 1) * (2 * F.col("n") + 1) / F.lit(24.0)
+        - F.col("tsum").cast("double") / F.lit(48.0)
+    )
+    z = s.select(F.col("n").alias("n_pairs"), wp.alias("wp"), wm.alias("wm"), zs.alias("zs"))
+    return z.select(
+        "n_pairs",
+        (rlong(F.col("wp") * 1e6) / 1e6).alias("w_plus"),
+        (rlong(F.col("wm") * 1e6) / 1e6).alias("w_minus"),
+        (rlong(F.col("zs") * 1e6) / 1e6).alias("z_stat"),
+        (rlong(2 * _phi_col(F.abs(F.col("zs"))) * 1e9) / 1e9).alias("p_two_sided"),
+    )

@@ -192,7 +192,8 @@ _R6_WINDOW = (
 # q_graph_components (operators/analytics.py), q_cms_heavy_hitters
 # (operators/aggregates.py), q_sim_pq_adc (llm/similarity.py),
 # q_text_rake (llm/text.py), q_stat_friedman (operators/stats.py),
-# q_ts_holt_winters (operators/temporal.py) — put
+# q_ts_holt_winters (operators/temporal.py), q_stat_wilcoxon
+# (operators/stats.py) — put
 # round-7's NEW queries first, these next, then refresh the oldest
 # driver-green families.
 

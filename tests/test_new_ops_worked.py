@@ -681,3 +681,44 @@ def test_holt_winters_structure_and_seasonality(spark):
         seas = [r.forecast - (r.level + r.h * r.trend) for r in sorted(rs, key=lambda r: r.h)]
         assert max(seas) > min(seas)  # non-degenerate seasonal state
         assert all(abs(s) < 10 * abs(rs[0].level) + 1e3 for s in seas)
+
+
+def test_wilcoxon_matches_python_reference(spark):
+    """W+, W-, z from a plain-Python midrank recompute of the paired
+    first-vs-last cent differences must equal the query."""
+    o = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        .toPandas()
+    )
+    o["cents"] = (o.o_totalprice * 100).map(lambda v: math.floor(v + 0.5))
+    o = o.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    diffs = []
+    for _, g in o.groupby("o_custkey"):
+        if len(g) >= 2:
+            d = int(g.cents.iloc[-1]) - int(g.cents.iloc[0])
+            if d != 0:
+                diffs.append(d)
+    ads = sorted(abs(d) for d in diffs)
+    n = len(ads)
+    two_wp = 0
+    for d in diffs:
+        if d > 0:
+            less = sum(1 for a in ads if a < abs(d))
+            eq = sum(1 for a in ads if a == abs(d))
+            two_wp += 2 * (less + 1) + eq - 1
+    tsum = 0
+    from collections import Counter
+    for _, t in Counter(ads).items():
+        tsum += t * t * t - t
+    wp = two_wp / 2.0
+    wm = float(n) * (n + 1) / 2.0 - two_wp / 2.0
+    zs = (two_wp / 2.0 - float(n) * (n + 1) / 4.0) / math.sqrt(
+        float(n) * (n + 1) * (2 * n + 1) / 24.0 - float(tsum) / 48.0
+    )
+    r = QUERIES["q_stat_wilcoxon"](spark, SF_SMOKE).collect()[0]
+    assert r.n_pairs == n
+    assert r.w_plus == math.floor(wp * 1e6 + 0.5) / 1e6
+    assert r.w_minus == math.floor(wm * 1e6 + 0.5) / 1e6
+    assert r.z_stat == math.copysign(math.floor(abs(zs) * 1e6 + 0.5), zs) / 1e6
+    assert 0.0 <= r.p_two_sided <= 1.0

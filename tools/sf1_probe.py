@@ -130,6 +130,24 @@ PROBE_QUERIES = (
     "q_table_schema_evolution",
     "q_source_xml",
     "q_sql_group_by_all",
+    # round-6 continuation-session additions: the star-contraction
+    # component labeler (densifying edges, triangle direction), the
+    # vocabulary-sized BPE merge chain + corpus tokenization join, the
+    # prefix-filtered set-similarity self-join (exact-duplicate copies
+    # across replicas make this the worst-case dup-pair direction), the
+    # fixed-grid CMS sketch, the broadcast ADC scan, corpus RAKE, and the
+    # two new sequential folds
+    "q_graph_components",
+    "q_text_bpe_train",
+    "q_text_bpe_encode",
+    "q_sim_setjoin_prefix",
+    "q_cms_heavy_hitters",
+    "q_sim_pq_adc",
+    "q_text_rake",
+    "q_stat_friedman",
+    "q_ts_holt_winters",
+    "q_stat_spearman",
+    "q_stat_kruskal",
 )
 
 
