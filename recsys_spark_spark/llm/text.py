@@ -1239,9 +1239,16 @@ def _bpe_seq0():
 
 
 def _bpe_merge_stages(cur: DataFrame, k: int, carry: tuple = ()):
-    """Run k lazy merge stages over ``cur`` (``seq``, ``freq`` plus any
+    """Run k merge stages over ``cur`` (``seq``, ``freq`` plus any
     ``carry`` columns that ride through untouched); returns the final
-    sequence table and the per-step merge-rule heads."""
+    sequence table and the per-step merge-rule heads.
+
+    Each stage's table is localCheckpoint(eager=True)-truncated: stage
+    k's pair count and the k-th head would otherwise re-execute stages
+    1..k-1's replaces through the lazy lineage — O(K²) stage work total,
+    measured at 70 s for the sf0.1 training query before truncation
+    (the star_contract lesson; checkpoint() on a cluster). The dict is
+    vocabulary-sized, so each checkpoint job is tiny."""
     heads = []
     for i in range(1, k + 1):
         syms = F.split(F.trim(F.col("seq")), "  ")
@@ -1286,7 +1293,7 @@ def _bpe_merge_stages(cur: DataFrame, k: int, carry: tuple = ()):
                 F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" ")),
             ).alias("seq"),
             "freq",
-        )
+        ).localCheckpoint(eager=True)
     return cur, heads
 
 
