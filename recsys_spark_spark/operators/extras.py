@@ -10,6 +10,7 @@ table (the classic statistical-LM building block).
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import os
 
@@ -747,4 +748,51 @@ def q_sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
          GROUP BY 1'
         USING 1997, 'F'
         """
+    )
+
+
+# --------------------------------------------------------------------------
+# M211: parameterized spark.sql() with named parameter markers
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sql_named_params",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY 1
+""",
+)
+def q_sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M211: parameterized SQL via spark.sql(query, args=...) (Spark
+    3.4+) — named :param markers bound client-side as typed literals,
+    the programmatic (PySpark-API) sibling of q_sql_execute_immediate's
+    SQL-side USING binding. The injection-safe templating surface an
+    application layer uses; Catalyst sees plain literals, so constant
+    folding, pushdown and partition pruning are unaffected (the pushed
+    date filter is visible in the scan).
+
+    Array-typed parameters bind through array(); IN over the bound array
+    compiles to the same predicate as a literal IN list."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= :cutoff
+          AND array_contains(:prios, o_orderpriority)
+        GROUP BY 1
+        """,
+        args={
+            "cutoff": datetime.date(1996, 1, 1),
+            "prios": ["1-URGENT", "2-HIGH"],
+        },
     )

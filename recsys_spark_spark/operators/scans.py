@@ -214,3 +214,65 @@ def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_regionkey", "r_name")
         .agg(F.count(F.lit(1)).cast("long").alias("n_nations"))
     )
+
+
+# --------------------------------------------------------------------------
+# M210: Observation metrics — QC aggregates piggybacked on a write action
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_observe_metrics",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+       CAST(MIN(l_quantity) AS BIGINT) AS min_qty,
+       CAST(MAX(l_quantity) AS BIGINT) AS max_qty
+FROM lineitem
+""",
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M210: df.observe() (the Observation API, Spark 3.3+) — data-quality
+    aggregates collected DURING a sink write, with no second scan. The
+    100 TB pattern this exists for: every production write should emit
+    row counts / sums / bounds for reconciliation, and observe() computes
+    them inside the same pass the writer already makes (accumulator-
+    backed), where a separate QC query would re-read the table.
+
+    The observed metrics are exact integers (cent sums, counts, integral
+    quantity bounds), so the 1-row result is oracle-exact. The 1-row
+    spark.createDataFrame from the observation dict is the documented
+    driver-side pattern (the joins.py conf-pinning precedent): the
+    OBSERVATION is the query result by definition — nothing data-sized
+    crosses the driver."""
+    from pyspark.sql import Observation
+
+    out = os.path.join(TMP_DIR, "observe_sink")
+    shutil.rmtree(out, ignore_errors=True)
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation("qc")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(rlong(F.col("l_extendedprice") * 100)).cast("long").alias("price_cents"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .cast("long")
+        .alias("n_discounted"),
+        F.min("l_quantity").cast("long").alias("min_qty"),
+        F.max("l_quantity").cast("long").alias("max_qty"),
+    )
+    observed.write.mode("overwrite").parquet(out)  # the action that fills obs
+    row = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                row["n_rows"],
+                row["price_cents"],
+                row["n_discounted"],
+                row["min_qty"],
+                row["max_qty"],
+            )
+        ],
+        "n_rows long, price_cents long, n_discounted long, min_qty long, max_qty long",
+    )

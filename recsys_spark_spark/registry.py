@@ -193,7 +193,8 @@ _R6_WINDOW = (
 # (operators/aggregates.py), q_sim_pq_adc (llm/similarity.py),
 # q_text_rake (llm/text.py), q_stat_friedman (operators/stats.py),
 # q_ts_holt_winters (operators/temporal.py), q_stat_wilcoxon
-# (operators/stats.py) — put
+# (operators/stats.py), q_observe_metrics (operators/scans.py),
+# q_sql_named_params (operators/extras.py) — put
 # round-7's NEW queries first, these next, then refresh the oldest
 # driver-green families.
 

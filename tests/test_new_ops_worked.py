@@ -722,3 +722,26 @@ def test_wilcoxon_matches_python_reference(spark):
     assert r.w_minus == math.floor(wm * 1e6 + 0.5) / 1e6
     assert r.z_stat == math.copysign(math.floor(abs(zs) * 1e6 + 0.5), zs) / 1e6
     assert 0.0 <= r.p_two_sided <= 1.0
+
+
+def test_named_params_bind_as_literals(spark):
+    """The bound :cutoff date must reach the scan as a pushed filter —
+    parameter binding must not defeat pushdown."""
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        QUERIES["q_sql_named_params"](spark, SF_SMOKE)._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters", 1)[1][:400]
+
+
+def test_observe_metrics_match_direct_aggregate(spark):
+    """The observation collected during the write must equal the same
+    aggregates computed directly."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_quantity").cast("long").alias("mn"),
+        F.max("l_quantity").cast("long").alias("mx"),
+    ).collect()[0]
+    r = QUERIES["q_observe_metrics"](spark, SF_SMOKE).collect()[0]
+    assert (r.n_rows, r.min_qty, r.max_qty) == (direct.n, direct.mn, direct.mx)
