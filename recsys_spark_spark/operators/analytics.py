@@ -2251,6 +2251,40 @@ def star_contract(e: DataFrame, rounds: int) -> DataFrame:
     return e
 
 
+# (applicationId, sf_dir) -> localCheckpointed canonical (a > b) edge list of
+# the thresholded co-purchase graph — the triangle rule (capped matrix +
+# population-scaled floor). Checkpointed, not persisted: it feeds ~12 lazy
+# refs per star round / per BFS hop, so lineage truncation is the point.
+_THR_EDGES: dict[tuple[str, str], DataFrame] = {}
+
+
+def thresholded_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _THR_EDGES.get(key)
+    if cached is not None:
+        return cached
+    from recsys_spark_spark.cf.itemcf import capped_interactions, cooccurrence
+
+    ui = capped_interactions(spark, sf_dir)
+    thr = ui.agg(
+        F.greatest(
+            F.lit(TRI_MIN_SUPPORT),
+            F.ceil(
+                F.countDistinct("user_id") / F.lit(float(TRI_USERS_PER_SUPPORT))
+            ),
+        ).alias("min_c")
+    )
+    e0 = (
+        cooccurrence(ui)
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("n_common") >= F.col("min_c"))
+        .select(F.col("item_j").alias("a"), F.col("item_i").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    _THR_EDGES[key] = e0
+    return e0
+
+
 @query("q_graph_components", oracle=_cc_oracle())
 def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M203: connected components of the thresholded co-purchase graph —
@@ -2277,24 +2311,7 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     execute identically (exactness never depends on convergence). The
     final labeling is one left join of the node list against the star
     forest; component sizes are a label-partitioned window count."""
-    from recsys_spark_spark.cf.itemcf import capped_interactions, cooccurrence
-
-    ui = capped_interactions(spark, sf_dir)
-    thr = ui.agg(
-        F.greatest(
-            F.lit(TRI_MIN_SUPPORT),
-            F.ceil(
-                F.countDistinct("user_id") / F.lit(float(TRI_USERS_PER_SUPPORT))
-            ),
-        ).alias("min_c")
-    )
-    e0 = (
-        cooccurrence(ui)
-        .crossJoin(F.broadcast(thr))
-        .where(F.col("n_common") >= F.col("min_c"))
-        .select(F.col("item_j").alias("a"), F.col("item_i").alias("b"))
-        .localCheckpoint(eager=True)  # feeds ~12 star refs + the node list
-    )
+    e0 = thresholded_edges(spark, sf_dir)
     forest = star_contract(e0, CC_ROUNDS)
     nodes = (
         e0.select(F.col("a").alias("node"))
@@ -2317,3 +2334,116 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("component_id"),
         F.count(F.lit(1)).over(wc).cast("long").alias("comp_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# M212: k-hop BFS reach from the highest-degree seeds
+# --------------------------------------------------------------------------
+
+KHOP_HOPS = 3
+KHOP_SEEDS = 5
+
+
+def _khop_oracle() -> str:
+    hops = []
+    for h in range(1, KHOP_HOPS + 1):
+        p = h - 1
+        hops.append(f"""
+f{h} AS MATERIALIZED (
+  SELECT DISTINCT f.seed, u.v AS node
+  FROM f{p} f JOIN und u ON u.u = f.node
+  LEFT JOIN vis{p} x ON x.seed = f.seed AND x.node = u.v
+  WHERE x.node IS NULL
+),
+vis{h} AS MATERIALIZED (
+  SELECT seed, node FROM vis{p} UNION ALL SELECT seed, node FROM f{h}
+)""")
+    heads = "\nUNION ALL ".join(
+        f"SELECT seed, CAST({h} AS BIGINT) AS hop, CAST(COUNT(*) AS BIGINT) AS n_reached FROM f{h} GROUP BY 1"
+        for h in range(1, KHOP_HOPS + 1)
+    )
+    return f"""
+WITH ui AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT GREATEST({TRI_MIN_SUPPORT},
+                  CAST(CEIL(COUNT(DISTINCT user_id) / {TRI_USERS_PER_SUPPORT}.0) AS BIGINT)) AS min_c
+  FROM ui
+),
+e0 AS MATERIALIZED (
+  SELECT b.item_id AS a, a.item_id AS b
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT min_c FROM thr)
+),
+und AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0
+),
+seeds AS (
+  SELECT u AS seed FROM (
+    SELECT u, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, u) AS rnk
+    FROM und GROUP BY u
+  ) WHERE rnk <= {KHOP_SEEDS}
+),
+f0 AS (SELECT seed, seed AS node FROM seeds),
+vis0 AS (SELECT seed, node FROM f0),{",".join(hops)}
+{heads}
+"""
+
+
+@query("q_graph_khop", oracle=_khop_oracle())
+def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M212: {KHOP_HOPS}-hop BFS reach counts from the {KHOP_SEEDS}
+    highest-degree items of the thresholded co-purchase graph — "how far
+    does influence spread from the hubs", the frontier-expansion primitive
+    under recommendation diversification and graph sampling (and the
+    per-seed counterpart of q_graph_components' global labeling).
+
+    Per hop: one edge join keyed on the frontier node, a DISTINCT, and an
+    anti-join against the visited set — frontier/visited state is
+    (seed x reached)-sized, never data-sized, and the hop count is FIXED
+    so both engines unroll identically (exactness never depends on the
+    frontier dying out). Visited sets are localCheckpoint-truncated per
+    hop (each hop references the previous state twice; the star_contract
+    lineage lesson). Edges and the degree-ranked seeds reuse the shared
+    thresholded_edges builder (capped matrix + population-scaled floor),
+    so at 100x the per-hop join is bounded by catalog-sized degree, not
+    by raw interactions."""
+    e0 = thresholded_edges(spark, sf_dir)
+    und = e0.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e0.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint(eager=True)
+    wd = Window.orderBy(F.col("deg").desc(), "u")
+    seeds = (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumn("rnk", F.row_number().over(wd))
+        .where(F.col("rnk") <= KHOP_SEEDS)
+        .select(F.col("u").alias("seed"))
+    )
+    frontier = seeds.select("seed", F.col("seed").alias("node")).localCheckpoint(
+        eager=True
+    )
+    visited = frontier
+    heads = []
+    for h in range(1, KHOP_HOPS + 1):
+        frontier = (
+            frontier.join(und, frontier.node == und.u)
+            .select("seed", F.col("v").alias("node"))
+            .distinct()
+            .join(visited, ["seed", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+        heads.append(
+            frontier.groupBy("seed").agg(
+                F.lit(h).cast("long").alias("hop"),
+                F.count(F.lit(1)).cast("long").alias("n_reached"),
+            ).select("seed", "hop", "n_reached")
+        )
+    out = heads[0]
+    for hd in heads[1:]:
+        out = out.unionAll(hd)
+    return out

@@ -194,7 +194,8 @@ _R6_WINDOW = (
 # q_text_rake (llm/text.py), q_stat_friedman (operators/stats.py),
 # q_ts_holt_winters (operators/temporal.py), q_stat_wilcoxon
 # (operators/stats.py), q_observe_metrics (operators/scans.py),
-# q_sql_named_params (operators/extras.py) — put
+# q_sql_named_params (operators/extras.py), q_graph_khop
+# (operators/analytics.py) — put
 # round-7's NEW queries first, these next, then refresh the oldest
 # driver-green families.
 

@@ -745,3 +745,36 @@ def test_observe_metrics_match_direct_aggregate(spark):
     ).collect()[0]
     r = QUERIES["q_observe_metrics"](spark, SF_SMOKE).collect()[0]
     assert (r.n_rows, r.min_qty, r.max_qty) == (direct.n, direct.mn, direct.mx)
+
+
+def test_khop_matches_python_bfs(spark):
+    """Per-seed per-hop reach counts must equal a plain-Python BFS over
+    the same thresholded edge set."""
+    from collections import defaultdict
+
+    from recsys_spark_spark.operators.analytics import (
+        KHOP_HOPS,
+        KHOP_SEEDS,
+        thresholded_edges,
+    )
+
+    edges = [(r.a, r.b) for r in thresholded_edges(spark, SF_SMOKE).collect()]
+    adj = defaultdict(set)
+    deg = defaultdict(int)
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+        deg[a] += 1; deg[b] += 1
+    seeds = [u for u, _ in sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))[:KHOP_SEEDS]]
+    want = set()
+    for s in seeds:
+        visited, frontier = {s}, {s}
+        for h in range(1, KHOP_HOPS + 1):
+            frontier = {v for u in frontier for v in adj[u]} - visited
+            visited |= frontier
+            if frontier:
+                want.add((s, h, len(frontier)))
+    got = {
+        (r.seed, r.hop, r.n_reached)
+        for r in QUERIES["q_graph_khop"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
