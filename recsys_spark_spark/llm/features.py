@@ -600,3 +600,95 @@ def q_feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_clamped"),
     )
+
+
+# --------------------------------------------------------------------------
+# M213: calibration audit + Brier score of an empirical-rate predictor
+# --------------------------------------------------------------------------
+
+CALIB_SPLIT = "1998-01-01"  # train < split <= test (~45/55 at every SF)
+
+
+@query(
+    "q_eval_calibration",
+    oracle=f"""
+WITH o AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+         o_orderdate < TIMESTAMP '{CALIB_SPLIT}' AS is_train
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), tr AS (
+  SELECT seg, prio, CAST(COUNT(*) AS BIGINT) AS n_train,
+         CAST(SUM(y) AS BIGINT) AS k_train
+  FROM o WHERE is_train GROUP BY 1, 2
+), te AS (
+  SELECT seg, prio, CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(y) AS BIGINT) AS k_test
+  FROM o WHERE NOT is_train GROUP BY 1, 2
+)
+SELECT tr.seg AS c_mktsegment, tr.prio AS o_orderpriority,
+       tr.n_train, te.n_test,
+       ROUND(CAST(tr.k_train AS DOUBLE) / tr.n_train * 1e6, 0) / 1e6 AS p_pred,
+       ROUND(CAST(te.k_test AS DOUBLE) / te.n_test * 1e6, 0) / 1e6 AS p_obs,
+       ROUND((te.n_test * (CAST(tr.k_train AS DOUBLE) / tr.n_train)
+                        * (CAST(tr.k_train AS DOUBLE) / tr.n_train)
+              - 2 * (CAST(tr.k_train AS DOUBLE) / tr.n_train) * te.k_test
+              + te.k_test) / te.n_test * 1e6, 0) / 1e6 AS brier
+FROM tr JOIN te ON tr.seg = te.seg AND tr.prio = te.prio
+""",
+)
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M213: calibration audit + per-cell Brier score of an empirical-rate
+    predictor on a TEMPORAL split — train rates P(status='F') per
+    (segment, priority) before {CALIB_SPLIT} are scored against the
+    held-out tail. The reliability-diagram table (predicted vs observed
+    rate per prediction cell) plus the proper scoring rule, completing
+    the eval family (AUC ranks, hitrate recalls, this checks probability
+    CALIBRATION — the property AUC cannot see).
+
+    Exactness: counts are exact BIGINTs; p = k/n is one double division
+    and the per-cell Brier uses the expansion Σ(p-y)² = n·p² - 2pk + k,
+    so both engines evaluate the identical closed form on integer inputs
+    — no per-row float accumulation anywhere. Shape: two keyed aggregates
+    over the same join + one cell-keyed join of two 25-row tables; the
+    temporal split is a pushed-down scan predicate, the 100 TB pattern
+    for leakage-free backtests (never a random split of history)."""
+    from recsys_spark_spark.functions.determinism import rlong
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").alias("prio"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).cast("long").alias("y"),
+        (F.col("o_orderdate") < F.lit(CALIB_SPLIT).cast("timestamp")).alias("is_train"),
+    )
+    tr = (
+        base.where("is_train")
+        .groupBy("seg", "prio")
+        .agg(F.count(F.lit(1)).alias("n_train"), F.sum("y").alias("k_train"))
+    )
+    te = (
+        base.where(~F.col("is_train"))
+        .groupBy("seg", "prio")
+        .agg(F.count(F.lit(1)).alias("n_test"), F.sum("y").alias("k_test"))
+    )
+    p = F.col("k_train").cast("double") / F.col("n_train")
+    return tr.join(te, ["seg", "prio"]).select(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("prio").alias("o_orderpriority"),
+        "n_train",
+        "n_test",
+        (rlong(p * 1e6) / 1e6).alias("p_pred"),
+        (rlong(F.col("k_test").cast("double") / F.col("n_test") * 1e6) / 1e6).alias(
+            "p_obs"
+        ),
+        (
+            rlong(
+                (F.col("n_test") * p * p - 2 * p * F.col("k_test") + F.col("k_test"))
+                / F.col("n_test")
+                * 1e6
+            )
+            / 1e6
+        ).alias("brier"),
+    )

@@ -778,3 +778,37 @@ def test_khop_matches_python_bfs(spark):
         for r in QUERIES["q_graph_khop"](spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_calibration_matches_pandas_reference(spark):
+    """Per-cell p_pred/p_obs/Brier must equal a pandas recompute of the
+    temporal-split empirical-rate backtest."""
+    from recsys_spark_spark.llm.features import CALIB_SPLIT
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["y"] = (j.o_orderstatus == "F").astype(int)
+    import pandas as pd
+
+    tr = j[j.o_orderdate < pd.Timestamp(CALIB_SPLIT)]
+    te = j[j.o_orderdate >= pd.Timestamp(CALIB_SPLIT)]
+    r6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    want = {}
+    for (seg, prio), g in tr.groupby(["c_mktsegment", "o_orderpriority"]):
+        h = te[(te.c_mktsegment == seg) & (te.o_orderpriority == prio)]
+        if len(h) == 0:
+            continue
+        n, k = len(g), int(g.y.sum())
+        nt, kt = len(h), int(h.y.sum())
+        p = k / n
+        want[(seg, prio)] = (
+            n, nt, r6(p), r6(kt / nt), r6((nt * p * p - 2 * p * kt + kt) / nt)
+        )
+    got = {
+        (r.c_mktsegment, r.o_orderpriority): (
+            r.n_train, r.n_test, r.p_pred, r.p_obs, r.brier
+        )
+        for r in QUERIES["q_eval_calibration"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) == 25
