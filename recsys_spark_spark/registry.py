@@ -195,7 +195,8 @@ _R6_WINDOW = (
 # q_ts_holt_winters (operators/temporal.py), q_stat_wilcoxon
 # (operators/stats.py), q_observe_metrics (operators/scans.py),
 # q_sql_named_params (operators/extras.py), q_graph_khop
-# (operators/analytics.py), q_eval_calibration (llm/features.py) — put
+# (operators/analytics.py), q_eval_calibration (llm/features.py),
+# q_stream_cms (streaming/batch_twins.py) — put
 # round-7's NEW queries first, these next, then refresh the oldest
 # driver-green families.
 

@@ -402,3 +402,35 @@ def q_stream_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("h.start").alias("window_start"), "event_type", "max_quarter_n", "total_n")
     )
+
+
+# --- K-cms: incremental Count-Min sketch maintenance ----------------------
+
+
+def _cms_oracle() -> str:
+    from recsys_spark_spark.operators.aggregates import _CMS_VALUES, CMS_P, CMS_W
+
+    return f"""
+WITH h(j, a, b) AS (VALUES {_CMS_VALUES})
+SELECT h.j, ((h.a * e.user_id + h.b) % {CMS_P}) % {CMS_W} AS bucket,
+       COUNT(*) AS cnt
+FROM events e CROSS JOIN h
+GROUP BY 1, 2
+"""
+
+
+@query("q_stream_cms", oracle=_cms_oracle())
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-cms batch twin: the Count-Min cell table of the events user_id
+    stream — the sketch q_cms_heavy_hitters maintains over lineitem,
+    here kept incrementally over an event stream. Because CMS cells are
+    plain keyed SUMS (linear, pytest-pinned in the batch query), the
+    Structured Streaming form (streams.stream_cms) is just the same
+    groupBy in complete mode: micro-batch deltas fold into exactly the
+    batch sketch, state bounded by d x w cells regardless of stream
+    length — the canonical bounded-state streaming aggregate (no
+    watermark needed, keys are sketch coordinates, not event keys)."""
+    from recsys_spark_spark.operators.aggregates import cms_cells
+
+    ev = table(spark, sf_dir, "events").select(F.col("user_id").alias("item"))
+    return cms_cells(ev)

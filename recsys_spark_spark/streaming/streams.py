@@ -363,3 +363,13 @@ def stream_chained(events: DataFrame) -> DataFrame:
         )
         .select(F.col("h.start").alias("window_start"), "event_type", "max_quarter_n", "total_n")
     )
+
+
+def stream_cms(events: DataFrame) -> DataFrame:
+    """K-cms: incrementally maintained Count-Min sketch of user_id
+    frequencies — state is the fixed d x w cell grid (bounded regardless
+    of stream length), each micro-batch folds in by plain summation
+    (sketch linearity). Mirrors batch_twins.q_stream_cms exactly."""
+    from recsys_spark_spark.operators.aggregates import cms_cells
+
+    return cms_cells(events.select(F.col("user_id").alias("item")))

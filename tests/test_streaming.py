@@ -330,3 +330,11 @@ def test_chained_windowed_aggs_equal_batch(spark, stream_src):
         assert as_multiset(got) == as_multiset(want)
     finally:
         _sh.rmtree(src, ignore_errors=True)
+
+
+def test_cms_stream_equals_batch(spark, stream_src):
+    """K-cms: the sketch folded over micro-batches must equal the batch
+    sketch cell-for-cell (linearity is what makes this exact)."""
+    got = run_stream(spark, stream_src, streams.stream_cms, "complete", "t_cms")
+    want = QUERIES["q_stream_cms"](spark, SF_SMOKE)
+    assert as_multiset(got) == as_multiset(want)
