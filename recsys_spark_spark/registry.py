@@ -81,6 +81,7 @@ _QUERY_MODULES = (
     "recsys_spark_spark.cf.evaluate",
     "recsys_spark_spark.cf.als",
     "recsys_spark_spark.cf.slopeone",
+    "recsys_spark_spark.cf.swing",
     "recsys_spark_spark.llm.dedup",
     "recsys_spark_spark.llm.similarity",
     "recsys_spark_spark.llm.multimodal",
@@ -196,7 +197,7 @@ _R6_WINDOW = (
 # (operators/stats.py), q_observe_metrics (operators/scans.py),
 # q_sql_named_params (operators/extras.py), q_graph_khop
 # (operators/analytics.py), q_eval_calibration (llm/features.py),
-# q_stream_cms (streaming/batch_twins.py) — put
+# q_stream_cms (streaming/batch_twins.py), q_cf_swing (cf/swing.py) — put
 # round-7's NEW queries first, these next, then refresh the oldest
 # driver-green families.
 

