@@ -2154,3 +2154,89 @@ def q_stat_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rlong(F.col("zs") * 1e6) / 1e6).alias("z_stat"),
         (rlong(2 * _phi_col(F.abs(F.col("zs"))) * 1e9) / 1e9).alias("p_two_sided"),
     )
+
+
+# --------------------------------------------------------------------------
+# M216: Benjamini-Hochberg FDR step-up over the segment test family
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stat_bh_fdr",
+    oracle=CONV_SEG_CTES
+    + f""",
+z AS (
+  SELECT segment,
+         (CAST(pos AS DOUBLE) / n - CAST(tp - pos AS DOUBLE) / (tn - n))
+         / sqrt((CAST(tp AS DOUBLE) / tn) * (1 - CAST(tp AS DOUBLE) / tn)
+                * (1.0 / n + 1.0 / (tn - n))) AS z
+  FROM seg CROSS JOIN tot
+),
+p AS (
+  SELECT segment, 2 * {_phi_sql("abs(z)")} AS p2 FROM z
+),
+ranked AS (
+  SELECT segment, p2,
+         CAST(ROW_NUMBER() OVER (ORDER BY p2, segment) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM p
+),
+adj AS (
+  SELECT segment, p2, r, m,
+         LEAST(1.0, MIN(m * p2 / r) OVER (ORDER BY r DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_bh
+  FROM ranked
+)
+SELECT segment, r AS p_rank,
+       ROUND(p2 * 1e9, 0) / 1e9 AS p_raw,
+       ROUND(p_bh * 1e9, 0) / 1e9 AS p_bh_adjusted,
+       CAST(CASE WHEN p_bh <= {ALPHA!r} THEN 1 ELSE 0 END AS BIGINT) AS significant_fdr
+FROM adj
+""",
+)
+def q_stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M216: Benjamini-Hochberg step-up FDR control (Benjamini & Hochberg
+    1995) over the one-vs-rest segment conversion tests — the modern
+    replacement for q_stat_pvalue's Bonferroni column: adjusted
+    p_(r) = min_{{s>=r}} (m·p_(s)/s), rejected at FDR alpha={ALPHA!r}.
+
+    The suffix running-min is a window over the K-ROW test family (the
+    segment vocabulary, k=5 regardless of SF) — same class as the k-row
+    reductions every stats query ends in, never data-sized. Decisions
+    compare the UNROUNDED adjusted p on both engines (identical doubles
+    through the shared A&S Φ polynomial), so flags cannot straddle a
+    display rounding. Shape: q_stat_twoprop's one keyed aggregate +
+    broadcast totals, then k-row windows."""
+    seg, tot, _p1, _p2, z = _segment_conv_stats(spark, sf_dir)
+    withp = (
+        seg.join(F.broadcast(tot))
+        .select("segment", z.alias("z"))
+        .select("segment", (2 * _phi_col(F.abs(F.col("z")))).alias("p2"))
+    )
+    wr = Window.orderBy("p2", "segment")
+    ranked = withp.select(
+        "segment",
+        "p2",
+        F.row_number().over(wr).cast("long").alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    wsuf = Window.orderBy(F.col("r").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adj = ranked.select(
+        "segment",
+        "p2",
+        "r",
+        F.least(
+            F.lit(1.0), F.min(F.col("m") * F.col("p2") / F.col("r")).over(wsuf)
+        ).alias("p_bh"),
+    )
+    return adj.select(
+        "segment",
+        F.col("r").alias("p_rank"),
+        (rlong(F.col("p2") * 1e9) / 1e9).alias("p_raw"),
+        (rlong(F.col("p_bh") * 1e9) / 1e9).alias("p_bh_adjusted"),
+        F.when(F.col("p_bh") <= ALPHA, 1).otherwise(0).cast("long").alias(
+            "significant_fdr"
+        ),
+    )

@@ -891,3 +891,25 @@ def test_swing_matches_python_reference(spark):
         for r in QUERIES["q_cf_swing"](spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_bh_fdr_matches_python_stepup(spark):
+    """BH adjusted p-values must equal the textbook step-up recompute on
+    the raw p-values the query itself reports."""
+    rows = sorted(
+        QUERIES["q_stat_bh_fdr"](spark, SF_SMOKE).collect(), key=lambda r: r.p_rank
+    )
+    m = len(rows)
+    assert m == 5
+    # recompute adjusted from raw (raw is 9dp-rounded; recompute within 2e-9)
+    suffix_min = 1.0
+    expect = {}
+    for r in reversed(rows):
+        suffix_min = min(suffix_min, m * r.p_raw / r.p_rank)
+        expect[r.segment] = min(1.0, suffix_min)
+    for r in rows:
+        assert abs(r.p_bh_adjusted - expect[r.segment]) < 2e-8
+        assert r.significant_fdr in (0, 1)
+    # monotone non-decreasing in rank
+    adj = [r.p_bh_adjusted for r in rows]
+    assert adj == sorted(adj)

@@ -148,6 +148,16 @@ PROBE_QUERIES = (
     "q_ts_holt_winters",
     "q_stat_spearman",
     "q_stat_kruskal",
+    # late round-6 additions: the capped user-pair Swing joins (the
+    # query whose whole design is the 10x-users containment story), the
+    # frontier BFS, the paired-rank window chain, and the light API/eval
+    # queries for completeness
+    "q_cf_swing",
+    "q_graph_khop",
+    "q_stat_wilcoxon",
+    "q_stream_cms",
+    "q_eval_calibration",
+    "q_observe_metrics",
 )
 
 
