@@ -720,3 +720,53 @@ def test_contamination_ngram_broadcasts_benchmark_side(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_cms_cells_broadcast_and_estimate_join(spark):
+    """The 4x8192 cell grid must reach the estimate join as a broadcast
+    (model-to-data), and the global top-20 head must sit on the REDUCED
+    per-item aggregate, never raw lineitem (HashAggregate below the
+    single-partition Window — the pattern the repo's global-window
+    policy allows; empty-partition windows never get WindowGroupLimit,
+    verified against Spark 4.1's InferWindowGroupLimit)."""
+    plan = plan_of(spark, "q_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    head = plan.split("Window", 1)[1]
+    assert "HashAggregate" in head  # window input is the aggregate, not the scan
+
+
+def test_pq_adc_distance_table_broadcast(spark):
+    """ADC's query->codeword table joins the code scan broadcast; the
+    per-query top-k IS WindowGroupLimit-pruned (partitioned by qid)."""
+    plan = plan_of(spark, "q_sim_pq_adc")
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_rake_word_scores_broadcast(spark):
+    """Word scores broadcast onto the phrase table; the global top-20
+    head sits on the phrase aggregate (vocabulary-sized), not raw docs."""
+    plan = plan_of(spark, "q_text_rake")
+    assert "BroadcastHashJoin" in plan
+    head = plan.split("Window", 1)[1]
+    assert "HashAggregate" in head
+
+
+def test_swing_no_cartesian_and_reduced_top(spark):
+    """Every Swing stage is a keyed join — a BroadcastNestedLoopJoin
+    would mean the pair join lost its keys; the top-50 head sits on the
+    (i,j)-aggregated pair table."""
+    plan = plan_of(spark, "q_cf_swing")
+    assert "BroadcastNestedLoopJoin" not in plan
+    head = plan.split("Window", 1)[1]
+    assert "HashAggregate" in head
+
+
+def test_components_star_rounds_truncate_lineage(spark):
+    """The final component labeling must read the checkpointed star
+    forest (LogicalRDD scan), not re-derive 8 rounds of star joins."""
+    df = QUERIES["q_graph_components"](spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "Scan ExistingRDD" in plan
+    # and the labeling itself is one left join + aggregate, not a chain
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 3

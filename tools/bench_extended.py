@@ -44,6 +44,15 @@ EXTENDED = (
     "q_feature_store",
     "q_survival_km",
     "q_ts_changepoint",
+    # round-6 continuation: the checkpointed iterative chains (BPE merge
+    # stages, star contraction, BFS frontiers), the prefix-filtered
+    # similarity self-join, and the capped user-pair Swing joins
+    "q_text_bpe_train",
+    "q_text_bpe_encode",
+    "q_graph_components",
+    "q_graph_khop",
+    "q_sim_setjoin_prefix",
+    "q_cf_swing",
 )
 
 
