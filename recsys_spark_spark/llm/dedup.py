@@ -1070,3 +1070,132 @@ def q_sim_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         F.expr("(inter * 1000000) div (n1 + n2 - inter)").alias("jacc_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# M217: exact containment join — which documents are token-subsumed elsewhere
+# --------------------------------------------------------------------------
+
+CONTAIN_MIN_TOKENS = 15
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS t
+  FROM documents
+),
+sets AS MATERIALIZED (
+  SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n,
+         list(t ORDER BY t) AS ts
+  FROM tok GROUP BY 1, 2
+),
+df AS (
+  SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS dfreq FROM tok GROUP BY 1, 2
+),
+rare AS (
+  SELECT doc_id, lang, t FROM (
+    SELECT k.doc_id, k.lang, k.t,
+           ROW_NUMBER() OVER (PARTITION BY k.doc_id ORDER BY d.dfreq, k.t) AS rn
+    FROM tok k JOIN df d ON d.lang = k.lang AND d.t = k.t
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT r.doc_id AS a_doc, b.doc_id AS b_doc
+  FROM rare r
+  JOIN sets sa ON sa.doc_id = r.doc_id AND sa.n >= {CONTAIN_MIN_TOKENS}
+  JOIN tok b ON b.lang = r.lang AND b.t = r.t AND b.doc_id <> r.doc_id
+),
+hits AS (
+  SELECT c.a_doc, c.b_doc, sa.lang, sa.n
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.a_doc
+  JOIN sets sb ON sb.doc_id = c.b_doc
+  WHERE len(list_intersect(sa.ts, sb.ts)) = sa.n
+)
+SELECT a_doc AS doc_id, lang, n AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_containers,
+       CAST(MIN(b_doc) AS BIGINT) AS min_container,
+       CAST(MAX(b_doc) AS BIGINT) AS max_container
+FROM hits GROUP BY 1, 2, 3
+""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M217: exact token-set containment audit — for each document with
+    >= {CONTAIN_MIN_TOKENS} distinct tokens, how many same-language
+    documents fully CONTAIN its token set (A ⊆ B), with the id range of
+    the containers. The asymmetric sibling of q_sim_setjoin_prefix's
+    Jaccard join: containment catches quote/boilerplate subsumption that
+    symmetric similarity misses (a short doc inside a long one has low
+    Jaccard but containment 1).
+
+    The prefix-filter degenerates beautifully at t = 1: a containee's
+    prefix is exactly ONE token — its globally RAREST (df-ascending,
+    token tie-break) — because any superset must contain it. Candidate
+    generation is therefore one equi-join keyed on (lang, rarest-token),
+    and candidates per containee equal that token's document frequency —
+    the rarest token is the cheapest possible index probe (Bayardo
+    WWW'07 §3's size bound, specialized to containment). Verification is
+    one row-local sorted-array intersect (|A ∩ B| = |A|); the result is
+    containee-keyed, never pair-materialized. All bounds are exact
+    integers — no similarity floats anywhere."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        ).alias("t"),
+    )
+    sets = tok.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list("t")).alias("ts")
+    )
+    dfreq = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("dfreq"))
+    wr = Window.partitionBy("doc_id").orderBy("dfreq", "t")
+    rare = (
+        tok.join(F.broadcast(dfreq), ["lang", "t"])
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "t")
+    )
+    cand = (
+        rare.join(
+            sets.where(F.col("n") >= CONTAIN_MIN_TOKENS).select(
+                F.col("doc_id").alias("a_doc"),
+                F.col("lang").alias("a_lang"),
+                F.col("n").alias("n_a"),
+                F.col("ts").alias("ts_a"),
+            ),
+            (F.col("doc_id") == F.col("a_doc")),
+        )
+        .join(
+            tok.select(
+                F.col("doc_id").alias("b_doc"),
+                F.col("lang").alias("b_lang"),
+                F.col("t").alias("b_t"),
+            ),
+            (F.col("b_lang") == F.col("lang"))
+            & (F.col("b_t") == F.col("t"))
+            & (F.col("b_doc") != F.col("a_doc")),
+        )
+        .select("a_doc", "a_lang", "n_a", "ts_a", "b_doc")
+    )
+    hits = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("b_doc"), F.col("ts").alias("ts_b")),
+            "b_doc",
+        )
+        .where(F.size(F.array_intersect("ts_a", "ts_b")) == F.col("n_a"))
+        .select("a_doc", "a_lang", "n_a", "b_doc")
+    )
+    return hits.groupBy(
+        F.col("a_doc").alias("doc_id"),
+        F.col("a_lang").alias("lang"),
+        F.col("n_a").alias("n_tokens"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_containers"),
+        F.min("b_doc").alias("min_container"),
+        F.max("b_doc").alias("max_container"),
+    )

@@ -913,3 +913,35 @@ def test_bh_fdr_matches_python_stepup(spark):
     # monotone non-decreasing in rank
     adj = [r.p_bh_adjusted for r in rows]
     assert adj == sorted(adj)
+
+
+def test_containment_matches_python_reference(spark):
+    """Per-containee container counts must equal a brute-force Python
+    recompute of A-subset-of-B over distinct token sets — also proving
+    the single-rarest-token prefix filter is LOSSLESS."""
+    import re
+    from collections import Counter, defaultdict
+
+    from recsys_spark_spark.llm.dedup import CONTAIN_MIN_TOKENS
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    sets = {
+        (r.doc_id, r.lang): frozenset(re.findall(r"[a-z]+", r.text.lower()))
+        for r in docs.itertuples()
+    }
+    want = {}
+    by_lang = defaultdict(list)
+    for (d, lang), ts in sets.items():
+        by_lang[lang].append((d, ts))
+    for lang, members in by_lang.items():
+        for d, ts in members:
+            if len(ts) < CONTAIN_MIN_TOKENS:
+                continue
+            cs = [b for b, bs in members if b != d and ts <= bs]
+            if cs:
+                want[d] = (lang, len(ts), len(cs), min(cs), max(cs))
+    got = {
+        r.doc_id: (r.lang, r.n_tokens, r.n_containers, r.min_container, r.max_container)
+        for r in QUERIES["q_dedup_containment"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
