@@ -2240,3 +2240,119 @@ def q_stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant_fdr"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# M218: Brown-Forsythe variance-homogeneity test (median-centered Levene)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stat_brown_forsythe",
+    oracle=f"""
+WITH d AS (
+  SELECT c_mktsegment AS segment, CAST(ROUND(o_totalprice, 0) AS BIGINT) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+med AS (
+  SELECT segment, CAST(ROUND(2 * quantile_cont(x, 0.5), 0) AS BIGINT) AS med2
+  FROM d GROUP BY 1
+),
+z AS (
+  SELECT d.segment, ABS(2 * d.x - m.med2) AS z2
+  FROM d JOIN med m ON d.segment = m.segment
+),
+seg AS (
+  SELECT segment, COUNT(*) AS n, CAST(SUM(z2) AS BIGINT) AS s1,
+         CAST(SUM(z2 * z2) AS BIGINT) AS s2
+  FROM z GROUP BY 1
+),
+terms AS (
+  SELECT n, s1, s2,
+         CAST(ROUND(CAST(s1 AS DOUBLE) * s1 / n, 0) AS BIGINT) AS t_int
+  FROM seg
+),
+s AS (
+  SELECT COUNT(*) AS k, SUM(n) AS nt, CAST(SUM(s1) AS BIGINT) AS t1,
+         CAST(SUM(s2) AS BIGINT) AS t2, CAST(SUM(t_int) AS BIGINT) AS tsum
+  FROM terms
+),
+w AS (
+  SELECT k, nt,
+         ((tsum - CAST(t1 AS DOUBLE) * t1 / nt) / (k - 1))
+         / ((CAST(t2 AS DOUBLE) - tsum) / (nt - k)) AS w_stat
+  FROM s
+)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(nt AS BIGINT) AS n_total,
+       ROUND(w_stat * 1e6, 0) / 1e6 AS w_stat,
+       ROUND(exp(-(k - 1) * w_stat / 2) * (1 + (k - 1) * w_stat / 2) * 1e9, 0)
+         / 1e9 AS p_chi2_approx
+FROM w
+""",
+)
+def q_stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M218: Brown-Forsythe test (Brown & Forsythe 1974) — Levene's
+    variance-homogeneity test with MEDIAN centers, the robust check of
+    ANOVA's equal-variance assumption: one-way ANOVA on the absolute
+    deviations z = |x − med_g|. Large W ⇒ spread differs across
+    segments even if means don't. Completes the inference chain:
+    q_stat_anova assumes homoskedasticity; this tests it.
+
+    Exactness: medians doubled into exact integers (interpolated
+    midpoints are exact halves — the q_outlier_mad discipline), so the
+    doubled deviations z2 are exact BIGINTs and the per-group
+    (n, Σz2, Σz2²) sufficient statistics are exact integer aggregates;
+    the one cross-group float sum uses q_stat_anova's per-group unit
+    rounding (Σz2² ≤ ~1.5e17 at sf1, inside int64 through ~sf5 — the
+    module envelope). p is the even-df chi-square LARGE-N approximation
+    (k−1)·W ~ χ²₄ = exp(−Q/2)(1+Q/2) — documented as approximate; the
+    exact reference is F(k−1, N−k), which converges to it as N grows
+    (N ≥ 15k at the smallest SF).
+
+    Shape: one exact per-segment median (sort-based, bounded-cardinality
+    groups), a broadcast of the 5-row median table, one keyed aggregate
+    of sufficient statistics, and a k-row closed form."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    d = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        _dollars("o_totalprice").alias("x"),
+    )
+    med = d.groupBy("segment").agg(
+        rlong(F.lit(2) * F.percentile("x", 0.5)).cast("long").alias("med2")
+    )
+    z = d.join(F.broadcast(med), "segment").select(
+        "segment", F.abs(2 * F.col("x") - F.col("med2")).alias("z2")
+    )
+    seg = z.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z2").alias("s1"),
+        F.sum(F.col("z2") * F.col("z2")).alias("s2"),
+    )
+    terms = seg.select(
+        "n",
+        "s1",
+        "s2",
+        rlong(F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+        .cast("long")
+        .alias("t_int"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nt"),
+        F.sum("s1").alias("t1"),
+        F.sum("s2").alias("t2"),
+        F.sum("t_int").alias("tsum"),
+    )
+    wst = (
+        (F.col("tsum") - F.col("t1").cast("double") * F.col("t1") / F.col("nt"))
+        / (F.col("k") - 1)
+    ) / ((F.col("t2").cast("double") - F.col("tsum")) / (F.col("nt") - F.col("k")))
+    w = s.select("k", "nt", wst.alias("w_stat"))
+    q = (F.col("k") - 1) * F.col("w_stat")
+    return w.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nt").cast("long").alias("n_total"),
+        (rlong(F.col("w_stat") * 1e6) / 1e6).alias("w_stat"),
+        (rlong(F.exp(-q / 2) * (1 + q / 2) * 1e9) / 1e9).alias("p_chi2_approx"),
+    )

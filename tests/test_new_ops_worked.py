@@ -945,3 +945,30 @@ def test_containment_matches_python_reference(spark):
         for r in QUERIES["q_dedup_containment"](spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_brown_forsythe_matches_python_reference(spark):
+    """W from a plain-Python median-centered Levene recompute (doubled
+    exact medians, unit-rounded cross-group pre-sum) must equal the
+    query's statistic."""
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["x"] = j.o_totalprice.map(lambda v: math.floor(v + 0.5))
+    groups = {}
+    for seg, g in j.groupby("c_mktsegment"):
+        xs = sorted(g.x)
+        n = len(xs)
+        med2 = xs[n // 2] * 2 if n % 2 else xs[n // 2 - 1] + xs[n // 2]
+        z2 = [abs(2 * x - med2) for x in xs]
+        groups[seg] = (n, sum(z2), sum(v * v for v in z2))
+    k = len(groups)
+    nt = sum(n for n, _, _ in groups.values())
+    t1 = sum(s1 for _, s1, _ in groups.values())
+    t2 = sum(s2 for _, _, s2 in groups.values())
+    tsum = sum(math.floor(s1 * s1 / n + 0.5) for n, s1, _ in groups.values())
+    w = ((tsum - float(t1) * t1 / nt) / (k - 1)) / ((float(t2) - tsum) / (nt - k))
+    r = QUERIES["q_stat_brown_forsythe"](spark, SF_SMOKE).collect()[0]
+    assert r.k_groups == k and r.n_total == nt
+    assert r.w_stat == math.floor(w * 1e6 + 0.5) / 1e6
+    assert 0.0 <= r.p_chi2_approx <= 1.0
