@@ -765,3 +765,85 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nearest_click_id"),
         F.when(take_prev, d_prev).otherwise(d_next).cast("long").alias("dist_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# M219: tolerance-bounded as-of join (feature-store staleness limit)
+# --------------------------------------------------------------------------
+
+ASOF_TOLERANCE_S = 3600  # max staleness: 1 hour
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, date_trunc('second', ts) AS sec,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+  FROM events WHERE event_type IN ('click', 'purchase')
+), m AS (
+  SELECT event_id, user_id, tag, sec,
+         LAST_VALUE(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY sec, tag, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_id,
+         LAST_VALUE(CASE WHEN tag = 0 THEN sec END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY sec, tag, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_sec
+  FROM ev
+)
+SELECT event_id AS purchase_event_id, user_id,
+       CASE WHEN date_diff('second', c_sec, sec) <= {ASOF_TOLERANCE_S}
+            THEN c_id END AS click_event_id,
+       CASE WHEN date_diff('second', c_sec, sec) <= {ASOF_TOLERANCE_S}
+            THEN CAST(date_diff('second', c_sec, sec) AS BIGINT) END AS staleness_s
+FROM m WHERE tag = 1
+""",
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M219: as-of join with a staleness TOLERANCE — the latest click
+    at-or-before each purchase, nulled when older than
+    {ASOF_TOLERANCE_S} s. The feature-store join contract (pandas
+    merge_asof's `tolerance=`): joining a too-stale feature is worse
+    than joining none, so the bound is part of the join semantics, not
+    a post-filter the consumer must remember.
+
+    Same linear carry as q_join_asof (one user-partitioned window, never
+    a theta join) with the matched TIMESTAMP carried beside the id; the
+    tolerance check is then ROW-LOCAL — bounding staleness costs zero
+    extra exchanges at any scale. Purchases with no click in range keep
+    a row with NULL feature columns (the train-time representation of
+    'feature unavailable')."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        F.date_trunc("second", "ts").alias("sec"),
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "event_id",
+        "user_id",
+        "sec",
+        "tag",
+        F.last(F.when(F.col("tag") == 0, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("c_id"),
+        F.last(F.when(F.col("tag") == 0, F.col("sec")), ignorenulls=True)
+        .over(w)
+        .alias("c_sec"),
+    )
+    stale = F.unix_timestamp("sec") - F.unix_timestamp("c_sec")
+    ok = stale <= ASOF_TOLERANCE_S
+    return carried.where(F.col("tag") == 1).select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.when(ok, F.col("c_id")).alias("click_event_id"),
+        F.when(ok, stale.cast("long")).alias("staleness_s"),
+    )

@@ -199,7 +199,8 @@ _R6_WINDOW = (
 # (operators/analytics.py), q_eval_calibration (llm/features.py),
 # q_stream_cms (streaming/batch_twins.py), q_cf_swing (cf/swing.py),
 # q_stat_bh_fdr (operators/stats.py), q_dedup_containment (llm/dedup.py),
-# q_stat_brown_forsythe (operators/stats.py) — put
+# q_stat_brown_forsythe (operators/stats.py), q_join_asof_tolerance
+# (operators/joins.py) — put
 # round-7's NEW queries first, these next, then refresh the oldest
 # driver-green families.
 

@@ -972,3 +972,43 @@ def test_brown_forsythe_matches_python_reference(spark):
     assert r.k_groups == k and r.n_total == nt
     assert r.w_stat == math.floor(w * 1e6 + 0.5) / 1e6
     assert 0.0 <= r.p_chi2_approx <= 1.0
+
+
+def test_asof_tolerance_matches_pandas_merge_asof(spark):
+    """The tolerance-bounded as-of must equal pandas merge_asof with
+    tolerance= on the same second-truncated events."""
+    import pandas as pd
+
+    from recsys_spark_spark.operators.joins import ASOF_TOLERANCE_S
+
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", F.date_trunc("second", "ts").alias("sec"), "event_type")
+        .toPandas()
+    )
+    clicks = ev[ev.event_type == "click"].sort_values(["sec", "event_id"])
+    buys = ev[ev.event_type == "purchase"].sort_values(["sec", "event_id"])
+    m = pd.merge_asof(
+        buys,
+        clicks.rename(columns={"event_id": "click_event_id", "sec": "c_sec"})[
+            ["user_id", "c_sec", "click_event_id"]
+        ],
+        left_on="sec",
+        right_on="c_sec",
+        by="user_id",
+        direction="backward",
+        tolerance=pd.Timedelta(seconds=ASOF_TOLERANCE_S),
+    )
+    want = {
+        int(r.event_id): (
+            None if pd.isna(r.click_event_id) else int(r.click_event_id),
+            None if pd.isna(r.click_event_id) else int((r.sec - r.c_sec).total_seconds()),
+        )
+        for r in m.itertuples()
+    }
+    got = {
+        r.purchase_event_id: (r.click_event_id, r.staleness_s)
+        for r in QUERIES["q_join_asof_tolerance"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
