@@ -276,3 +276,66 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, price_cents long, n_discounted long, min_qty long, max_qty long",
     )
+
+
+# --------------------------------------------------------------------------
+# M220: binaryFile source — raw-asset ingestion (the multimodal intake path)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_source_binaryfile",
+    oracle="""
+WITH t AS (
+  SELECT lang, text FROM documents WHERE lang IN ('en', 'de')
+)
+SELECT lang,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(SUM(length(text)) + COUNT(*) AS BIGINT) AS total_bytes
+FROM t GROUP BY 1
+""",
+)
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M220: the binaryFile datasource — Spark's raw-asset intake for
+    multimodal pipelines (each file becomes (path, modificationTime,
+    length, content: binary); at 100 TB this is how image/audio blobs
+    enter before the q_multimodal_* decode stages, with
+    `pathGlobFilter`/`recursiveFileLookup` for layout pruning).
+
+    Round-trip contract: per language, the documents' text is written as
+    ONE sorted text file (coalesce(1) pins the file count; orderBy pins
+    the content), read back through format('binaryFile'), and the byte
+    accounting must reconcile exactly against the source table —
+    total_bytes = Σ len(text) + one newline per row (ASCII corpus, so
+    bytes == chars; the writer appends '\\n' per record). The lang
+    partition directory exercises partitioned binary layout exactly the
+    way an image corpus is laid out by shard."""
+    out = os.path.join(TMP_DIR, "binsrc")
+    shutil.rmtree(out, ignore_errors=True)
+    d = table(spark, sf_dir, "documents").where(F.col("lang").isin("en", "de"))
+    for lang in ("en", "de"):
+        (
+            d.where(F.col("lang") == lang)
+            .orderBy("doc_id")
+            .coalesce(1)
+            .select("text")
+            .write.mode("overwrite")
+            .text(os.path.join(out, f"lang={lang}"))
+        )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .option("recursiveFileLookup", "false")
+        .load(os.path.join(out, "lang=*"))
+    )
+    return (
+        bf.select(
+            F.regexp_extract(F.col("path"), r"lang=([a-z]+)", 1).alias("lang"),
+            F.length("content").cast("long").alias("nbytes"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("nbytes").cast("long").alias("total_bytes"),
+        )
+    )
