@@ -2447,3 +2447,93 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     for hd in heads[1:]:
         out = out.unionAll(hd)
     return out
+
+
+# --------------------------------------------------------------------------
+# M221: local clustering coefficient per node
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_graph_clustering_coeff",
+    oracle=f"""
+WITH ui AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT GREATEST({TRI_MIN_SUPPORT},
+                  CAST(CEIL(COUNT(DISTINCT user_id) / {TRI_USERS_PER_SUPPORT}.0) AS BIGINT)) AS min_c
+  FROM ui
+),
+e AS MATERIALIZED (
+  SELECT a.item_id AS x, b.item_id AS y
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT min_c FROM thr)
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT x AS node FROM e UNION ALL SELECT y FROM e
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM e e1
+  JOIN e e2 ON e1.y = e2.x
+  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+tcnt AS (
+  SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS item_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+)
+SELECT d.node AS item_id, d.deg,
+       COALESCE(t.n_triangles, 0) AS n_triangles,
+       CAST(ROUND(2e6 * COALESCE(t.n_triangles, 0) / (d.deg * (d.deg - 1)), 0)
+            AS BIGINT) AS cc_ppm
+FROM deg d LEFT JOIN tcnt t ON t.item_id = d.node
+WHERE d.deg >= 2
+""",
+)
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M221: local clustering coefficient — per item, how close its
+    co-purchase neighborhood is to a clique: C(v) = 2·tri(v) /
+    (deg(v)·(deg(v)−1)) for deg ≥ 2, in exact integer ppm. The
+    normalized form of q_graph_triangles' raw counts (Watts & Strogatz
+    1998's local C), separating genuine community items (high C at
+    moderate degree) from mere hubs (high degree, low C).
+
+    Shape: composes the shared thresholded edge set (capped matrix +
+    population-scaled floor) with triangle_counts' oriented wedge join
+    and one degree aggregate — the ratio is a row-local integer
+    expression (2e6·tri exact in int64 through any realistic triangle
+    count); nodes with deg 1 are excluded on both engines (C undefined).
+    """
+    e0 = thresholded_edges(spark, sf_dir)
+    e = e0.select(F.col("b").alias("x"), F.col("a").alias("y"))  # x < y canonical
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tcnt = triangle_counts(e)
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(tcnt, deg.node == tcnt.item_id, "left")
+        .select(
+            F.col("node").alias("item_id"),
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            rlong(
+                F.lit(2e6)
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1))
+            )
+            .cast("long")
+            .alias("cc_ppm"),
+        )
+    )

@@ -200,7 +200,8 @@ _R6_WINDOW = (
 # q_stream_cms (streaming/batch_twins.py), q_cf_swing (cf/swing.py),
 # q_stat_bh_fdr (operators/stats.py), q_dedup_containment (llm/dedup.py),
 # q_stat_brown_forsythe (operators/stats.py), q_join_asof_tolerance
-# (operators/joins.py), q_source_binaryfile (operators/scans.py) — put
+# (operators/joins.py), q_source_binaryfile (operators/scans.py),
+# q_graph_clustering_coeff (operators/analytics.py) — put
 # round-7's NEW queries first, these next, then refresh the oldest
 # driver-green families.
 

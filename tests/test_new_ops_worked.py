@@ -1012,3 +1012,28 @@ def test_asof_tolerance_matches_pandas_merge_asof(spark):
         for r in QUERIES["q_join_asof_tolerance"](spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_clustering_coeff_matches_python_reference(spark):
+    """Per-node C(v) must equal a brute-force recompute over the same
+    thresholded edges (triangles via neighbor-set intersections)."""
+    from collections import defaultdict
+
+    from recsys_spark_spark.operators.analytics import thresholded_edges
+
+    edges = [(r.b, r.a) for r in thresholded_edges(spark, SF_SMOKE).collect()]
+    adj = defaultdict(set)
+    for x, y in edges:
+        adj[x].add(y); adj[y].add(x)
+    want = {}
+    for v, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        tri = sum(len(adj[u] & nb) for u in nb) // 2
+        want[v] = (d, tri, math.floor(2e6 * tri / (d * (d - 1)) + 0.5))
+    got = {
+        r.item_id: (r.deg, r.n_triangles, r.cc_ppm)
+        for r in QUERIES["q_graph_clustering_coeff"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
