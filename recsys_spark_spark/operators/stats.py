@@ -2356,3 +2356,88 @@ def q_stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rlong(F.col("w_stat") * 1e6) / 1e6).alias("w_stat"),
         (rlong(F.exp(-q / 2) * (1 + q / 2) * 1e9) / 1e9).alias("p_chi2_approx"),
     )
+
+
+# --------------------------------------------------------------------------
+# M222: Cohen's kappa — chance-corrected agreement of two labelers
+# --------------------------------------------------------------------------
+
+_KAPPA_A_SQL = """CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+       WHEN o_orderpriority = '3-MEDIUM' THEN 'mid' ELSE 'low' END"""
+_KAPPA_B_SQL = """CASE WHEN o_totalprice >= 150000 THEN 'high'
+       WHEN o_totalprice >= 50000 THEN 'mid' ELSE 'low' END"""
+
+
+@query(
+    "q_stat_cohens_kappa",
+    oracle=f"""
+WITH lab AS (
+  SELECT {_KAPPA_A_SQL} AS a, {_KAPPA_B_SQL} AS b FROM orders
+),
+ra AS (SELECT a AS k, CAST(COUNT(*) AS BIGINT) AS r FROM lab GROUP BY 1),
+cb AS (SELECT b AS k, CAST(COUNT(*) AS BIGINT) AS c FROM lab GROUP BY 1),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM lab
+),
+chance AS (
+  SELECT CAST(SUM(ra.r * cb.c) AS BIGINT) AS cx
+  FROM ra JOIN cb ON ra.k = cb.k
+)
+SELECT n, agree,
+       ROUND(agree / CAST(n AS DOUBLE) * 1e6, 0) / 1e6 AS po,
+       ROUND(cx / (CAST(n AS DOUBLE) * n) * 1e6, 0) / 1e6 AS pe,
+       ROUND((agree / CAST(n AS DOUBLE) - cx / (CAST(n AS DOUBLE) * n))
+             / (1 - cx / (CAST(n AS DOUBLE) * n)) * 1e6, 0) / 1e6 AS kappa
+FROM agg CROSS JOIN chance
+""",
+)
+def q_stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M222: Cohen's kappa (Cohen 1960) — chance-corrected agreement
+    between two deterministic labelers of each order: priority class
+    (urgent/medium/low collapsed to high/mid/low) vs price band (fixed
+    150k/50k thresholds). κ = (p_o − p_e)/(1 − p_e) where p_e is the
+    marginal-product chance agreement. The label-quality primitive of a
+    training pipeline: raw agreement overstates consistency whenever
+    marginals are skewed — κ is what you report when auditing weak/LLM
+    labelers against a gold rater.
+
+    Exactness: the confusion matrix, its diagonal and both marginals are
+    exact integer aggregates; Σ row_k·col_k ≤ 3n² stays in int64 through
+    sf100, and n² in the p_e denominator is evaluated in doubles (exact
+    below 2^53 through ~sf10, identical tree beyond). One keyed
+    aggregate + two 3-row marginal aggregates + a 1-row closed form.
+
+    Shape: everything reduces to k=3 marginal rows before any float;
+    the final expression is a broadcast-free 1-row cross join."""
+    o = table(spark, sf_dir, "orders")
+    lab = o.select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "mid")
+        .otherwise("low")
+        .alias("a"),
+        F.when(F.col("o_totalprice") >= 150000, "high")
+        .when(F.col("o_totalprice") >= 50000, "mid")
+        .otherwise("low")
+        .alias("b"),
+    )
+    ra = lab.groupBy(F.col("a").alias("k")).agg(F.count(F.lit(1)).alias("r"))
+    cb = lab.groupBy(F.col("b").alias("k")).agg(F.count(F.lit(1)).alias("c"))
+    agg = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias("agree"),
+    )
+    chance = ra.join(cb, "k").agg(
+        F.sum(F.col("r") * F.col("c")).cast("long").alias("cx")
+    )
+    nd = F.col("n").cast("double")
+    po = F.col("agree") / nd
+    pe = F.col("cx") / (nd * F.col("n"))
+    return agg.crossJoin(F.broadcast(chance)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("agree").cast("long").alias("agree"),
+        (rlong(po * 1e6) / 1e6).alias("po"),
+        (rlong(pe * 1e6) / 1e6).alias("pe"),
+        (rlong((po - pe) / (1 - pe) * 1e6) / 1e6).alias("kappa"),
+    )

@@ -1037,3 +1037,27 @@ def test_clustering_coeff_matches_python_reference(spark):
         for r in QUERIES["q_graph_clustering_coeff"](spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cohens_kappa_matches_python_reference(spark):
+    """Kappa must equal the textbook computation from a pandas confusion
+    matrix of the same two deterministic labelers."""
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    a = o.o_orderpriority.map(
+        lambda p: "high" if p in ("1-URGENT", "2-HIGH") else ("mid" if p == "3-MEDIUM" else "low")
+    )
+    b = o.o_totalprice.map(
+        lambda v: "high" if v >= 150000 else ("mid" if v >= 50000 else "low")
+    )
+    n = len(o)
+    agree = int((a == b).sum())
+    cx = sum(
+        int((a == k).sum()) * int((b == k).sum()) for k in ("high", "mid", "low")
+    )
+    po, pe = agree / float(n), cx / (float(n) * n)
+    r = QUERIES["q_stat_cohens_kappa"](spark, SF_SMOKE).collect()[0]
+    assert (r.n, r.agree) == (n, agree)
+    assert r.po == math.floor(po * 1e6 + 0.5) / 1e6
+    assert r.pe == math.floor(pe * 1e6 + 0.5) / 1e6
+    kappa = (po - pe) / (1 - pe)
+    assert r.kappa == math.copysign(math.floor(abs(kappa) * 1e6 + 0.5), kappa) / 1e6
