@@ -1754,3 +1754,122 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "event_type string, n_days long, h long, level double, trend double, forecast double"
     return idx.groupBy("event_type").applyInPandas(hw, schema)
+
+
+# --------------------------------------------------------------------------
+# M223: Croston's method — intermittent-demand forecasting per part
+# --------------------------------------------------------------------------
+
+_CR_A = 0.25   # smoothing gain (exactly representable)
+_CR_A1 = 0.75  # literal 1-alpha
+_CR_SBA = 0.875  # Syntetos-Boylan bias correction 1 - alpha/2 (exact)
+
+
+@query(
+    "q_ts_croston",
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT l_partkey AS part, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(l_quantity) AS BIGINT) AS q
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+idx AS (
+  SELECT part, q,
+         CAST(ROW_NUMBER() OVER (PARTITION BY part ORDER BY day) - 1 AS BIGINT) AS x,
+         CAST(COUNT(*) OVER (PARTITION BY part) AS BIGINT) AS m,
+         CAST(date_diff('day', LAG(day) OVER (PARTITION BY part ORDER BY day), day)
+              AS BIGINT) AS g
+  FROM d
+),
+rec AS (
+  SELECT d0.part, CAST(0 AS BIGINT) AS x, d0.m,
+         CAST(d0.q AS DOUBLE) AS z, CAST(d1.g AS DOUBLE) AS p
+  FROM idx d0 JOIN idx d1 ON d1.part = d0.part AND d1.x = 1
+  WHERE d0.x = 0 AND d0.m >= 2
+  UNION ALL
+  SELECT r.part, r.x + 1, r.m,
+         {_CR_A!r} * d.q + {_CR_A1!r} * r.z AS z,
+         {_CR_A!r} * d.g + {_CR_A1!r} * r.p AS p
+  FROM rec r JOIN idx d ON d.part = r.part AND d.x = r.x + 1
+)
+SELECT part AS l_partkey, m AS n_occurrences,
+       ROUND(z * 1e6, 0) / 1e6 AS size_level,
+       ROUND(p * 1e6, 0) / 1e6 AS interval_level,
+       ROUND(z / p * 1e6, 0) / 1e6 AS croston_rate,
+       ROUND({_CR_SBA!r} * (z / p) * 1e6, 0) / 1e6 AS sba_rate
+FROM rec WHERE x = m - 1
+""",
+)
+def q_ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M223: Croston's method (Croston 1972) with the Syntetos-Boylan
+    bias correction — demand-rate forecasts for INTERMITTENT series,
+    where Holt/Holt-Winters mis-smooth the zeros: per part, demand
+    SIZES and inter-demand INTERVALS are smoothed as two separate EWMA
+    states updated only on demand days; the rate forecast is z/p and
+    SBA multiplies by (1 − α/2). Parts order every few weeks here —
+    the canonical spare-parts/long-tail-item shape.
+
+    Init convention (documented, both engines identical): z starts at
+    the first demand size, p at the first interval, and BOTH states
+    update at every subsequent occurrence — Croston's literature has no
+    canonical init, so the fixed convention IS the contract. Updates use
+    the multiply form α·x + (1−α)·s with exact binary literals, so the
+    float state is bit-identical per step across the pandas fold and the
+    recursive CTE (the q_ts_holt contract); demand sizes and day gaps
+    are exact integers.
+
+    Shape: the corpus reduces to one (part, day)-keyed integer aggregate
+    before any sequential work; the fold is per-part Arrow-local (one
+    exchange across ~catalog-many short series); output one row per part
+    with ≥ 2 demand days."""
+    import pandas as pd
+
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    d = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("part"), F.to_date("o_orderdate").alias("day")
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("q"))
+    )
+
+    def croston(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values("day")
+        q = pdf["q"].to_numpy()
+        days = pd.to_datetime(pdf["day"]).to_numpy()
+        m = len(q)
+        cols = [
+            "l_partkey", "n_occurrences", "size_level", "interval_level",
+            "croston_rate", "sba_rate",
+        ]
+        if m < 2:
+            return pd.DataFrame(columns=cols)
+        gaps = ((days[1:] - days[:-1]) / pd.Timedelta(days=1)).astype(int)
+        z, p = float(q[0]), float(gaps[0])
+        for i in range(1, m):
+            z = _CR_A * q[i] + _CR_A1 * z
+            p = _CR_A * gaps[i - 1] + _CR_A1 * p
+
+        def r6(v: float) -> float:
+            return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+        rate = z / p
+        return pd.DataFrame(
+            [
+                (
+                    int(pdf["part"].iloc[0]), m, r6(z), r6(p),
+                    r6(rate), r6(_CR_SBA * rate),
+                )
+            ],
+            columns=cols,
+        )
+
+    schema = (
+        "l_partkey long, n_occurrences long, size_level double, "
+        "interval_level double, croston_rate double, sba_rate double"
+    )
+    return d.groupBy("part").applyInPandas(croston, schema)

@@ -202,7 +202,7 @@ _R6_WINDOW = (
 # q_stat_brown_forsythe (operators/stats.py), q_join_asof_tolerance
 # (operators/joins.py), q_source_binaryfile (operators/scans.py),
 # q_graph_clustering_coeff (operators/analytics.py), q_stat_cohens_kappa
-# (operators/stats.py) — put
+# (operators/stats.py), q_ts_croston (operators/temporal.py) — put
 # round-7's NEW queries first, these next, then refresh the oldest
 # driver-green families.
 

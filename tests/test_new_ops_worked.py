@@ -1061,3 +1061,36 @@ def test_cohens_kappa_matches_python_reference(spark):
     assert r.pe == math.floor(pe * 1e6 + 0.5) / 1e6
     kappa = (po - pe) / (1 - pe)
     assert r.kappa == math.copysign(math.floor(abs(kappa) * 1e6 + 0.5), kappa) / 1e6
+
+
+def test_croston_matches_python_reference(spark):
+    """Full per-part Croston/SBA levels against an independent pandas
+    recompute of the documented init + multiply-form updates."""
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    l = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").toPandas()
+    j = o.merge(l, left_on="o_orderkey", right_on="l_orderkey")
+    j["day"] = j.o_orderdate.dt.normalize()
+    d = j.groupby(["l_partkey", "day"]).l_quantity.sum().reset_index()
+    r6 = lambda v: math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+    want = {}
+    for part, g in d.groupby("l_partkey"):
+        g = g.sort_values("day")
+        q = [float(v) for v in g.l_quantity]
+        days = list(g.day)
+        m = len(q)
+        if m < 2:
+            continue
+        gaps = [(days[i] - days[i - 1]).days for i in range(1, m)]
+        z, p = q[0], float(gaps[0])
+        for i in range(1, m):
+            z = 0.25 * q[i] + 0.75 * z
+            p = 0.25 * gaps[i - 1] + 0.75 * p
+        want[part] = (m, r6(z), r6(p), r6(z / p), r6(0.875 * (z / p)))
+    got = {
+        r.l_partkey: (
+            r.n_occurrences, r.size_level, r.interval_level,
+            r.croston_rate, r.sba_rate,
+        )
+        for r in QUERIES["q_ts_croston"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
