@@ -204,7 +204,11 @@ _R6_WINDOW = (
 # q_graph_clustering_coeff (operators/analytics.py), q_stat_cohens_kappa
 # (operators/stats.py), q_ts_croston (operators/temporal.py) — put
 # round-7's NEW queries first, these next, then refresh the oldest
-# driver-green families.
+# driver-green families. Exact count at the end of round 6: 72 of the
+# 294 keys have never been in a driver window (the list above), so the
+# 50-slot _R7_WINDOW plus a 22-slot _R8 carry-over clears the debt in
+# two rounds even with zero new queries (tools snippet:
+# set(QUERIES) - set(_R6_WINDOW) - keys(CORRECTNESS_r01..r05).
 
 _loaded = False
 
