@@ -979,3 +979,135 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overestimate",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# M224: mergeable fixed-grid quantile sketch vs exact percentiles
+# --------------------------------------------------------------------------
+
+QGRID_BINS = 1024
+QGRID_PCTS = (25, 50, 75, 95)
+
+
+@query(
+    "q_quantile_grid_sketch",
+    oracle=f"""
+WITH x AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v FROM orders
+),
+b AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi, CAST(COUNT(*) AS BIGINT) AS n FROM x
+),
+binned AS (
+  SELECT ((v - lo) * {QGRID_BINS}) // (hi - lo + 1) AS bin FROM x CROSS JOIN b
+),
+cells AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY 1
+),
+cum AS (
+  SELECT bin,
+         CAST(SUM(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cc
+  FROM cells
+),
+vals AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY 1
+),
+vcum AS (
+  SELECT v,
+         CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cc
+  FROM vals
+),
+pct(p) AS (VALUES {", ".join(f"({p})" for p in QGRID_PCTS)}),
+k AS (
+  SELECT p, (n * p + 99) // 100 AS rank_k, lo, hi, n FROM pct CROSS JOIN b
+),
+est AS (
+  SELECT k.p, k.n, k.lo, k.hi, k.rank_k,
+         (SELECT MIN(bin) FROM cum WHERE cc >= k.rank_k) AS ebin,
+         (SELECT MIN(v) FROM vcum WHERE cc >= k.rank_k) AS exact_c
+  FROM k
+)
+SELECT CAST(p AS BIGINT) AS pct, n,
+       CAST(lo + (ebin * (hi - lo + 1)) // {QGRID_BINS} AS BIGINT) AS est_cents,
+       exact_c AS exact_cents,
+       CAST(ABS(lo + (ebin * (hi - lo + 1)) // {QGRID_BINS} - exact_c) AS BIGINT)
+         AS abs_err_cents,
+       CAST((hi - lo + 1 + {QGRID_BINS - 1}) // {QGRID_BINS} AS BIGINT)
+         AS bound_cents
+FROM est
+""",
+)
+def q_quantile_grid_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M224: fixed-grid quantile sketch, error-audited against the exact
+    percentile — completing the mergeable-sketch triad: frequency
+    (q_cms_heavy_hitters), distinct (q_hll_mergeable /
+    q_agg_bitmap_distinct), and now QUANTILES. The price domain is cut
+    into {QGRID_BINS} equal-width integer bins; the sketch is the bin
+    histogram — plain keyed SUMS, so partial histograms from any split
+    of the data merge by addition (linearity, pytest-pinned like CMS),
+    and any quantile is answered from the ≤{QGRID_BINS}-row cumulative
+    table. The estimate is the hit bin's lower edge, so the error is
+    bounded by ONE bin width — emitted per row (bound_cents) beside the
+    measured |est − exact|, making the accuracy contract part of the
+    result instead of a comment.
+
+    Exactness: everything is integer arithmetic — cents, integer-divide
+    binning ((v−lo)·B // span), ceil-rank k = (n·p+99)//100, bin-edge
+    reconstruction — so both engines agree bit-for-bit; the EXACT
+    reference percentile comes from the distinct-value prefix table
+    (the Mann-Whitney/KS bucket pass, ordered_prefix_sums). Shape: one
+    map-side-combinable histogram aggregate, a ≤{QGRID_BINS}-row prefix
+    sum, and the value-bucket distributed prefix for the reference —
+    at 100 TB only the reference rescans values; the sketch path is the
+    one you keep."""
+    from recsys_spark_spark.operators.sorts import ordered_prefix_sums
+
+    o = table(spark, sf_dir, "orders")
+    x = o.select(rlong(F.col("o_totalprice") * 100).cast("long").alias("v"))
+    b = x.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    binned = x.crossJoin(F.broadcast(b)).select(
+        F.expr(f"((v - lo) * {QGRID_BINS}) DIV (hi - lo + 1)").alias("bin")
+    )
+    cells = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    cum = ordered_prefix_sums(
+        spark, cells, order_col="bin", tiebreak="bin", sum_cols={"c": "cc"},
+        descending=False,
+    )
+    vals = x.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    vcum = ordered_prefix_sums(
+        spark, vals, order_col="v", tiebreak="v", sum_cols={"c": "cc"},
+        descending=False,
+    )
+    pct = spark.createDataFrame([(p,) for p in QGRID_PCTS], "p long")
+    k = pct.crossJoin(F.broadcast(b)).select(
+        "p", "lo", "hi", "n", F.expr("(n * p + 99) DIV 100").alias("rank_k")
+    )
+    ebin = (
+        k.join(cum, cum.cc >= k.rank_k)
+        .groupBy("p", "lo", "hi", "n", "rank_k")
+        .agg(F.min("bin").alias("ebin"))
+    )
+    exact = (
+        k.select("p", F.col("rank_k").alias("rk"))
+        .join(vcum, vcum.cc >= F.col("rk"))
+        .groupBy("p")
+        .agg(F.min("v").alias("exact_c"))
+    )
+    est_c = F.expr(f"lo + (ebin * (hi - lo + 1)) DIV {QGRID_BINS}")
+    return (
+        ebin.join(exact, "p")
+        .select(
+            F.col("p").cast("long").alias("pct"),
+            F.col("n").cast("long").alias("n"),
+            est_c.cast("long").alias("est_cents"),
+            F.col("exact_c").cast("long").alias("exact_cents"),
+            F.abs(est_c - F.col("exact_c")).cast("long").alias("abs_err_cents"),
+            F.expr(f"(hi - lo + 1 + {QGRID_BINS - 1}) DIV {QGRID_BINS}")
+            .cast("long")
+            .alias("bound_cents"),
+        )
+    )

@@ -202,11 +202,12 @@ _R6_WINDOW = (
 # q_stat_brown_forsythe (operators/stats.py), q_join_asof_tolerance
 # (operators/joins.py), q_source_binaryfile (operators/scans.py),
 # q_graph_clustering_coeff (operators/analytics.py), q_stat_cohens_kappa
-# (operators/stats.py), q_ts_croston (operators/temporal.py) — put
+# (operators/stats.py), q_ts_croston (operators/temporal.py),
+# q_quantile_grid_sketch (operators/aggregates.py) — put
 # round-7's NEW queries first, these next, then refresh the oldest
-# driver-green families. Exact count at the end of round 6: 72 of the
-# 294 keys have never been in a driver window (the list above), so the
-# 50-slot _R7_WINDOW plus a 22-slot _R8 carry-over clears the debt in
+# driver-green families. Exact count at the end of round 6: 73 of the
+# 295 keys have never been in a driver window (the list above), so the
+# 50-slot _R7_WINDOW plus a 23-slot _R8 carry-over clears the debt in
 # two rounds even with zero new queries (tools snippet:
 # set(QUERIES) - set(_R6_WINDOW) - keys(CORRECTNESS_r01..r05).
 

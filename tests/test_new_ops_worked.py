@@ -1094,3 +1094,33 @@ def test_croston_matches_python_reference(spark):
         for r in QUERIES["q_ts_croston"](spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_quantile_grid_bound_holds_and_matches_numpy(spark):
+    """The emitted error bound must hold per row, the exact reference
+    must equal the rank-k order statistic (numpy), and the bin histogram
+    must be linear (split halves sum to the whole)."""
+    import numpy as np
+
+    rows = QUERIES["q_quantile_grid_sketch"](spark, SF_SMOKE).collect()
+    assert sorted(r.pct for r in rows) == [25, 50, 75, 95]
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    v = np.sort(
+        np.array([math.floor(x * 100 + 0.5) for x in o.o_totalprice], dtype=np.int64)
+    )
+    n = len(v)
+    for r in rows:
+        assert r.n == n
+        k = (n * r.pct + 99) // 100
+        assert r.exact_cents == int(v[k - 1])
+        assert r.abs_err_cents <= r.bound_cents
+        assert r.est_cents <= r.exact_cents  # bin lower edge never overshoots
+
+    from recsys_spark_spark.operators.aggregates import QGRID_BINS
+
+    lo, hi = int(v[0]), int(v[-1])
+    span = hi - lo + 1
+    whole = np.bincount(((v - lo) * QGRID_BINS) // span, minlength=QGRID_BINS)
+    h1 = np.bincount(((v[::2] - lo) * QGRID_BINS) // span, minlength=QGRID_BINS)
+    h2 = np.bincount(((v[1::2] - lo) * QGRID_BINS) // span, minlength=QGRID_BINS)
+    assert (h1 + h2 == whole).all()
