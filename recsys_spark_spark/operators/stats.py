@@ -1216,33 +1216,85 @@ _COV_PAIRS = [
 ]
 
 
-def _cov_sql_expr(a: str, b: str) -> str:
-    """DuckDB population covariance from exact sums, in original units."""
+# Per-feature decimal exponent for the pre-quantized corr inputs. Chosen so
+# each quantized variance integer round(var_hundredths * 10^e) lands around
+# 1e13..1e15 — far below 2^53, so the integer→double cast is EXACT on both
+# engines — with >=10x headroom (measured: var(qty·100)≈2.1e6 → e=8 gives
+# 2.1e14; var(price·100)≈9.0e12 → e=2 gives 9.0e14; var(disc·100)≈8.4,
+# var(tax·100)≈5.5 → e=12 gives ~1e13). Variance is intensive (does not grow
+# with n), so the landing zone is SF-independent. All exponents are EVEN so
+# every cross exponent (e_a+e_b)/2 is integral.
+_COV_EXP = {"qty": 8, "price": 2, "disc": 12, "tax": 12}
+
+
+def _cov_rdiv_sql(num: str, den: str) -> str:
+    """Round-half-away-from-zero of ``num/den`` (den > 0) in EXACT integer
+    arithmetic: both engines truncate integral division toward zero, so the
+    classic (2|x| + d) / 2d trick on the absolute value is engine-free.
+    The result is a true integer — no ROUND(double), hence no -0.0."""
     return (
-        f"((CAST(s_{a}_{b} AS DOUBLE)"
-        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE) / n) / n / 1e4)"
+        f"((CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END)"
+        f" * ((2 * ABS({num}) + ({den})) // (2 * ({den}))))"
     )
 
 
-_COV_ORACLE = (
-    "WITH d AS (SELECT "
-    + ", ".join(
+def _cov_cte_sql() -> str:
+    """Shared CTEs: exact integer sufficient sums -> exact integer moment
+    numerators m_ab = n*s_ab - s_a*s_b -> pre-quantized corr terms v_ab."""
+    d = ", ".join(
         f"CAST(ROUND({src} * 100, 0) AS BIGINT) AS {nm}" for nm, src in COV_FEATS
     )
-    + " FROM lineitem), s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-    + ", ".join(f"CAST(SUM({nm}) AS HUGEINT) AS s_{nm}" for nm, _ in COV_FEATS)
-    + ", "
-    + ", ".join(
-        f"SUM(CAST({a} AS HUGEINT) * {b}) AS s_{a}_{b}" for a, b in _COV_PAIRS
+    s = (
+        "SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+        + ", ".join(f"CAST(SUM({nm}) AS HUGEINT) AS s_{nm}" for nm, _ in COV_FEATS)
+        + ", "
+        + ", ".join(
+            f"SUM(CAST({a} AS HUGEINT) * {b}) AS s_{a}_{b}" for a, b in _COV_PAIRS
+        )
+        + " FROM d"
     )
-    + " FROM d)\n"
-    + "\nUNION ALL\n".join(
-        f"SELECT '{a}' AS feat_x, '{b}' AS feat_y, n AS n_rows, "
-        f"ROUND({_cov_sql_expr(a, b)} * 1e2, 0) / 1e2 AS cov_pop, "
-        f"ROUND({_cov_sql_expr(a, b)} / sqrt({_cov_sql_expr(a, a)}"
-        f" * {_cov_sql_expr(b, b)}) * 1e6, 0) / 1e6 AS corr FROM s"
-        for a, b in _COV_PAIRS
+    t = (
+        "SELECT n, n * n AS n2, "
+        + ", ".join(
+            f"n * s_{a}_{b} - s_{a} * s_{b} AS m_{a}_{b}" for a, b in _COV_PAIRS
+        )
+        + " FROM s"
     )
+    u = (
+        "SELECT n, n2, "
+        + ", ".join(f"m_{a}_{b}" for a, b in _COV_PAIRS)
+        + ", "
+        + ", ".join(
+            _cov_rdiv_sql(
+                f"m_{a}_{b} * CAST("
+                f"{10 ** ((_COV_EXP[a] + _COV_EXP[b]) // 2)} AS HUGEINT)",
+                "n2",
+            )
+            + f" AS v_{a}_{b}"
+            for a, b in _COV_PAIRS
+        )
+        + " FROM t"
+    )
+    return (
+        f"WITH d AS (SELECT {d} FROM lineitem), s AS ({s}), t AS ({t}),"
+        f" u AS ({u})"
+    )
+
+
+_COV_ORACLE = _cov_cte_sql() + "\n" + "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS feat_x, '{b}' AS feat_y, CAST(n AS BIGINT) AS n_rows, "
+    # cov_pop at 2dp: the rounded integer comes from pure integer arithmetic
+    # (cov_hundredths = m/n2; original units /1e4; 2dp display *1e2), then one
+    # exact small-integer -> double cast and one correctly-rounded division.
+    f"CAST({_cov_rdiv_sql(f'm_{a}_{b}', 'n2 * 100')} AS DOUBLE) / 1e2"
+    f" AS cov_pop, "
+    # corr: every input is an exactly-double-representable integer, so the
+    # mul/sqrt/div chain is IEEE-correctly-rounded and bit-identical across
+    # engines; the final CAST..AS HUGEINT kills any ROUND()-produced -0.0.
+    f"CAST(CAST(ROUND(CAST(v_{a}_{b} AS DOUBLE)"
+    f" / sqrt(CAST(v_{a}_{a} AS DOUBLE) * CAST(v_{b}_{b} AS DOUBLE))"
+    f" * 1e6, 0) AS HUGEINT) AS DOUBLE) / 1e6 AS corr FROM u"
+    for a, b in _COV_PAIRS
 )
 
 
@@ -1253,15 +1305,33 @@ def q_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whitening/PCA/feature-selection precursor: which measures move
     together, computed without ever sampling to a notebook.
 
-    Exactness: built-in covar_pop/corr stream doubles through
-    order-dependent running means — nondeterministic across shuffle
-    schedules and engines. Here every sufficient statistic is exact:
-    per-row integer hundredths, Σx as HUGEINT/DECIMAL(38,0), Σx·y as a
-    DECIMAL(38,0) sum of per-row long products (|x·y| ≤ 1e14 per row, so
-    the per-row product is exact in 64 bits at any sf; the unbounded
-    ACCUMULATION is where 128-bit width is required — Σprice² ≈ 6e21 at
-    sf10). cov = (Σxy − ΣxΣy/n)/n and corr = cov/√(var·var) evaluate on
-    one reduced row with the identical op tree on both engines.
+    Exactness — REBUILT in round 7 after this key's driver red row
+    (CORRECTNESS_r06: hash_match=false with every local check green).
+    Root cause, reproduced locally: the old form emitted the 2dp/6dp
+    display values through DOUBLE closed forms rounded by DuckDB
+    ROUND(double) — which returns **-0.0** for tiny negatives (e.g.
+    cov(qty,disc) = -7.6e-4 at sf0.01 rounds to -0.0) — while Spark's
+    long-typed rlong emits +0.0. Value-level compares call them equal;
+    the driver's byte-level hash does not. The fix removes BOTH hazards
+    (signed zero AND engine-arithmetic ulp drift) by construction:
+    every emitted value is derived from exact integers.
+      * sufficient sums: per-row integer hundredths, Σx and Σx·y as
+        HUGEINT/DECIMAL(38,0) (per-row |x·y| ≤ 1e14 exact in 64 bits;
+        accumulation needs the 128-bit width — Σprice² ≈ 6e21 at sf10);
+      * moment numerators m_ab = n·Σxy − Σx·Σy: exact 128-bit integers
+        (≈3.8e26 at sf1, ≤1e31 at sf100 — inside both engines' range);
+      * cov_pop: round-half-away(m_ab / (n²·100)) via the integer
+        (2|x|+d) div 2d identity — truncating integral division agrees
+        between engines, the result is a small integer (≤ ~1e11, exact
+        in a double), and one final /100.0 is correctly rounded. No
+        ROUND(double) anywhere, hence no -0.0;
+      * corr: pre-quantized integer terms v_ab = round(m_ab·10^e / n²)
+        with per-feature exponents (_COV_EXP) that land every term in
+        1e13..1e15 < 2^53 — so the int→double casts are EXACT and the
+        remaining mul/sqrt/div chain is IEEE-correctly-rounded, i.e.
+        bit-identical on identical inputs (quantization error ≤ 1e-13
+        relative vs the 1e-6 display step); the oracle's final rounding
+        passes through CAST(.. AS HUGEINT) to keep -0.0 out.
 
     Shape: ONE map-side-combined aggregate pass over the fact table (15
     exact sums), then a 10-row stack of the closed forms — the matrix
@@ -1279,32 +1349,54 @@ def q_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             for a, b in _COV_PAIRS
         ],
     )
+    # exact integer moments (mirrors the oracle's t CTE; `div` below is
+    # Spark's integral division — truncation toward zero, same as DuckDB //)
+    nd = "CAST(n AS DECIMAL(38,0))"
+    t = s.selectExpr(
+        "n",
+        f"{nd} * {nd} AS n2",
+        *[
+            f"{nd} * s_{a}_{b} - s_{a} * s_{b} AS m_{a}_{b}"
+            for a, b in _COV_PAIRS
+        ],
+    )
 
-    def cov(a: str, b: str):
-        nd = F.col("n").cast("double")
+    def _rdiv(num: str, den: str) -> str:
         return (
-            (
-                F.col(f"s_{a}_{b}").cast("double")
-                - F.col(f"s_{a}").cast("double")
-                * F.col(f"s_{b}").cast("double")
-                / nd
-            )
-            / nd
-            / 1e4
+            f"((CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END)"
+            f" * ((2 * abs({num}) + ({den})) div (2 * ({den}))))"
         )
 
+    u = t.selectExpr(
+        "n",
+        *[f"m_{a}_{b}" for a, b in _COV_PAIRS],
+        *[
+            _rdiv(
+                f"m_{a}_{b} * CAST("
+                f"{10 ** ((_COV_EXP[a] + _COV_EXP[b]) // 2)} AS DECIMAL(38,0))",
+                "n2",
+            )
+            + f" AS v_{a}_{b}"
+            for a, b in _COV_PAIRS
+        ],
+        "n2",
+    )
+    s = u
     for a, b in _COV_PAIRS:
-        # cov magnitudes reach ~1e9 (price x price): 6dp display would need
-        # 16 significant digits — past IEEE double, knife-edge observed at
-        # sf0.1. 2dp keeps >=5000x margin over the ~1e-6 absolute arithmetic
-        # divergence while corr (O(1)) keeps the full 6dp.
         s = s.withColumn(
-            f"cov_{a}_{b}", (rlong(cov(a, b) * 1e2) / 1e2)
+            f"cov_{a}_{b}",
+            F.expr(_rdiv(f"m_{a}_{b}", "n2 * 100")).cast("double") / 100.0,
         ).withColumn(
             f"corr_{a}_{b}",
-            (
-                rlong(cov(a, b) / F.sqrt(cov(a, a) * cov(b, b)) * 1e6) / 1e6
-            ),
+            rlong(
+                F.col(f"v_{a}_{b}").cast("double")
+                / F.sqrt(
+                    F.col(f"v_{a}_{a}").cast("double")
+                    * F.col(f"v_{b}_{b}").cast("double")
+                )
+                * 1e6
+            )
+            / 1e6,
         )
     stack_args = ", ".join(
         f"'{a}', '{b}', cov_{a}_{b}, corr_{a}_{b}" for a, b in _COV_PAIRS

@@ -50,16 +50,17 @@ ORACLES: dict[str, str] = {}
 #     registrations out), then that round's modified queries, the streaming
 #     twins (last checked r2), and the six new round-5 entries. All 50 green
 #     (CORRECTNESS_r05.json).
-#   round 6 window: _R6_WINDOW below. The r5 registry growth (166→248)
+#   round 6 window: _R6_WINDOW (see git history). The r5 registry growth (166→248)
 #     re-created a 76-key never-driver-verified backlog — larger than one
 #     50-entry window, so it drains over r6+r7. Order: the 4 NEW round-6
 #     queries first (driver-verified in their first round), then the 12 keys
 #     the committed r5 local sweep missed (verified by the judge, but the
 #     repo should hold its own artifact), then the full stats/inference
 #     block (the largest never-verified family), then temporal/aggregate/
-#     SQL-mode/graph/analytics keys — 50 exactly. The ~30 remaining
-#     never-verified keys (text/feature/eval/sampling families + lakehouse
-#     time travel + udf_arrow) are queued first for _R7_WINDOW.
+#     SQL-mode/graph/analytics keys — 50 exactly; went 49/50 (the
+#     q_feature_covariance signed-zero red, fixed and re-queued in r7).
+#     Late round-6 registrations regrew the never-verified backlog to 73,
+#     drained by _R7_WINDOW below + the 24-key _R8 carry-over listed there.
 _QUERY_MODULES = (
     "recsys_spark_spark.operators.temporal",
     "recsys_spark_spark.llm.chunking",
@@ -95,121 +96,93 @@ _QUERY_MODULES = (
     "recsys_spark_spark.udf.udfs",
 )
 
-# Round-6 driver window: the first 50 names the driver will verify, in order.
-# 1-4: NEW round-6 queries (driver-verified in their first round).
-# 5-16: the 12 keys registered after r5's last committed local sweep
-#   (CORRECTNESS_LOCAL_r05 covered 236/248) — judge-verified in r5, but the
-#   repo needs its own driver row.
-# 17-28: the stats/inference block — the largest never-driver-verified
-#   family (registered r4-r5, local-sweep green at both SFs).
-# 29-50: temporal, aggregate-extra, SQL-mode, graph, and analytics keys
-#   from the same never-verified backlog. Everything here EXCEPT rows 1-4
-#   passed CORRECTNESS_LOCAL_r05{,_sf01} exact sweeps; this window converts
-#   that soft signal to driver signal.
+# Round-7 driver window: the first 50 names the driver will verify, in order.
+# Round 6 went 49/50 — q_feature_covariance was the round's only driver red
+# (root cause found & reproduced in r7: DuckDB ROUND(double) emits -0.0 for
+# tiny negatives, Spark's long-typed rlong emits +0.0; the driver hashes
+# value BYTES while every local compare was value-level. Fixed by rebuilding
+# the query on exact-integer arithmetic — see stats.py q_feature_covariance).
+# 1: the re-engineered q_feature_covariance — the red row re-verifies FIRST.
+# 2-8: the stats/inference block sharing its closed-form family (spearman/
+#   kruskal/friedman/wilcoxon/bh_fdr/brown_forsythe/cohens_kappa).
+# 9-50: 42 more of the 73 keys that had never been in a driver window at the
+#   end of r6, highest driver-env risk first (double closed forms, UDF/Arrow
+#   paths, catalog state, streaming twins). The 24 deferred to _R8 are the
+#   lowest-cost deferrals: 9 judge-re-verified in r6 at sf0.01 exact
+#   (quantile_grid_sketch, ts_croston, cohens... see list below), the
+#   sf1-probed graph family, and exact-integer/structural queries.
+# _R8 carry-over (the remaining 24 never-driver-verified, queue these first
+# next round): q_graph_triangles, q_graph_jaccard, q_graph_components,
+# q_graph_khop, q_graph_clustering_coeff, q_session_paths,
+# q_quantile_grid_sketch, q_ts_croston, q_source_binaryfile, q_cf_swing,
+# q_text_bpe_encode, q_join_asof_tolerance, q_text_encode, q_text_zipf,
+# q_text_repetition, q_text_entropy, q_source_text, q_observe_metrics,
+# q_set_ops_all, q_sql_named_params, q_sample_bootstrap, q_feature_hash,
+# q_label_future_window, q_feature_store.
 # Names not listed keep their registration order after these.
-_R6_WINDOW = (
-    # -- new in round 6 --
-    "q_stat_linreg_multi",
-    "q_ts_changepoint",
-    "q_graph_degree_stats",
-    "q_dq_kanonymity",
-    "q_stat_theilsen",
-    "q_cf_baseline_bias",
-    "q_agg_bitmap_distinct",
-    "q_source_xml",
-    "q_sql_group_by_all",
-    "q_stream_enrich",
-    "q_text_span_dedup",
-    "q_text_contamination_ngram",
-    "q_ts_holt",
-    "q_table_schema_evolution",
-    "q_dq_lateness_profile",
-    "q_stream_chained",
-    "q_sql_scalar_function",
-    "q_sql_execute_immediate",
-    "q_udtf_table_arg",
-    "q_interval_types",
-    # -- the 12 post-sweep r5 additions --
-    "q_activity_streaks",
-    "q_array_lambda",
+_R7_WINDOW = (
+    # -- the round-6 red row, re-engineered: verify first --
     "q_feature_covariance",
-    "q_glm_logistic_newton",
-    "q_graph_eigencentrality",
-    "q_interval_concurrency",
-    "q_join_asof_nearest",
-    "q_pattern_rising_runs",
-    "q_stat_mannwhitney",
-    "q_time_to_convert",
-    "q_ts_decompose",
-    "q_ts_twap",
-    # -- stats/inference block --
-    "q_stat_ttest",
-    "q_stat_chisq",
-    "q_drift_psi",
-    "q_gini_concentration",
-    "q_stat_mann_kendall",
-    "q_audit_benford",
-    "q_stat_twoprop",
-    "q_price_elasticity",
-    "q_stat_ks",
-    "q_survival_km",
-    "q_stat_pvalue",
-    "q_stat_anova",
-    # -- temporal family --
-    "q_ts_ewma",
-    "q_ts_interp_linear",
-    "q_ts_acf",
-    "q_ts_cusum",
-    "q_seasonal_index",
-    "q_purchase_cycle",
+    # -- stats/inference block (same closed-form family as the red row) --
+    "q_stat_spearman",
+    "q_stat_kruskal",
+    "q_stat_friedman",
+    "q_stat_wilcoxon",
+    "q_stat_bh_fdr",
+    "q_stat_brown_forsythe",
+    "q_stat_cohens_kappa",
+    # -- aggregate extras --
+    "q_agg_corr",
+    "q_agg_moments",
+    "q_agg_weighted_median",
+    "q_agg_diversity_entropy",
+    "q_cms_heavy_hitters",
+    # -- temporal --
+    "q_forecast_linear",
+    "q_ts_holt_winters",
+    # -- window / SQL-mode --
+    "q_window_moving_median",
+    "q_sql_correlated",
+    "q_sql_lateral",
+    "q_sql_q21_shape",
+    # -- analytics --
+    "q_outlier_mad",
+    "q_rfm_segmentation",
+    "q_part_abc",
+    "q_attribution_position",
+    "q_trending_items",
+    "q_dq_expectations",
+    # -- CF / eval --
+    "q_cf_hybrid_rec",
+    "q_cf_slope_one",
+    "q_eval_hitrate",
+    "q_eval_novelty",
+    "q_eval_auc",
+    "q_eval_calibration",
+    # -- similarity / embeddings --
+    "q_kmeans_step",
+    "q_embed_pq_encode",
+    "q_embed_norm_audit",
+    "q_sim_pq_adc",
+    "q_sim_setjoin_prefix",
+    "q_dedup_containment",
+    # -- text --
+    "q_text_perplexity",
+    "q_text_readability",
+    "q_text_rake",
+    "q_text_bpe_train",
+    # -- sampling / features --
+    "q_corpus_mix_temperature",
+    "q_stat_bootstrap_ci",
+    "q_target_encode_loo",
+    "q_woe_iv",
+    "q_feature_scale",
+    "q_feature_winsorize",
+    # -- catalog / streaming / UDF --
+    "q_table_time_travel",
+    "q_stream_cms",
+    "q_udf_arrow",
 )
-
-# Round-7 rotation queue (never driver-verified after the r6 window runs):
-# q_sql_correlated / q_sql_lateral / q_sql_q21_shape (operators/extras.py),
-# q_agg_corr / q_agg_moments / q_agg_weighted_median /
-# q_agg_diversity_entropy (operators/aggregates.py),
-# q_forecast_linear (operators/temporal.py),
-# q_graph_triangles / q_graph_jaccard / q_outlier_mad /
-# q_rfm_segmentation / q_part_abc / q_attribution_position /
-# q_trending_items / q_session_paths (operators/analytics.py — displaced
-# from the r6 window by the late round-6 additions M187-M192/A3c/K8;
-# triangles/jaccard are the best-probed keys in SF1_PROBE.json, so they
-# cost the least to defer),
-# q_source_text (operators/scans.py), q_window_moving_median
-# (operators/windows.py), q_set_ops_all (operators/sets.py),
-# q_dq_expectations (operators/analytics.py), q_cf_hybrid_rec
-# (cf/itemcf.py), q_cf_slope_one (cf/slopeone.py), q_eval_hitrate /
-# q_eval_novelty (cf/evaluate.py), q_kmeans_step / q_embed_pq_encode /
-# q_embed_norm_audit (llm/similarity.py), q_text_entropy /
-# q_text_repetition / q_text_perplexity / q_text_zipf / q_text_encode /
-# q_text_readability (llm/text.py), q_sample_bootstrap /
-# q_corpus_mix_temperature / q_stat_bootstrap_ci (llm/sampling.py),
-# q_feature_hash / q_label_future_window / q_eval_auc /
-# q_target_encode_loo / q_woe_iv / q_feature_scale / q_feature_store /
-# q_feature_winsorize (llm/features.py), q_table_time_travel
-# (lakehouse.py), q_udf_arrow (udf/udfs.py), and the post-window round-6
-# additions q_stat_spearman / q_stat_kruskal (operators/stats.py) and
-# q_text_bpe_train (llm/text.py), q_sim_setjoin_prefix (llm/dedup.py), q_text_bpe_encode (llm/text.py),
-# q_graph_components (operators/analytics.py), q_cms_heavy_hitters
-# (operators/aggregates.py), q_sim_pq_adc (llm/similarity.py),
-# q_text_rake (llm/text.py), q_stat_friedman (operators/stats.py),
-# q_ts_holt_winters (operators/temporal.py), q_stat_wilcoxon
-# (operators/stats.py), q_observe_metrics (operators/scans.py),
-# q_sql_named_params (operators/extras.py), q_graph_khop
-# (operators/analytics.py), q_eval_calibration (llm/features.py),
-# q_stream_cms (streaming/batch_twins.py), q_cf_swing (cf/swing.py),
-# q_stat_bh_fdr (operators/stats.py), q_dedup_containment (llm/dedup.py),
-# q_stat_brown_forsythe (operators/stats.py), q_join_asof_tolerance
-# (operators/joins.py), q_source_binaryfile (operators/scans.py),
-# q_graph_clustering_coeff (operators/analytics.py), q_stat_cohens_kappa
-# (operators/stats.py), q_ts_croston (operators/temporal.py),
-# q_quantile_grid_sketch (operators/aggregates.py) — put
-# round-7's NEW queries first, these next, then refresh the oldest
-# driver-green families. Exact count at the end of round 6: 73 of the
-# 295 keys have never been in a driver window (the list above), so the
-# 50-slot _R7_WINDOW plus a 23-slot _R8 carry-over clears the debt in
-# two rounds even with zero new queries (tools snippet:
-# set(QUERIES) - set(_R6_WINDOW) - keys(CORRECTNESS_r01..r05).
 
 _loaded = False
 
@@ -234,10 +207,10 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
     if not _loaded:
         for mod in _QUERY_MODULES:
             importlib.import_module(mod)
-        missing = [n for n in _R6_WINDOW if n not in QUERIES]
+        missing = [n for n in _R7_WINDOW if n not in QUERIES]
         if missing:
             raise RuntimeError(f"window names not registered: {missing}")
-        ordered = list(_R6_WINDOW) + [n for n in QUERIES if n not in set(_R6_WINDOW)]
+        ordered = list(_R7_WINDOW) + [n for n in QUERIES if n not in set(_R7_WINDOW)]
         for reg in (QUERIES, ORACLES):
             tail = {n: reg.pop(n) for n in ordered if n in reg}
             reg.update(tail)  # dicts preserve insertion order -> window first

@@ -889,6 +889,34 @@ def test_covariance_matrix_matches_numpy(spark):
         assert abs(row.corr - corr) < 1e-5, (row, corr)
 
 
+def test_covariance_no_negative_zero_bits(spark):
+    """Round-6 driver-red regression pin. The old query emitted its display
+    values through DOUBLE closed forms: DuckDB ROUND(double) returns -0.0
+    for tiny negatives (cov(qty,disc) = -7.6e-4 at sf0.01 → -0.0) while
+    Spark's long-typed rlong returns +0.0 — equal by VALUE, different
+    BYTES, so the driver's byte-level hash went red while every value-level
+    compare stayed green. The exact-integer rebuild must emit no -0.0 bit
+    pattern on EITHER engine, at the driver's SF where the offending value
+    exists."""
+    import struct
+
+    import duckdb
+
+    _, oracles = load_all()
+    sf = "/root/testdata/sf0.01"
+    neg_zero = struct.pack("<d", -0.0)
+    sdf = QUERIES["q_feature_covariance"](spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    odf = con.execute(oracles["q_feature_covariance"]).fetchdf()
+    # the hazard must actually be exercised: a value that rounds to zero
+    assert ((sdf.cov_pop == 0) & (sdf.feat_x != sdf.feat_y)).any()
+    for eng, df in (("spark", sdf), ("duckdb", odf)):
+        for c in ("cov_pop", "corr"):
+            for v in df[c]:
+                assert struct.pack("<d", float(v)) != neg_zero, (eng, c, v)
+
+
 def test_eigencentrality_matches_numpy_power_iteration(spark):
     """The unrolled normalized power iteration recomputed densely in numpy
     (same per-step integer re-quantization) must reproduce the top-k

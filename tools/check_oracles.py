@@ -83,6 +83,33 @@ def oracle_type_problems(con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     return out
 
 
+def bit_problems(s: pd.DataFrame, d: pd.DataFrame) -> list[str]:
+    """IEEE-754 bit-level multiset compare of every float column.
+
+    Round-6 lesson (q_feature_covariance): the driver hashes VALUE BYTES, so
+    -0.0 (DuckDB ROUND(double) output for tiny negatives) vs +0.0 (Spark's
+    long-typed rlong) is a driver red even though every value-level compare —
+    including this tool's multiset pass — calls them equal. Equal non-NaN,
+    non-zero doubles have equal bit patterns, so a per-column sorted-bits
+    compare diverges from the value compare exactly on signed zeros and NaN
+    payloads — the driver-only failure classes. Run on canonicalized frames.
+    """
+    out = []
+    for c in s.columns:
+        if not pd.api.types.is_float_dtype(s[c]):
+            continue
+        sb = np.sort(s[c].to_numpy(dtype=np.float64).view(np.uint64))
+        db = np.sort(d[c].to_numpy(dtype=np.float64).view(np.uint64))
+        if len(sb) == len(db) and not np.array_equal(sb, db):
+            i = int(np.argmax(sb != db))
+            out.append(
+                f"col {c!r}: float BIT multisets differ (values may compare "
+                f"equal — signed zero / NaN payload): first diff "
+                f"spark_bits={sb[i]:016x} duck_bits={db[i]:016x}"
+            )
+    return out
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     if sorted(spark_df.columns) != sorted(duck_df.columns):
@@ -92,6 +119,7 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
         problems.append(f"row count differs: spark={len(spark_df)} duck={len(duck_df)}")
     s, d = canonicalize(spark_df), canonicalize(duck_df)
     if len(s) == len(d):
+        problems.extend(bit_problems(s, d))
         for c in s.columns:
             sv, dv = s[c], d[c]
             if pd.api.types.is_float_dtype(sv):
