@@ -1184,23 +1184,6 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (step, pair, new_symbol, pair_count) — the ordered merge
     table a tokenizer ships as tokenizer.json's "merges" section."""
-    # The word dict is the ONE corpus-sized reduction; persist it (memo
-    # keyed per app+sf, LRU-evicted) so the 8 chained merge stages and
-    # their 8 union heads re-derive from the tiny dict, not the corpus —
-    # without this, each of the K heads would rescan documents (K scans
-    # of 100 TB instead of one).
-    def build() -> DataFrame:
-        d = table(spark, sf_dir, "documents")
-        return (
-            d.select(
-                F.explode(
-                    F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-                ).alias("w")
-            )
-            .groupBy("w")
-            .agg(F.count(F.lit(1)).alias("freq"))
-        )
-
     words = _bpe_words(spark, sf_dir)
     cur = words.select(_bpe_seq0().alias("seq"), "freq")
     _, heads = _bpe_merge_stages(cur, BPE_MERGES)
@@ -1212,7 +1195,11 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memo-persisted corpus word-frequency dictionary (the one
-    corpus-sized reduction every BPE query starts from)."""
+    corpus-sized reduction every BPE query starts from). The memo (keyed
+    per app+sf, LRU-evicted) matters because the K chained merge stages
+    and their K union heads re-derive from this tiny dict, not the
+    corpus — without the persist, each head would rescan documents
+    (K scans of 100 TB instead of one)."""
 
     def build() -> DataFrame:
         d = table(spark, sf_dir, "documents")

@@ -1453,7 +1453,7 @@ WITH RECURSIVE daily AS (
 ),
 idx AS (
   SELECT event_type, y,
-         CAST(date_diff('day', MIN(day) OVER (PARTITION BY event_type), day) AS BIGINT) AS x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS BIGINT) AS x,
          CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
   FROM daily
 ),
@@ -1647,7 +1647,7 @@ WITH RECURSIVE daily AS (
 ),
 idx AS (
   SELECT event_type, y4, y4 / 1e4 AS y,
-         CAST(date_diff('day', MIN(day) OVER (PARTITION BY event_type), day) AS BIGINT) AS x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS BIGINT) AS x,
          CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
   FROM daily
 ),
