@@ -606,52 +606,49 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-row range (the only nested-loop join in the chain — over 16 rows);
     the signature build is one shuffle keyed by doc_id."""
     def build() -> DataFrame:
-        d = table(spark, sf_dir, "documents")
-        toks = d.select("doc_id", F.split("text", " ").alias("t"))
-        bigrams = F.when(
-            F.size("t") >= 2,
-            F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"),
-        ).otherwise(F.array().cast("array<string>"))
-        sh = toks.select("doc_id", F.explode(F.array_distinct(bigrams)).alias("s"))
-        hashed = sh.select(
-            "doc_id",
-            (F.conv(F.substring(F.md5("s"), 25, 8), 16, 10).cast("long") % _MH_P).alias("sm"),
-        )
-        lanes = F.broadcast(spark.range(0, _MH_K).select(F.col("id").alias("i")))
-        return (
-            hashed.join(lanes)
-            .select(
-                "doc_id",
-                "i",
-                (
-                    ((F.col("i") * 2654435761 + 1) % _MH_P * F.col("sm")
-                     + (F.col("i") * 40503 + 7)) % _MH_P
-                ).alias("h"),
-            )
-            .groupBy("doc_id", "i")
-            .agg(F.min("h").alias("mh"))
-        )
+        return _mh_signature_frame(spark, table(spark, sf_dir, "documents"))
 
     key = (spark.sparkContext.applicationId, sf_dir)
     return memo_persist(_MH_SIGS, key, build)
 
 
-@query("q_dedup_minhash_exact", oracle=_MINHASH_EXACT_ORACLE)
-def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3b: MinHash-LSH with a deterministic hash family — the banded
-    candidate-generation scale path (same algorithm as MLlib's MinHashLSH)
-    made exactly reproducible and therefore exact-oracle-checked.
+def _mh_signature_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """16-lane MinHash signatures for any (doc_id, text, ...) frame — the
+    deterministic hash family shared by the doc-level pair query and the
+    representative-level contamination audit."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = toks.select("doc_id", F.explode(F.array_distinct(bigrams)).alias("s"))
+    hashed = sh.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("s"), 25, 8), 16, 10).cast("long") % _MH_P).alias("sm"),
+    )
+    lanes = F.broadcast(spark.range(0, _MH_K).select(F.col("id").alias("i")))
+    return (
+        hashed.join(lanes)
+        .select(
+            "doc_id",
+            "i",
+            (
+                ((F.col("i") * 2654435761 + 1) % _MH_P * F.col("sm")
+                 + (F.col("i") * 40503 + 7)) % _MH_P
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+    )
 
-    Plan shape at 100 TB: the persisted signature table (see
-    minhash_signatures) feeds banding — a keyed aggregate — and the
-    candidate join is keyed by (band, bucket): O(n·bands) rows, never
-    all-pairs. Everything downstream (signature agreement) touches only
-    candidate pairs, and n_shared_bands rides the grouping keys instead of
-    a second scan of the candidate table. No MLlib, no seed, no Python UDF
-    — the whole chain is hash-agg + hash-join."""
-    minh = minhash_signatures(spark, sf_dir)
+
+def _mh_pairs_frame(sigs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs + signature-agreement est_jaccard over a
+    signature frame — the q_dedup_minhash_exact chain, factored so it can
+    run on exact-duplicate REPRESENTATIVES (duplicate-mass cap) as well as
+    raw documents."""
     bands = (
-        minh.withColumn("band", (F.col("i") / _MH_BAND).cast("long"))
+        sigs.withColumn("band", (F.col("i") / _MH_BAND).cast("long"))
         .groupBy("doc_id", "band")
         .agg(
             F.md5(
@@ -673,8 +670,8 @@ def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-    m1 = minh.select(F.col("doc_id").alias("d1"), "i", F.col("mh").alias("mh1"))
-    m2 = minh.select(F.col("doc_id").alias("d2"), "i", F.col("mh").alias("mh2"))
+    m1 = sigs.select(F.col("doc_id").alias("d1"), "i", F.col("mh").alias("mh1"))
+    m2 = sigs.select(F.col("doc_id").alias("d2"), "i", F.col("mh").alias("mh2"))
     return (
         shared.join(m1, "d1")
         .join(m2, ["d2", "i"])
@@ -687,6 +684,22 @@ def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_eq") / float(_MH_K), 6).alias("est_jaccard"),
         )
     )
+
+
+@query("q_dedup_minhash_exact", oracle=_MINHASH_EXACT_ORACLE)
+def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3b: MinHash-LSH with a deterministic hash family — the banded
+    candidate-generation scale path (same algorithm as MLlib's MinHashLSH)
+    made exactly reproducible and therefore exact-oracle-checked.
+
+    Plan shape at 100 TB: the persisted signature table (see
+    minhash_signatures) feeds banding — a keyed aggregate — and the
+    candidate join is keyed by (band, bucket): O(n·bands) rows, never
+    all-pairs. Everything downstream (signature agreement) touches only
+    candidate pairs, and n_shared_bands rides the grouping keys instead of
+    a second scan of the candidate table. No MLlib, no seed, no Python UDF
+    — the whole chain is hash-agg + hash-join."""
+    return _mh_pairs_frame(minhash_signatures(spark, sf_dir))
 
 
 _CONTAM_TAU = 0.5
@@ -717,29 +730,58 @@ def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds overlap. Built on the deterministic banded-MinHash candidates
     (q_dedup_minhash_exact) so the matrix is exact-oracled.
 
-    Scale shape: candidate pairs are O(n*bands) (never all-pairs); the two
-    source lookups are doc_id-keyed joins against the (doc_id, source)
-    projection — at 100 TB that projection is a thin column read off the
-    documents table, the joins ride the candidates' doc_id keys, and the
-    output is source-pair-sized (tiny). LEAST/GREATEST folds the symmetric
-    pair so each contamination edge counts once."""
-    pairs = q_dedup_minhash_exact(spark, sf_dir).where(
+    Scale shape — duplicate-mass cap (round-7, VERDICT r6 perf flag): the
+    banded chain is never all-pairs, but a bucket holding c exact copies of
+    the same boilerplate text still yields c²/2 candidate pairs — measured
+    17.8× wall-clock for 10× data at sf1 as duplicate mass densified, and a
+    real 100 TB corpus has mega-duplicated boilerplate. Fix: collapse exact
+    duplicates (md5(text), source) to ONE representative + multiplicity
+    BEFORE the pair machinery. Identical text ⇒ identical shingles ⇒
+    identical MinHash signature ⇒ identical buckets and est_jaccard, so the
+    matrix reconstructs EXACTLY from multiplicities: a rep pair (r1, r2)
+    stands for m1·m2 doc pairs, and a rep with m copies stands for
+    C(m, 2) within-group pairs (est_jaccard = 1 ≥ τ always). Candidate work
+    is now unique-text-sized — duplicate growth costs one integer per rep —
+    while the oracle still computes over raw documents and must agree
+    (pytest: tests/test_new_ops_worked.py multiplicity referent)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    reps = docs.groupBy(F.md5("text").alias("h"), "source").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("text", "doc_id").alias("text"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    rep_pairs = _mh_pairs_frame(_mh_signature_frame(spark, reps)).where(
         F.col("est_jaccard") >= _CONTAM_TAU
     )
-    src = table(spark, sf_dir, "documents").select("doc_id", "source")
-    s1 = src.select(F.col("doc_id").alias("d1"), F.col("source").alias("_s1"))
-    s2 = src.select(F.col("doc_id").alias("d2"), F.col("source").alias("_s2"))
-    return (
-        pairs.join(s1, "d1")
+    meta = reps.select("doc_id", "source", "m")
+    s1 = meta.select(
+        F.col("doc_id").alias("d1"), F.col("source").alias("_s1"),
+        F.col("m").alias("_m1"),
+    )
+    s2 = meta.select(
+        F.col("doc_id").alias("d2"), F.col("source").alias("_s2"),
+        F.col("m").alias("_m2"),
+    )
+    cross = (
+        rep_pairs.join(s1, "d1")
         .join(s2, "d2")
         .select(
             F.least("_s1", "_s2").alias("src1"),
             F.greatest("_s1", "_s2").alias("src2"),
+            (F.col("_m1") * F.col("_m2")).alias("cnt"),
         )
+    )
+    within = reps.where(F.col("m") >= 2).select(
+        F.col("source").alias("src1"),
+        F.col("source").alias("src2"),
+        (F.col("m") * (F.col("m") - 1) / 2).cast("long").alias("cnt"),
+    )
+    return (
+        cross.unionAll(within)
         .groupBy("src1", "src2")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(F.when(F.col("src1") != F.col("src2"), 1).otherwise(0))
+            F.sum("cnt").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("src1") != F.col("src2"), F.col("cnt")).otherwise(0))
             .cast("long")
             .alias("n_cross"),
         )
@@ -1019,13 +1061,41 @@ def q_sim_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tau = {SSJ_TAU_NUM}/{SSJ_TAU_DEN}); ceil(tau*n) is the integer
     identity (a*n + a) div b; similarity itself is reported as exact
     integer parts-per-million (inter*1e6 div union) — no float appears
-    anywhere in the operator."""
+    anywhere in the operator.
+
+    Duplicate-mass cap (round-7, VERDICT r6 perf flag): exact duplicates
+    make ≥τ pairs grow as copies², and at sf1 the measured cost was 13.5×
+    for 10× data as boilerplate densified. The expensive stages (df count,
+    prefix window, candidate join, array intersection) now run on ONE
+    REPRESENTATIVE per distinct (lang, token-set) — identical sets have
+    identical n, prefixes and intersections, so the verified rep pairs
+    expand EXACTLY to the full doc-pair output through output-sized member
+    joins: cross-group (a∈g1, b∈g2) pairs inherit the rep pair's
+    inter/jacc, within-group pairs are identical sets (inter = n,
+    jacc_ppm = 1000000). Output rows still grow as copies² — they must,
+    the pairs exist — but the candidate/verify WORK is unique-set-sized.
+    PPJoin's prefix guarantee holds for ANY consistent global token order,
+    so computing df over representatives keeps losslessness (pinned vs the
+    naive all-pairs join in tests/test_new_ops_worked.py)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("tset")
     )
-    dd = d.withColumn("n", F.size("tset").cast("long")).where(
+    docs = d.withColumn("n", F.size("tset").cast("long")).where(
         F.col("n") >= SSJ_MIN_TOKENS
     )
+    # gid keys a (lang, token-set) equivalence class; lang is baked into the
+    # hash so the lang-blind member joins below cannot cross languages
+    keyed = docs.withColumn(
+        "gid",
+        F.md5(F.concat("lang", F.lit("|"), F.array_join(F.array_sort("tset"), " "))),
+    )
+    dd = keyed.groupBy("lang", "gid").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("tset", "doc_id").alias("tset"),
+        F.min("n").alias("n"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    mem = keyed.select("gid", "doc_id")
     toks = dd.select("doc_id", "lang", "n", F.explode("tset").alias("t"))
     dfreq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "t")
@@ -1050,8 +1120,14 @@ def q_sim_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", "n1", "n2")
         .distinct()
     )
-    x = dd.select(F.col("doc_id").alias("d1"), F.col("tset").alias("ts1"))
-    y = dd.select(F.col("doc_id").alias("d2"), F.col("tset").alias("ts2"))
+    x = dd.select(
+        F.col("doc_id").alias("d1"), F.col("tset").alias("ts1"),
+        F.col("gid").alias("gid1"),
+    )
+    y = dd.select(
+        F.col("doc_id").alias("d2"), F.col("tset").alias("ts2"),
+        F.col("gid").alias("gid2"),
+    )
     verified = (
         cand.join(x, "d1")
         .join(y, "d2")
@@ -1060,16 +1136,50 @@ def q_sim_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     union = F.col("n1") + F.col("n2") - F.col("inter")
-    return verified.where(
+    rep_pairs = verified.where(
         F.col("inter") * SSJ_TAU_DEN >= union * SSJ_TAU_NUM
     ).select(
-        "d1",
-        "d2",
+        "gid1",
+        "gid2",
         "inter",
         "n1",
         "n2",
         F.expr("(inter * 1000000) div (n1 + n2 - inter)").alias("jacc_ppm"),
     )
+    # expand rep pairs back to doc pairs (output-sized member joins): the
+    # smaller doc_id leads, carrying its group's n on the matching side
+    ma = mem.select(F.col("gid").alias("gid1"), F.col("doc_id").alias("da"))
+    mb = mem.select(F.col("gid").alias("gid2"), F.col("doc_id").alias("db"))
+    lt = F.col("da") < F.col("db")
+    cross_pairs = (
+        rep_pairs.join(ma, "gid1")
+        .join(mb, "gid2")
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+            "inter",
+            F.when(lt, F.col("n1")).otherwise(F.col("n2")).alias("n1"),
+            F.when(lt, F.col("n2")).otherwise(F.col("n1")).alias("n2"),
+            "jacc_ppm",
+        )
+    )
+    # within-group pairs: identical token sets, inter = n, jacc = 1 exactly
+    wa = mem.select("gid", F.col("doc_id").alias("d1"))
+    wb = mem.select("gid", F.col("doc_id").alias("d2"))
+    within_pairs = (
+        wa.join(wb, "gid")
+        .where(F.col("d1") < F.col("d2"))
+        .join(dd.select("gid", "n"), "gid")
+        .select(
+            "d1",
+            "d2",
+            F.col("n").alias("inter"),
+            F.col("n").alias("n1"),
+            F.col("n").alias("n2"),
+            F.lit(1000000).cast("long").alias("jacc_ppm"),
+        )
+    )
+    return cross_pairs.unionAll(within_pairs)
 
 
 # --------------------------------------------------------------------------

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -374,6 +375,80 @@ WHERE len(list_intersect(a.tset, b.tset)) * 20
 """
     ).fetchall()
     assert got == {tuple(r) for r in naive} and len(got) > 0
+
+
+def _write_duplicate_fixture(tmp_path) -> str:
+    """documents.parquet with real duplicate mass — the shipped test SFs
+    have (almost) none, so the round-7 representative+multiplicity paths
+    (within-group C(m,2) pairs, cross-group m1·m2 expansion) would
+    otherwise never fire in tests. 40-token sets so the one-token edit
+    keeps J = 39/41 ≈ 0.9512 ≥ 0.95."""
+    text_a = " ".join(f"tok{i}" for i in range(40))
+    text_b = " ".join("zzz" if i == 20 else f"tok{i}" for i in range(40))
+    text_c = " ".join(f"other{i}" for i in range(40))
+    rows = [
+        (1, text_a, "en", "src0"),
+        (2, text_a, "en", "src0"),
+        (3, text_a, "en", "src1"),
+        (4, text_b, "en", "src1"),
+        (5, text_b, "en", "src1"),
+        (6, text_c, "en", "src2"),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["n_chars"] = df.text.str.len().astype("int64")
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_setjoin_duplicate_mass_expansion_exact(spark, tmp_path):
+    """The rep-level prefix join + member expansion must emit EXACTLY the
+    doc-level pair table: every within-group pair (identical sets,
+    jacc_ppm = 1000000) and every cross-group member pair, against a
+    brute-force all-pairs python referent."""
+    import itertools
+
+    sf = _write_duplicate_fixture(tmp_path)
+    got = {
+        (r.d1, r.d2, r.inter, r.n1, r.n2, r.jacc_ppm)
+        for r in QUERIES["q_sim_setjoin_prefix"](spark, sf).collect()
+    }
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    sets = {int(r.doc_id): set(r.text.split()) for r in docs.itertuples()}
+    expect = set()
+    for (i, si), (j, sj) in itertools.combinations(sorted(sets.items()), 2):
+        inter, union = len(si & sj), len(si | sj)
+        if len(si) >= 10 and len(sj) >= 10 and inter * 20 >= union * 19:
+            expect.add((i, j, inter, len(si), len(sj), inter * 1000000 // union))
+    assert got == expect and len(got) == 10
+    assert (1, 2, 40, 40, 40, 1000000) in got  # within-group (3 copies of A)
+    assert (1, 4, 39, 40, 40, 951219) in got  # cross-group expansion (A x B)
+
+
+def test_contamination_multiplicity_reconstruction(spark, tmp_path):
+    """The contamination matrix computed on (md5(text), source)
+    representatives with m1·m2 / C(m,2) reconstruction must equal the
+    matrix aggregated from the UNCHANGED doc-level q_dedup_minhash_exact
+    pair table — two independent code paths over the same signatures."""
+    from collections import Counter
+
+    sf = _write_duplicate_fixture(tmp_path)
+    got = {
+        (r.src1, r.src2): (r.n_pairs, r.n_cross)
+        for r in QUERIES["q_dedup_contamination"](spark, sf).collect()
+    }
+    pairs = QUERIES["q_dedup_minhash_exact"](spark, sf).toPandas()
+    pairs = pairs[pairs.est_jaccard >= 0.5]
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    src = dict(zip(docs.doc_id, docs.source))
+    n_pairs, n_cross = Counter(), Counter()
+    for r in pairs.itertuples():
+        k = tuple(sorted((src[r.d1], src[r.d2])))
+        n_pairs[k] += 1
+        if k[0] != k[1]:
+            n_cross[k] += 1
+    assert got == {k: (n_pairs[k], n_cross.get(k, 0)) for k in n_pairs}
+    # the within-(text,source) C(m,2) path fired: 2 copies of A at src0
+    assert got[("src0", "src0")][0] >= 1
 
 
 def test_bpe_encode_matches_python_reference(spark):
