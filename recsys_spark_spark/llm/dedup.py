@@ -354,7 +354,14 @@ def q_dedup_near_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     length predicate then prunes within blocks. Canonical (least, greatest)
     ordering + distinct collapses the double coverage of same-bucket pairs.
     """
-    d = table(spark, sf_dir, "documents")
+    return _near_dup_edges(spark, table(spark, sf_dir, "documents"))
+
+
+def _near_dup_edges(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """The J2c blocked token-Jaccard chain over any (doc_id, lang, n_chars,
+    text) frame — shared by the doc-level pair query and the
+    exact-duplicate-representative cluster builder (round-7 duplicate-mass
+    cap, same shape as _mh_pairs_frame)."""
     base = d.select("doc_id", "lang", "n_chars", (F.col("n_chars") / 32).cast("long").alias("bkt"))
     probe = base.select(
         "doc_id", "lang", "n_chars", F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("bkt")
@@ -464,13 +471,38 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (q_pipeline_corpus) consumes it in the same session, and the
     fixpoint is already materialized via localCheckpoint, so re-running the
     loop would only repeat work.
-    """
+
+    Duplicate-mass cap (round-7; sf1 probe measured 26.5× for 10× data as
+    exact copies densified the length buckets — c copies in a bucket cost
+    c²/2 candidate pairs and a clique of propagation edges). The edge
+    builder now runs on ONE representative per (md5(text), lang, n_chars)
+    class — identical attributes ⇒ identical tokens, buckets and Jaccard —
+    and each member attaches to its representative by a STAR edge (an exact
+    J=1 pair in the original graph). A duplicate clique and its star have
+    the same connected components, and because every representative is its
+    group's MIN doc_id, the component-min labels are unchanged. Node set is
+    also unchanged: a doc had degree ≥ 1 iff it has a copy (m ≥ 2 group) or
+    its representative has a near-dup edge. Edge count drops from
+    O(copies²) to O(members + rep pairs)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     memo = _CC_MEMO.get(key)
     if memo is not None:
         return memo
-    edges = q_dedup_near_bucketed(spark, sf_dir).select("d1", "d2")
-    out = connected_components(edges)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    ).withColumn("h", F.md5("text"))
+    groups = docs.groupBy("h", "lang", "n_chars").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("text", "doc_id").alias("text"),
+    )
+    rep_edges = _near_dup_edges(spark, groups).select("d1", "d2")
+    rep_of = groups.select("h", "lang", "n_chars", F.col("doc_id").alias("rep"))
+    star = (
+        docs.join(rep_of, ["h", "lang", "n_chars"])
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("d1"), F.col("doc_id").alias("d2"))
+    )
+    out = connected_components(rep_edges.unionAll(star))
     _CC_MEMO[key] = out
     return out
 
@@ -1093,7 +1125,6 @@ def q_sim_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id"),
         F.min_by("tset", "doc_id").alias("tset"),
         F.min("n").alias("n"),
-        F.count(F.lit(1)).alias("m"),
     )
     mem = keyed.select("gid", "doc_id")
     toks = dd.select("doc_id", "lang", "n", F.explode("tset").alias("t"))

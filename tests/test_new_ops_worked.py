@@ -451,6 +451,45 @@ def test_contamination_multiplicity_reconstruction(spark, tmp_path):
     assert got[("src0", "src0")][0] >= 1
 
 
+def test_dedup_clusters_duplicate_mass_star_expansion(spark, tmp_path):
+    """q_dedup_clusters' rep-graph + star-edge construction must produce the
+    same components and min-labels as a brute-force union-find over the
+    doc-level near-dup rule (same lang, |Δn_chars| ≤ 32, token-J ≥ 0.9) on
+    a fixture with real duplicate mass."""
+    sf = _write_duplicate_fixture(tmp_path)
+    got = {
+        (r.doc_id, r.cluster, r.is_rep)
+        for r in QUERIES["q_dedup_clusters"](spark, sf).collect()
+    }
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    toks = {int(r.doc_id): set(r.text.split()) for r in docs.itertuples()}
+    meta = {int(r.doc_id): (r.lang, len(r.text)) for r in docs.itertuples()}
+    parent = {d: d for d in toks}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    linked = set()
+    ids = sorted(toks)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if meta[a][0] != meta[b][0] or abs(meta[a][1] - meta[b][1]) > 32:
+                continue
+            inter = len(toks[a] & toks[b])
+            if inter / (len(toks[a]) + len(toks[b]) - inter) >= 0.9:
+                linked |= {a, b}
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    expect = {(d, find(d), d == find(d)) for d in linked}
+    assert got == expect and len(got) > 0
+    # the star path fired: doc 2 (copy of doc 1) labels to cluster 1
+    assert (2, 1, False) in got
+
+
 def test_bpe_encode_matches_python_reference(spark):
     """Per-doc BPE token counts must equal a plain-Python Sennrich
     encoder: learn 8 merges from the word dict, apply them in order

@@ -129,6 +129,26 @@ def main() -> int:
                         row["ok"] = True
                     except AssertionError as ex:
                         row["err"] = str(ex).splitlines()[0][:300]
+                    if row["ok"]:
+                        # r6 lesson: assert_frame_equal is approximate for
+                        # floats (rtol 1e-5) and signed-zero-blind, while the
+                        # driver hashes value BYTES. Require the IEEE bit
+                        # multiset of every float column to match too.
+                        import numpy as np
+
+                        for c in cols:
+                            if not pd.api.types.is_float_dtype(a[c]):
+                                continue
+                            sb = np.sort(a[c].to_numpy(np.float64).view(np.uint64))
+                            db = np.sort(b[c].to_numpy(np.float64).view(np.uint64))
+                            if not np.array_equal(sb, db):
+                                row["ok"] = False
+                                i = int(np.argmax(sb != db))
+                                row["err"] = (
+                                    f"col {c!r}: float BIT multisets differ "
+                                    f"(spark={sb[i]:016x} duck={db[i]:016x})"
+                                )
+                                break
             else:
                 row["mode"] = "rows-only"
                 row["ok"] = len(sdf) >= 0  # runs + stable schema
