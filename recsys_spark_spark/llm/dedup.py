@@ -1281,62 +1281,121 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     WWW'07 §3's size bound, specialized to containment). Verification is
     one row-local sorted-array intersect (|A ∩ B| = |A|); the result is
     containee-keyed, never pair-materialized. All bounds are exact
-    integers — no similarity floats anywhere."""
+    integers — no similarity floats anywhere.
+
+    Duplicate-mass cap (round-7; first-ever sf1 probe measured **58.6×**
+    for 10× data — the repo's worst densification: exact copies multiply
+    every rarest-token document frequency AND every copy trivially
+    contains every other copy). The probe/verify machinery now runs on
+    ONE representative per (lang, token-set) class; the per-doc output
+    reconstructs exactly from group aggregates: a member of a
+    multiplicity-m group is contained by its m−1 copies plus every
+    member of every strictly-containing group (Σ m_B), and the
+    min/max container ids come from the containing groups' min/max plus
+    the own group's min/max-excluding-self (second-min/second-max when
+    the member IS the extremum). Verified against a brute-force subset
+    referent on a duplicate fixture in tests/test_new_ops_worked.py."""
     d = table(spark, sf_dir, "documents")
-    tok = d.select(
+    docs = d.select(
         "doc_id",
         "lang",
-        F.explode(
+        F.array_sort(
             F.array_distinct(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
-        ).alias("t"),
+        ).alias("ts"),
+    ).withColumn("gid", F.md5(F.concat("lang", F.lit("|"), F.array_join("ts", " "))))
+    g1 = docs.groupBy("gid", "lang").agg(
+        F.min("doc_id").alias("gmin"),
+        F.max("doc_id").alias("gmax"),
+        F.count(F.lit(1)).alias("m"),
+        F.min_by("ts", "doc_id").alias("ts"),
     )
-    sets = tok.groupBy("doc_id", "lang").agg(
-        F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list("t")).alias("ts")
+    # second-smallest / second-largest member id (for the member == extremum
+    # case); one extra keyed agg — never a per-group member list
+    g2 = (
+        docs.join(g1.select("gid", "gmin", "gmax"), "gid")
+        .groupBy("gid")
+        .agg(
+            F.min(F.when(F.col("doc_id") > F.col("gmin"), F.col("doc_id"))).alias("gmin2"),
+            F.max(F.when(F.col("doc_id") < F.col("gmax"), F.col("doc_id"))).alias("gmax2"),
+        )
     )
-    dfreq = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("dfreq"))
-    wr = Window.partitionBy("doc_id").orderBy("dfreq", "t")
+    groups = g1.join(g2, "gid").withColumn("n", F.size("ts").cast("long"))
+    gtok = groups.select("gid", "lang", F.explode("ts").alias("t"))
+    dfreq = gtok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("dfreq"))
+    wr = Window.partitionBy("gid").orderBy("dfreq", "t")
     rare = (
-        tok.join(F.broadcast(dfreq), ["lang", "t"])
+        gtok.join(F.broadcast(dfreq), ["lang", "t"])
         .withColumn("rn", F.row_number().over(wr))
         .where(F.col("rn") == 1)
-        .select("doc_id", "lang", "t")
+        .select("gid", "lang", "t")
     )
     cand = (
         rare.join(
-            sets.where(F.col("n") >= CONTAIN_MIN_TOKENS).select(
-                F.col("doc_id").alias("a_doc"),
-                F.col("lang").alias("a_lang"),
+            groups.where(F.col("n") >= CONTAIN_MIN_TOKENS).select(
+                F.col("gid").alias("a_gid"),
                 F.col("n").alias("n_a"),
                 F.col("ts").alias("ts_a"),
             ),
-            (F.col("doc_id") == F.col("a_doc")),
+            (F.col("gid") == F.col("a_gid")),
         )
         .join(
-            tok.select(
-                F.col("doc_id").alias("b_doc"),
+            gtok.select(
+                F.col("gid").alias("b_gid"),
                 F.col("lang").alias("b_lang"),
                 F.col("t").alias("b_t"),
             ),
             (F.col("b_lang") == F.col("lang"))
             & (F.col("b_t") == F.col("t"))
-            & (F.col("b_doc") != F.col("a_doc")),
+            & (F.col("b_gid") != F.col("a_gid")),
         )
-        .select("a_doc", "a_lang", "n_a", "ts_a", "b_doc")
+        .select("a_gid", "n_a", "ts_a", "b_gid")
     )
     hits = (
         cand.join(
-            sets.select(F.col("doc_id").alias("b_doc"), F.col("ts").alias("ts_b")),
-            "b_doc",
+            groups.select(
+                F.col("gid").alias("b_gid"), F.col("ts").alias("ts_b"),
+                F.col("m").alias("m_b"), F.col("gmin").alias("gmin_b"),
+                F.col("gmax").alias("gmax_b"),
+            ),
+            "b_gid",
         )
         .where(F.size(F.array_intersect("ts_a", "ts_b")) == F.col("n_a"))
-        .select("a_doc", "a_lang", "n_a", "b_doc")
+        .groupBy(F.col("a_gid").alias("gid"))
+        .agg(
+            F.sum("m_b").alias("cnt_b"),
+            F.min("gmin_b").alias("min_b"),
+            F.max("gmax_b").alias("max_b"),
+        )
     )
-    return hits.groupBy(
-        F.col("a_doc").alias("doc_id"),
-        F.col("a_lang").alias("lang"),
-        F.col("n_a").alias("n_tokens"),
-    ).agg(
-        F.count(F.lit(1)).alias("n_containers"),
-        F.min("b_doc").alias("min_container"),
-        F.max("b_doc").alias("max_container"),
+    per_group = (
+        groups.where(F.col("n") >= CONTAIN_MIN_TOKENS)
+        .join(hits, "gid", "left")
+        .select(
+            "gid", "lang", "n", "m", "gmin", "gmax", "gmin2", "gmax2",
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"), "min_b", "max_b",
+        )
+    )
+    mem = docs.select("gid", "doc_id")
+    own_min = F.when(F.col("m") < 2, F.lit(None).cast("long")).otherwise(
+        F.when(F.col("doc_id") == F.col("gmin"), F.col("gmin2")).otherwise(
+            F.col("gmin")
+        )
+    )
+    own_max = F.when(F.col("m") < 2, F.lit(None).cast("long")).otherwise(
+        F.when(F.col("doc_id") == F.col("gmax"), F.col("gmax2")).otherwise(
+            F.col("gmax")
+        )
+    )
+    return (
+        mem.join(per_group, "gid")
+        .withColumn("n_containers", F.col("m") - 1 + F.col("cnt_b"))
+        .where(F.col("n_containers") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n").alias("n_tokens"),
+            F.col("n_containers").cast("long").alias("n_containers"),
+            F.least(own_min, F.col("min_b")).cast("long").alias("min_container"),
+            F.greatest(own_max, F.col("max_b")).cast("long").alias("max_container"),
+        )
     )

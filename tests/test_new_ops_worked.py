@@ -383,9 +383,13 @@ def _write_duplicate_fixture(tmp_path) -> str:
     (within-group C(m,2) pairs, cross-group m1·m2 expansion) would
     otherwise never fire in tests. 40-token sets so the one-token edit
     keeps J = 39/41 ≈ 0.9512 ≥ 0.95."""
-    text_a = " ".join(f"tok{i}" for i in range(40))
-    text_b = " ".join("zzz" if i == 20 else f"tok{i}" for i in range(40))
-    text_c = " ".join(f"other{i}" for i in range(40))
+    def tok(i: int) -> str:  # purely alphabetic: q_dedup_containment
+        return f"tok{chr(97 + i // 26)}{chr(97 + i % 26)}"  # tokenizes [a-z]+
+
+    text_a = " ".join(tok(i) for i in range(40))
+    text_b = " ".join("zzz" if i == 20 else tok(i) for i in range(40))
+    text_c = " ".join("x" + tok(i) for i in range(40))
+    text_d = " ".join(tok(i) for i in range(20))  # strict subset of A
     rows = [
         (1, text_a, "en", "src0"),
         (2, text_a, "en", "src0"),
@@ -393,6 +397,7 @@ def _write_duplicate_fixture(tmp_path) -> str:
         (4, text_b, "en", "src1"),
         (5, text_b, "en", "src1"),
         (6, text_c, "en", "src2"),
+        (7, text_d, "en", "src2"),
     ]
     df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
     df["n_chars"] = df.text.str.len().astype("int64")
@@ -449,6 +454,42 @@ def test_contamination_multiplicity_reconstruction(spark, tmp_path):
     assert got == {k: (n_pairs[k], n_cross.get(k, 0)) for k in n_pairs}
     # the within-(text,source) C(m,2) path fired: 2 copies of A at src0
     assert got[("src0", "src0")][0] >= 1
+
+
+def test_containment_duplicate_mass_reconstruction(spark, tmp_path):
+    """q_dedup_containment's rep-level probe + group-aggregate
+    reconstruction (m-1 copies + sum of containing-group multiplicities,
+    extremum-aware min/max) vs a brute-force subset scan over the
+    duplicate fixture."""
+    sf = _write_duplicate_fixture(tmp_path)
+    got = {
+        (r.doc_id, r.lang, r.n_tokens, r.n_containers, r.min_container,
+         r.max_container)
+        for r in QUERIES["q_dedup_containment"](spark, sf).collect()
+    }
+    import re
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    sets = {
+        int(r.doc_id): (r.lang, frozenset(re.findall(r"[a-z]+", r.text.lower())))
+        for r in docs.itertuples()
+    }
+    expect = set()
+    for a, (la, sa) in sets.items():
+        if len(sa) < 15:
+            continue
+        containers = [
+            b for b, (lb, sb) in sets.items()
+            if b != a and lb == la and sa <= sb
+        ]
+        if containers:
+            expect.add(
+                (a, la, len(sa), len(containers), min(containers), max(containers))
+            )
+    assert got == expect and len(got) > 0
+    # both reconstruction paths fired: doc 1 (copy extremum) and doc 7 (subset)
+    assert (1, "en", 40, 2, 2, 3) in got
+    assert (7, "en", 20, 5, 1, 5) in got  # D subset of all A and B copies
 
 
 def test_dedup_clusters_duplicate_mass_star_expansion(spark, tmp_path):
