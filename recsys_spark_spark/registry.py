@@ -52,12 +52,15 @@ ORACLES: dict[str, str] = {}
 #     (CORRECTNESS_r05.json).
 #   round 6 window: _R6_WINDOW (see git history). The r5 registry growth (166→248)
 #     re-created a 76-key never-driver-verified backlog — larger than one
-#     50-entry window, so it drains over r6+r7. Order: the 4 NEW round-6
-#     queries first (driver-verified in their first round), then the 12 keys
-#     the committed r5 local sweep missed (verified by the judge, but the
-#     repo should hold its own artifact), then the full stats/inference
-#     block (the largest never-verified family), then temporal/aggregate/
-#     SQL-mode/graph/analytics keys — 50 exactly; went 49/50 (the
+#     50-entry window, so it drains over r6+r7. Order: the 20 queries NEW
+#     in round 6 first (rows 1-20, driver-verified in their first round;
+#     these 20 predate the committed r5 sweeps by definition), then the 12
+#     keys the committed r5 local sweep missed (rows 21-32 — verified by the
+#     judge, but the repo should hold its own artifact), then the
+#     stats/inference block (rows 33-44, the largest never-verified family),
+#     then temporal/aggregate/SQL-mode/graph/analytics keys (rows 45-50) —
+#     50 exactly; every pre-round-6 row passed the r5 local sweeps before
+#     entering the window. Went 49/50 (the
 #     q_feature_covariance signed-zero red, fixed and re-queued in r7).
 #     Late round-6 registrations regrew the never-verified backlog to 73,
 #     drained by _R7_WINDOW below + the 24-key _R8 carry-over listed there.
