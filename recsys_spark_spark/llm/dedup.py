@@ -806,7 +806,10 @@ def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = reps.where(F.col("m") >= 2).select(
         F.col("source").alias("src1"),
         F.col("source").alias("src2"),
-        (F.col("m") * (F.col("m") - 1) / 2).cast("long").alias("cnt"),
+        # integer `div`, not `/`: Spark's `/` is DOUBLE division, exact only
+        # while m·(m−1) < 2^53 (~m ≤ 9.4e7) — a mega-duplicated boilerplate
+        # text can exceed that; `div` stays exact to 2^63
+        F.expr("(m * (m - 1)) div 2").cast("long").alias("cnt"),
     )
     return (
         cross.unionAll(within)
