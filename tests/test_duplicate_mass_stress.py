@@ -1,0 +1,205 @@
+"""Randomized duplicate-mass stress for the round-7 representative
+rebuilds (q_sim_setjoin_prefix, q_dedup_containment, q_dedup_contamination,
+q_dedup_clusters).
+
+The fixed fixture in test_new_ops_worked.py pins hand-chosen reconstruction
+cases; these tests generate seeded random corpora with heavy duplicate mass
+— random multiplicities spread across sources, shuffled doc-id extrema,
+same-token-set-different-text aliases, subset chains, a non-en language —
+and compare every rebuilt operator against an independent referent
+(brute-force python, or the UNCHANGED doc-level Spark chain):
+
+* setjoin: all-pairs python Jaccard over token sets (same-lang, n >= 10,
+  J >= 19/20) must equal the rep-collapsed + member-expanded output row set;
+* containment: brute-force python subset scan (same-lang, containee n >= 15)
+  must equal the group-aggregate reconstruction (m-1 copies + containing
+  groups, extremum-aware min/max);
+* contamination: the (md5(text), source)-rep matrix must equal the matrix
+  aggregated from the doc-level q_dedup_minhash_exact pair table (identical
+  signatures, independent code path);
+* clusters: union-find over the doc-level q_dedup_near_bucketed edge list
+  must reproduce the star-edge components' node set, min-labels and is_rep.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from recsys_spark_spark.registry import load_all
+
+QUERIES, ORACLES = load_all()
+
+SEEDS = (7, 20260815, 424242)
+
+
+def _random_duplicate_corpus(tmp_path, seed: int) -> str:
+    """documents.parquet with random duplicate mass.
+
+    Construction (all rng-driven): 4 independent token sets (15-30 tokens),
+    a 40-token set plus a one-token-replaced near-dup (J = 39/41 >= 0.95),
+    a >=15-token strict subset of the 40-token set, and an alias doc with
+    base[0]'s exact token SET in a different ORDER (same (lang, token-set)
+    gid for the set-keyed operators, different md5(text) for the text-keyed
+    ones). Each text gets multiplicity 1-4 of EXACT copies spread over 3
+    sources, one text is non-en, and doc ids are a random permutation so
+    group minima/maxima do not follow construction order.
+    """
+    rng = random.Random(seed)
+    pool = [a + b + c for a in "abcde" for b in "fghij" for c in "klmno"]
+
+    bases: list[list[str]] = [
+        rng.sample(pool, rng.randint(15, 30)) for _ in range(4)
+    ]
+    big = rng.sample(pool, 40)
+    near = list(big)
+    near[rng.randrange(40)] = "zzzz"
+    subset = rng.sample(big, rng.randint(15, 25))
+    alias = list(bases[0])
+    while True:
+        rng.shuffle(alias)
+        if alias != bases[0]:
+            break
+    token_lists = bases + [big, near, subset, alias]
+
+    texts = [" ".join(t) for t in token_lists]
+    langs = ["en"] * len(texts)
+    langs[rng.randrange(len(texts))] = "fr"
+
+    rows = []
+    for text, lang in zip(texts, langs):
+        for _ in range(rng.choice((1, 1, 2, 3, 4))):
+            rows.append((text, lang, f"src{rng.randrange(3)}"))
+    ids = list(range(1, len(rows) + 1))
+    rng.shuffle(ids)
+    df = pd.DataFrame(
+        [(i, t, lg, s) for i, (t, lg, s) in zip(ids, rows)],
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    df["n_chars"] = df.text.str.len().astype("int64")
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_setjoin_matches_bruteforce_on_random_duplicates(spark, tmp_path, seed):
+    sf = _random_duplicate_corpus(tmp_path, seed)
+    got = {
+        (r.d1, r.d2, r.inter, r.n1, r.n2, r.jacc_ppm)
+        for r in QUERIES["q_sim_setjoin_prefix"](spark, sf).collect()
+    }
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    meta = {
+        int(r.doc_id): (r.lang, frozenset(r.text.split()))
+        for r in docs.itertuples()
+    }
+    expect = set()
+    for (i, (li, si)), (j, (lj, sj)) in itertools.combinations(
+        sorted(meta.items()), 2
+    ):
+        if li != lj or len(si) < 10 or len(sj) < 10:
+            continue
+        inter, union = len(si & sj), len(si | sj)
+        if inter * 20 >= union * 19:
+            expect.add((i, j, inter, len(si), len(sj), inter * 1000000 // union))
+    assert got == expect
+    # duplicate mass actually fired: at least one identical-set pair exists
+    assert any(p[5] == 1000000 for p in got), "corpus produced no J=1 pair"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_containment_matches_bruteforce_on_random_duplicates(
+    spark, tmp_path, seed
+):
+    import re
+
+    sf = _random_duplicate_corpus(tmp_path, seed)
+    got = {
+        (r.doc_id, r.lang, r.n_tokens, r.n_containers, r.min_container,
+         r.max_container)
+        for r in QUERIES["q_dedup_containment"](spark, sf).collect()
+    }
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    sets = {
+        int(r.doc_id): (r.lang, frozenset(re.findall(r"[a-z]+", r.text.lower())))
+        for r in docs.itertuples()
+    }
+    expect = set()
+    for a, (la, sa) in sets.items():
+        if len(sa) < 15:
+            continue
+        containers = [
+            b for b, (lb, sb) in sets.items()
+            if b != a and lb == la and sa <= sb
+        ]
+        if containers:
+            expect.add(
+                (a, la, len(sa), len(containers), min(containers),
+                 max(containers))
+            )
+    assert got == expect and len(got) > 0
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_contamination_matches_doc_level_pairs_on_random_duplicates(
+    spark, tmp_path, seed
+):
+    sf = _random_duplicate_corpus(tmp_path, seed)
+    got = {
+        (r.src1, r.src2): (r.n_pairs, r.n_cross)
+        for r in QUERIES["q_dedup_contamination"](spark, sf).collect()
+    }
+    pairs = QUERIES["q_dedup_minhash_exact"](spark, sf).toPandas()
+    pairs = pairs[pairs.est_jaccard >= 0.5]
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    src = dict(zip(docs.doc_id, docs.source))
+    n_pairs, n_cross = Counter(), Counter()
+    for r in pairs.itertuples():
+        k = tuple(sorted((src[r.d1], src[r.d2])))
+        n_pairs[k] += 1
+        if k[0] != k[1]:
+            n_cross[k] += 1
+    assert got == {k: (n_pairs[k], n_cross.get(k, 0)) for k in n_pairs}
+    assert got, "corpus produced no contamination rows"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_clusters_match_doc_level_union_find(spark, tmp_path, seed):
+    sf = _random_duplicate_corpus(tmp_path, seed)
+    got = {
+        (r.doc_id, r.cluster, r.is_rep)
+        for r in QUERIES["q_dedup_clusters"](spark, sf).collect()
+    }
+    edges = [
+        (r.d1, r.d2)
+        for r in QUERIES["q_dedup_near_bucketed"](spark, sf).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    label: dict[int, int] = {}
+    for node in parent:
+        root = find(node)
+        label.setdefault(root, min(
+            n for n in parent if find(n) == root
+        ))
+    expect = {
+        (node, label[find(node)], node == label[find(node)])
+        for node in parent
+    }
+    assert got == expect and len(got) > 0
