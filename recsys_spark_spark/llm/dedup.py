@@ -353,8 +353,61 @@ def q_dedup_near_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-keyed exactly like the other blocked dedup variants; the exact
     length predicate then prunes within blocks. Canonical (least, greatest)
     ordering + distinct collapses the double coverage of same-bucket pairs.
-    """
-    return _near_dup_edges(spark, table(spark, sf_dir, "documents"))
+
+    Duplicate-mass cap (round-7, same fix as q_dedup_clusters/setjoin —
+    sf1 probe measured **37.9×** for 10× data as exact copies densified
+    the length buckets: c copies cost c²/2 token-intersection candidates).
+    The blocked-Jaccard chain now runs on ONE representative per
+    (md5(text), lang, n_chars) class — identical attributes ⇒ identical
+    buckets, tokens and Jaccard — and the doc-pair output reconstructs
+    exactly through output-sized member joins: cross-group pairs inherit
+    the rep pair's rounded jaccard, within-group pairs are identical texts
+    (jaccard = 1.0, |n_chars diff| = 0 always qualifies). Output still
+    grows as copies² — those pairs exist — but the candidate/intersect
+    WORK is unique-text-sized. Oracle unchanged (doc-level SQL)."""
+    docs, groups = _exact_dup_groups(table(spark, sf_dir, "documents"))
+    rep_edges = _near_dup_edges(spark, groups)
+    mem = docs.join(
+        groups.select("h", "lang", "n_chars", F.col("doc_id").alias("rep")),
+        ["h", "lang", "n_chars"],
+    ).select("rep", "doc_id")
+    ma = mem.select(F.col("rep").alias("d1"), F.col("doc_id").alias("da"))
+    mb = mem.select(F.col("rep").alias("d2"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_edges.join(ma, "d1")
+        .join(mb, "d2")
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+            "jaccard",
+        )
+    )
+    wa = mem.select("rep", F.col("doc_id").alias("d1"))
+    wb = mem.select("rep", F.col("doc_id").alias("d2"))
+    within = (
+        wa.join(wb, "rep")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionAll(within)
+
+
+def _exact_dup_groups(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact duplicates for the duplicate-mass-capped operators:
+    returns (docs, groups) where docs carries h = md5(text) per document and
+    groups holds ONE representative row — the MIN doc_id, its text, and the
+    multiplicity m — per (md5(text), lang, n_chars) class. Identical text
+    implies identical n_chars and tokens, so every text-derived predicate
+    (length bucket, token Jaccard, shingle signature) is class-constant."""
+    docs = d.select("doc_id", "lang", "n_chars", "text").withColumn(
+        "h", F.md5("text")
+    )
+    groups = docs.groupBy("h", "lang", "n_chars").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("text", "doc_id").alias("text"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    return docs, groups
 
 
 def _near_dup_edges(spark: SparkSession, d: DataFrame) -> DataFrame:
@@ -488,13 +541,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo = _CC_MEMO.get(key)
     if memo is not None:
         return memo
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars", "text"
-    ).withColumn("h", F.md5("text"))
-    groups = docs.groupBy("h", "lang", "n_chars").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min_by("text", "doc_id").alias("text"),
-    )
+    docs, groups = _exact_dup_groups(table(spark, sf_dir, "documents"))
     rep_edges = _near_dup_edges(spark, groups).select("d1", "d2")
     rep_of = groups.select("h", "lang", "n_chars", F.col("doc_id").alias("rep"))
     star = (
