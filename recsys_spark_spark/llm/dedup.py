@@ -208,33 +208,132 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this is the IVF/k-means cell id, so per-cell work is bounded
     and the join never goes global). Pairs over the threshold are ranked per
     cell; the zip_with/aggregate scaled-integer dot keeps the fold JVM-side
-    and bit-identical across engines and partitionings."""
+    and bit-identical across engines and partitionings.
+
+    Duplicate-mass cap (round-7; sf1 probe measured **80.4×** for 10× data
+    — the repo's worst densification: exact-duplicate vectors multiply the
+    within-cell pair count by copies², each pair paying a 64-lane dot
+    fold). The dot/cosine work now runs on ONE representative per
+    (label, embedding) class (bitwise-identical vectors ⇒ identical dot,
+    norm, cosine), and the top-K head makes the expansion BOUNDED, not just
+    output-sized:
+
+      * records: rep-pair rows (cnt = m1·m2) + self rows for m ≥ 2 groups
+        (cosine exactly 1.0 — x/(√x·√x) is within 2 ulps of 1 on both
+        engines, far inside the 6dp rounding step; cnt = C(m,2) via
+        integer div);
+      * class prefilter: a cosine class survives iff the expanded mass of
+        strictly-higher classes is < K (whole classes kept, so boundary
+        ties stay exact);
+      * member heads: per group only the K+1 (cross) / K+2 (self) smallest
+        vec_ids generate pairs. Exactness: a record's pairs that can enter
+        the global top-K are its lexicographically smallest ≤ K (within a
+        cosine class the global order is (v1, v2), and a record's own
+        pairs are totally ordered), and the head set always generates a
+        record's K smallest pairs — any pair it skips has ≥ K+1
+        strictly-smaller same-record pairs. Hence every pair preceding a
+        true top-K pair is itself top-K and therefore generated, so
+        candidate row_number == true row_number on every emitted row.
+
+    Work per cell is unique-vector-sized; a mega-duplicated vector (m in
+    the millions) costs one integer and K+2 head rows instead of C(m,2)
+    dot folds. Oracle unchanged (doc-level SQL over raw embeddings)."""
     e = table(spark, sf_dir, "embeddings")
-    a = e.select("label", F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
-    b = e.select("label", F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
-    norms = e.select(
-        "vec_id", (_scaled_dot(F.col("embedding"), F.col("embedding")) / F.lit(1e12)).alias("n")
+    k = _EMBED_DEDUP_TOPK
+    wg = Window.partitionBy("label", "embedding")
+    e2 = e.select("label", "vec_id", "embedding").withColumn(
+        "gid", F.min("vec_id").over(wg)
     )
-    na = norms.select(F.col("vec_id").alias("v1"), F.col("n").alias("n1"))
-    nb = norms.select(F.col("vec_id").alias("v2"), F.col("n").alias("n2"))
-    scored = (
+    mem = e2.select("label", "gid", "vec_id")
+    wm = Window.partitionBy("gid").orderBy("vec_id")
+    mem_head = mem.withColumn("mrn", F.row_number().over(wm)).where(
+        F.col("mrn") <= k + 2
+    )
+    g = (
+        e2.withColumn("m", F.count(F.lit(1)).over(wg))
+        .where(F.col("vec_id") == F.col("gid"))
+        .select("label", "gid", "embedding", "m")
+    )
+    norms = g.select(
+        "gid", (_scaled_dot(F.col("embedding"), F.col("embedding")) / F.lit(1e12)).alias("n")
+    )
+    a = g.select(
+        "label", F.col("gid").alias("g1"), F.col("embedding").alias("e1"),
+        F.col("m").alias("m1"),
+    )
+    b = g.select(
+        "label", F.col("gid").alias("g2"), F.col("embedding").alias("e2"),
+        F.col("m").alias("m2"),
+    )
+    na = norms.select(F.col("gid").alias("g1"), F.col("n").alias("n1"))
+    nb = norms.select(F.col("gid").alias("g2"), F.col("n").alias("n2"))
+    cross = (
         a.join(b, "label")
-        .where(F.col("v1") < F.col("v2"))
+        .where(F.col("g1") < F.col("g2"))
         .select(
-            "label", "v1", "v2", (_scaled_dot(F.col("e1"), F.col("e2")) / F.lit(1e12)).alias("dot")
+            "label", "g1", "g2", "m1", "m2",
+            (_scaled_dot(F.col("e1"), F.col("e2")) / F.lit(1e12)).alias("dot"),
         )
-        .join(F.broadcast(na), "v1")
-        .join(F.broadcast(nb), "v2")
+        .join(F.broadcast(na), "g1")
+        .join(F.broadcast(nb), "g2")
         .select(
-            "label", "v1", "v2",
+            "label", "g1", "g2",
             F.round(F.col("dot") / (F.sqrt("n1") * F.sqrt("n2")), 6).alias("cosine"),
+            (F.col("m1") * F.col("m2")).alias("cnt"),
         )
         .where(F.col("cosine") >= _EMBED_DEDUP_TAU)
     )
+    selfs = g.where(F.col("m") >= 2).select(
+        "label", F.col("gid").alias("g1"), F.col("gid").alias("g2"),
+        F.lit(1.0).alias("cosine"),
+        F.expr("(m * (m - 1)) div 2").alias("cnt"),
+    )
+    records = cross.unionAll(selfs)
+    cls = records.groupBy("label", "cosine").agg(F.sum("cnt").alias("ccnt"))
+    wc = (
+        Window.partitionBy("label")
+        .orderBy(F.col("cosine").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept_cls = (
+        cls.withColumn("higher", F.coalesce(F.sum("ccnt").over(wc), F.lit(0)))
+        .where(F.col("higher") < k)
+        .select("label", "cosine")
+    )
+    kept = records.join(kept_cls, ["label", "cosine"])
+    h1 = mem_head.where(F.col("mrn") <= k + 1).select(
+        F.col("gid").alias("g1"), F.col("vec_id").alias("va")
+    )
+    h2 = mem_head.where(F.col("mrn") <= k + 1).select(
+        F.col("gid").alias("g2"), F.col("vec_id").alias("vb")
+    )
+    cross_pairs = (
+        kept.where(F.col("g1") != F.col("g2"))
+        .join(h1, "g1")
+        .join(h2, "g2")
+        .select(
+            "label",
+            F.least("va", "vb").alias("v1"),
+            F.greatest("va", "vb").alias("v2"),
+            "cosine",
+        )
+    )
+    s1 = mem_head.select(F.col("gid").alias("g1"), F.col("vec_id").alias("va"))
+    s2 = mem_head.select(F.col("gid").alias("g1"), F.col("vec_id").alias("vb"))
+    self_pairs = (
+        kept.where(F.col("g1") == F.col("g2"))
+        .join(s1, "g1")
+        .join(s2, "g1")
+        .where(F.col("va") < F.col("vb"))
+        .select(
+            "label", F.col("va").alias("v1"), F.col("vb").alias("v2"), "cosine"
+        )
+    )
+    allp = cross_pairs.unionAll(self_pairs)
     w = Window.partitionBy("label").orderBy(F.col("cosine").desc(), "v1", "v2")
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= _EMBED_DEDUP_TOPK)
+        allp.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
         .select("label", "v1", "v2", "cosine", "rnk")
     )
 

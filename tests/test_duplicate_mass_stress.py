@@ -203,3 +203,89 @@ def test_clusters_match_doc_level_union_find(spark, tmp_path, seed):
         for node in parent
     }
     assert got == expect and len(got) > 0
+
+
+def _round_half_away(x: float) -> int:
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _write_duplicate_embeddings(tmp_path, seed: int) -> str:
+    """embeddings.parquet with exact-duplicate vector mass: per label cell,
+    unique random vectors with multiplicities up to 9 (exceeding the K+2=7
+    member head, so the head-bounded expansion must PROVABLY skip only
+    pairs that cannot reach the top-K), plus a scaled near-parallel vector
+    so the cosine-1.0 class mixes self records with a cross record."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for label in range(3):
+        uniq = rng.uniform(-1, 1, size=(6, 8)).astype("float32")
+        mults = [9, 3, 2, 1, 1, 1] if label == 0 else [2, 2, 1, 1, 1, 1]
+        for vec, m in zip(uniq, mults):
+            for _ in range(m):
+                rows.append((label, vec))
+        rows.append((label, (uniq[1] * 2.0).astype("float32")))  # parallel
+    ids = list(range(1, len(rows) + 1))
+    random.Random(seed).shuffle(ids)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for _, v in rows],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([lg for lg, _ in rows], type=pa.int32()),
+        }
+    )
+    pq.write_table(table, tmp_path / "embeddings.parquet")
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_embedding_dedup_matches_bruteforce_on_duplicates(
+    spark, tmp_path, seed
+):
+    import math
+
+    sf = _write_duplicate_embeddings(tmp_path, seed)
+    got = {
+        (r.label, r.v1, r.v2, r.cosine, r.rnk)
+        for r in QUERIES["q_dedup_embedding"](spark, sf).collect()
+    }
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): (int(r.label), [float(x) for x in r.embedding])
+        for r in emb.itertuples()
+    }
+    norm = {
+        v: sum(_round_half_away(x * x * 1e12) for x in e) / 1e12
+        for v, (_, e) in vecs.items()
+    }
+    scored = []
+    for (v1, (l1, e1)), (v2, (l2, e2)) in itertools.combinations(
+        sorted(vecs.items()), 2
+    ):
+        if l1 != l2:
+            continue
+        dot = sum(_round_half_away(x * y * 1e12) for x, y in zip(e1, e2)) / 1e12
+        cos = dot / (math.sqrt(norm[v1]) * math.sqrt(norm[v2]))
+        cos = _round_half_away(cos * 1e6) / 1e6
+        if cos >= 0.2:
+            scored.append((l1, v1, v2, cos))
+    expect = set()
+    for label in {s[0] for s in scored}:
+        cell = sorted(
+            (s for s in scored if s[0] == label),
+            key=lambda s: (-s[3], s[1], s[2]),
+        )
+        for rnk, (lg, v1, v2, cos) in enumerate(cell[:5], start=1):
+            expect.add((lg, v1, v2, cos, rnk))
+    assert got == expect and len(got) > 0
+    # the m=9 group's pair mass exceeds the K+2 member head in label 0
+    assert any(r[0] == 0 and r[3] == 1.0 for r in got)
