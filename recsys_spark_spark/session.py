@@ -16,6 +16,7 @@ def get_spark(
     app_name: str = "recsys_spark_spark",
     cpus: str | int | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = cpus if cpus is not None else os.environ.get("SPARK_GRAFT_CPUS", "*")
     sp = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
@@ -56,4 +57,10 @@ def get_spark(
         # and SHJ skips two per-partition sorts.
         .config("spark.sql.join.preferSortMergeJoin", "false")
     )
+    # static confs (e.g. spark.driver.maxResultSize) must be set before the
+    # context exists — runtime spark.conf.set() silently has no effect on
+    # them, so harness tools pass them here (the probe harness collects
+    # full sf1 result tables and needs a larger-than-default cap).
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -218,7 +218,15 @@ def main() -> int:
     )
     args = ap.parse_args()
 
-    spark = get_spark(app_name="sf1-probe", shuffle_partitions=32)
+    # 8g result cap: legitimately pair-shaped outputs (user-user sims) top
+    # 1 GiB serialized at sf1 and killed whole probe batches at the 1g
+    # default — a harness limit, not a query defect (the probe materializes
+    # full results on the driver; production sinks write distributed).
+    spark = get_spark(
+        app_name="sf1-probe",
+        shuffle_partitions=32,
+        extra_conf={"spark.driver.maxResultSize": "8g"},
+    )
     t0 = time.time()
     generate(spark)
     gen_s = round(time.time() - t0, 1)
@@ -226,21 +234,43 @@ def main() -> int:
     queries, _ = load_all()
     probe_set = tuple(args.queries) if args.queries else PROBE_QUERIES
     report: dict = {"gen_sec": gen_s, "copies": COPIES, "queries": {}}
+    out = args.out or "SF1_PROBE.json"
+
+    def flush() -> None:
+        # write after EVERY query: a mid-batch crash (result-size cap, VM
+        # eviction) must not lose the completed entries — the 30-query r7
+        # batch died on query 10 and lost all 9 finished measurements
+        merged = report
+        if args.merge and os.path.exists(out):
+            with open(out) as f:
+                prior = json.load(f)
+            prior["queries"].update(report["queries"])
+            prior["gen_sec"] = report["gen_sec"]
+            merged = prior
+        with open(out, "w") as f:
+            json.dump(merged, f, indent=2)
+
     for name in probe_set:
         fn = queries[name]
         entry: dict = {}
-        for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
-            # time the query-construction call too: eager operators (the
-            # star-contraction localCheckpoint rounds) do their work inside
-            # fn(), not in the final action — plan digest stays untimed
-            t = time.time()
-            df = fn(spark, sf_dir)
-            build_s = time.time() - t
-            entry.setdefault("plan", {})[label] = plan_digest(df)
-            t = time.time()
-            n = df.toPandas().shape[0]
-            entry.setdefault("sec", {})[label] = round(build_s + time.time() - t, 2)
-            entry.setdefault("rows", {})[label] = n
+        try:
+            for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+                # time the query-construction call too: eager operators (the
+                # star-contraction localCheckpoint rounds) do their work inside
+                # fn(), not in the final action — plan digest stays untimed
+                t = time.time()
+                df = fn(spark, sf_dir)
+                build_s = time.time() - t
+                entry.setdefault("plan", {})[label] = plan_digest(df)
+                t = time.time()
+                n = df.toPandas().shape[0]
+                entry.setdefault("sec", {})[label] = round(build_s + time.time() - t, 2)
+                entry.setdefault("rows", {})[label] = n
+        except Exception as ex:  # noqa: BLE001 — isolate per-query failures
+            print(f"{name}: FAILED {type(ex).__name__}: {ex}"[:300], flush=True)
+            report["queries"][name] = {"error": f"{type(ex).__name__}: {ex}"[:300]}
+            flush()
+            continue
         entry["ratio"] = (
             round(entry["sec"]["sf1"] / entry["sec"]["sf0.1"], 2)
             if entry["sec"]["sf0.1"] > 0
@@ -256,16 +286,8 @@ def main() -> int:
         if not entry["plan_unchanged"]:
             d1, d2 = entry["plan"]["sf0.1"], entry["plan"]["sf1"]
             print("  plan diff:", {k: (d1[k], d2[k]) for k in d1 if d1[k] != d2[k]}, flush=True)
+        flush()
 
-    out = args.out or "SF1_PROBE.json"
-    if args.merge and os.path.exists(out):
-        with open(out) as f:
-            prior = json.load(f)
-        prior["queries"].update(report["queries"])
-        prior["gen_sec"] = report["gen_sec"]
-        report = prior
-    with open(out, "w") as f:
-        json.dump(report, f, indent=2)
     print("written", out)
     return 0
 
