@@ -39,6 +39,16 @@ TOP_N_RECS = 5
 # at 100 TB it is the knob that bounds the pair explosion (Linden'03).
 MAX_USER_HISTORY = 1000
 
+# The UserCF mirror of MAX_USER_HISTORY: hot ITEMS are the user-pair skew
+# source (an item with audience c yields c^2 directional pairs). Every tested
+# SF's max item audience is <= 53 (guarded in tests/test_cf_property.py), so
+# capped == uncapped and the user-sim oracles stay exact; the round-7 sf1
+# probe ("10x users, same catalog" — audiences 10x) measured
+# q_cf_user_recommend at 35x wall-clock for 10x data before the cap. Like
+# Swing's SWING_USERS_PER_ITEM, the cap keeps each item's smallest user_ids —
+# deterministic, no RNG (production would sample uniformly per item).
+MAX_ITEM_AUDIENCE = 200
+
 
 # --------------------------------------------------------------------------
 # Building blocks (shared, composable DataFrame builders)
@@ -101,6 +111,22 @@ def capped_interactions(spark: SparkSession, sf_dir: str, cap: int = MAX_USER_HI
 
     key = (spark.sparkContext.applicationId, sf_dir, cap)
     return memo_persist(_CAPPED, key, build)
+
+
+def audience_capped(ui: DataFrame, cap: int = MAX_ITEM_AUDIENCE) -> DataFrame:
+    """Interaction rows with per-item audience capped to the `cap` smallest
+    user_ids — the hot-ITEM skew guard for USER-pair generation (the mirror
+    of capped_interactions' hot-user guard). Applied only to the pair-join
+    sides: user norms stay full-history so the cosine denominator keeps its
+    true scale. One window keyed by item_id (an exchange — user-pair
+    generation re-keys by item anyway, so the shuffle is not additional
+    relative to the self-join it feeds)."""
+    w = Window.partitionBy("item_id").orderBy("user_id")
+    return (
+        ui.withColumn("_arn", F.row_number().over(w))
+        .where(F.col("_arn") <= cap)
+        .drop("_arn")
+    )
 
 
 def item_norms(ui: DataFrame) -> DataFrame:
@@ -497,10 +523,14 @@ def topk_user_neighbors(ui: DataFrame, k: int = TOP_K_NEIGHBORS) -> DataFrame:
     self-join, are repartitioned by user_a ONCE, and count → cosine →
     window-top-k run partition-local (same WindowGroupLimit pruning).
     At scale hot *items* are the skew source here — the mirror of hot users
-    in ItemCF; cap per-item audience or drop ubiquitous items upstream."""
+    in ItemCF; since round 7 the pair-generation sides ride audience_capped
+    (MAX_ITEM_AUDIENCE, capped == uncapped at every tested SF — the sf1
+    probe measured 35x for 10x data from 10x audiences before the cap).
+    Norms stay full-history (true cosine denominator)."""
     unorms = ui.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_items"))
-    a = ui.select("item_id", F.col("user_id").alias("user_a"))
-    b = ui.select("item_id", F.col("user_id").alias("user_b"))
+    uic = audience_capped(ui)
+    a = uic.select("item_id", F.col("user_id").alias("user_a"))
+    b = uic.select("item_id", F.col("user_id").alias("user_b"))
     # shuffle_hash for the same reason as the ItemCF fused self-join: no
     # exploitable sort order, and default-config sessions (driver probe)
     # don't set preferSortMergeJoin=false
@@ -552,12 +582,16 @@ USER_COOC_CTE = """ucooc AS (
 def q_cf_user_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I8: UserCF cosine similarity — symmetric to I4 on the user axis.
 
-    Self-join on item_id; at scale hot items are capped/salted the same way
-    hot users are in I3 (AQE skew split handles the residue)."""
+    Self-join on item_id; hot items are the pair-explosion source, so since
+    round 7 the join sides ride audience_capped (MAX_ITEM_AUDIENCE — capped
+    == uncapped at every tested SF, so the oracle stays exact; at the sf1
+    probe's 10x audiences the cap bounds the c^2 pair growth). Norms stay
+    full-history. AQE skew split handles the residue."""
     ui = interactions(spark, sf_dir)
     unorms = ui.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_items"))
-    a = ui.select("item_id", F.col("user_id").alias("user_a"))
-    b = ui.select("item_id", F.col("user_id").alias("user_b"))
+    uic = audience_capped(ui)
+    a = uic.select("item_id", F.col("user_id").alias("user_a"))
+    b = uic.select("item_id", F.col("user_id").alias("user_b"))
     ucooc = (
         a.join(b, "item_id")
         .where(F.col("user_a") < F.col("user_b"))

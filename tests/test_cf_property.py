@@ -221,3 +221,35 @@ def test_negative_samples_disjoint_from_seen(spark):
     assert neg.join(seen, ["user_id", "neg_item"]).count() == 0
     per_user = neg.groupBy("user_id").count().agg(F.max("count")).first()[0]
     assert per_user <= NEG_K
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_item_audience_below_cap_on_fixtures(spark, sf_dir):
+    """The UserCF oracles assume audience-capped == uncapped pair
+    generation (q_cf_user_sim / topk_user_neighbors ride audience_capped
+    since round 7), which holds only while no item's audience reaches
+    MAX_ITEM_AUDIENCE. Guard it per fixture — the mirror of the
+    MAX_USER_HISTORY guard above. (sf0.1's max audience is 53; the full
+    sf0.1 oracle sweep checks that SF's equality directly.)"""
+    from pyspark.sql import functions as F
+
+    ui = itemcf.interactions(spark, sf_dir)
+    max_aud = ui.groupBy("item_id").count().agg(F.max("count")).first()[0]
+    assert max_aud < itemcf.MAX_ITEM_AUDIENCE, (
+        f"{sf_dir}: an item has {max_aud} users >= cap "
+        f"{itemcf.MAX_ITEM_AUDIENCE}; capped UserCF oracles are no longer exact"
+    )
+
+
+def test_audience_cap_keeps_smallest_user_ids(spark):
+    """audience_capped must keep exactly the `cap` SMALLEST user_ids per
+    item (the deterministic production-sampling stand-in, same discipline
+    as Swing's per-item cap) and leave small-audience items untouched."""
+    rows = [(u, 1, 1, 1.0) for u in range(10, 20)] + [(11, 2, 1, 1.0), (13, 2, 1, 1.0)]
+    ui = spark.createDataFrame(rows, "user_id long, item_id long, cnt long, total_qty double")
+    got = {
+        (r.item_id, r.user_id)
+        for r in itemcf.audience_capped(ui, cap=4).collect()
+    }
+    expect = {(1, u) for u in (10, 11, 12, 13)} | {(2, 11), (2, 13)}
+    assert got == expect
