@@ -940,6 +940,15 @@ def q_seq_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RULE_MIN_COUNT = 5
 RULE_TOP = 25
+# Relative support floor in parts-per-million of n_baskets. Canonical
+# Apriori min-support is a basket FRACTION; a count-only floor lets the
+# frequent-pair set grow with the corpus (round-7 sf1 probe: 22.9x
+# wall-clock for 10x data as 10x co-counts cleared the absolute floor).
+# The effective floor is max(RULE_MIN_COUNT, ceil(ppm * n_baskets / 1e6)),
+# computed in exact integer arithmetic on both engines; 33 ppm makes the
+# relative term 1/1/5 at sf0.001/0.01/0.1 — never above the absolute 5, so
+# every tested SF's output is unchanged — and 49 at the sf1 replica.
+RULE_MIN_SUPPORT_PPM = 33
 
 
 @query(
@@ -964,7 +973,8 @@ WITH basket AS (
   JOIN ic ia ON ia.i = pc.ante
   JOIN ic ic2 ON ic2.i = pc.cons
   CROSS JOIN n
-  WHERE pc.c_ij >= {RULE_MIN_COUNT}
+  WHERE pc.c_ij >= GREATEST({RULE_MIN_COUNT},
+                            ({RULE_MIN_SUPPORT_PPM} * n.n_baskets + 999999) // 1000000)
 )
 SELECT ante, cons, c_ij, support, confidence, lift,
        CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, ante, cons) AS BIGINT) AS rnk
@@ -984,7 +994,12 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     double and round at 1e-6; ties in lift break on (ante, cons).
     Scale shape: baskets are order-keyed, the pair self-join rides one
     l_orderkey partitioning (pairs per basket bounded by basket size, not
-    table size), marginals broadcast, and the top-25 is rank-pruned."""
+    table size), marginals broadcast, and the top-25 is rank-pruned. The
+    support floor is RELATIVE (RULE_MIN_SUPPORT_PPM of n_baskets, integer
+    ceil-div on both engines, never below the absolute RULE_MIN_COUNT) —
+    a count-only floor lets the frequent set grow with the corpus (round-7
+    sf1 probe measured 22.9x for 10x data before this fix; identical
+    output at every tested SF by construction)."""
     basket = (
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i"))
@@ -998,6 +1013,8 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b2, (F.col("a.b") == F.col("b2.b")) & (F.col("a.i") != F.col("b2.i")))
         .groupBy(F.col("a.i").alias("ante"), F.col("b2.i").alias("cons"))
         .agg(F.count(F.lit(1)).alias("c_ij"))
+        # absolute pre-prune before the broadcast joins; the relative floor
+        # (needs n_baskets) applies after the scalar crossJoin below
         .where(F.col("c_ij") >= RULE_MIN_COUNT)
     )
     ia = ic.select(F.col("i").alias("ante"), F.col("c").alias("c_a"))
@@ -1006,6 +1023,15 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc.join(F.broadcast(ia), "ante")
         .join(F.broadcast(icons), "cons")
         .crossJoin(n)
+        .where(
+            F.col("c_ij")
+            >= F.greatest(
+                F.lit(RULE_MIN_COUNT),
+                F.expr(
+                    f"({RULE_MIN_SUPPORT_PPM} * n_baskets + 999999) div 1000000"
+                ),
+            )
+        )
         .select(
             "ante",
             "cons",
