@@ -250,27 +250,50 @@ def main() -> int:
         with open(out, "w") as f:
             json.dump(merged, f, indent=2)
 
+    def measure(fn, collect: bool) -> dict:
+        entry: dict = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+            # time the query-construction call too: eager operators (the
+            # star-contraction localCheckpoint rounds) do their work inside
+            # fn(), not in the final action — plan digest stays untimed
+            t = time.time()
+            df = fn(spark, sf_dir)
+            build_s = time.time() - t
+            entry.setdefault("plan", {})[label] = plan_digest(df)
+            t = time.time()
+            if collect:
+                n = df.toPandas().shape[0]
+            else:
+                # driver-free materialization: the full plan executes
+                # distributed, zero rows cross to the driver
+                df.write.format("noop").mode("overwrite").save()
+                n = None
+            entry.setdefault("sec", {})[label] = round(build_s + time.time() - t, 2)
+            entry.setdefault("rows", {})[label] = n
+        return entry
+
     for name in probe_set:
         fn = queries[name]
-        entry: dict = {}
         try:
-            for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
-                # time the query-construction call too: eager operators (the
-                # star-contraction localCheckpoint rounds) do their work inside
-                # fn(), not in the final action — plan digest stays untimed
-                t = time.time()
-                df = fn(spark, sf_dir)
-                build_s = time.time() - t
-                entry.setdefault("plan", {})[label] = plan_digest(df)
-                t = time.time()
-                n = df.toPandas().shape[0]
-                entry.setdefault("sec", {})[label] = round(build_s + time.time() - t, 2)
-                entry.setdefault("rows", {})[label] = n
+            entry = measure(fn, collect=True)
         except Exception as ex:  # noqa: BLE001 — isolate per-query failures
-            print(f"{name}: FAILED {type(ex).__name__}: {ex}"[:300], flush=True)
-            report["queries"][name] = {"error": f"{type(ex).__name__}: {ex}"[:300]}
-            flush()
-            continue
+            # full-matrix outputs (the UserCF sim table tops 10 GiB
+            # serialized at sf1) exceed any sane collect cap — a harness
+            # limit, not a query defect. Retry with the noop sink and mark
+            # the entry so its timing basis is visible.
+            print(
+                f"{name}: collect failed ({type(ex).__name__}); retrying "
+                f"with noop sink",
+                flush=True,
+            )
+            try:
+                entry = measure(fn, collect=False)
+                entry["action"] = "noop"
+            except Exception as ex2:  # noqa: BLE001
+                print(f"{name}: FAILED {type(ex2).__name__}: {ex2}"[:300], flush=True)
+                report["queries"][name] = {"error": f"{type(ex2).__name__}: {ex2}"[:300]}
+                flush()
+                continue
         entry["ratio"] = (
             round(entry["sec"]["sf1"] / entry["sec"]["sf0.1"], 2)
             if entry["sec"]["sf0.1"] > 0
