@@ -341,25 +341,65 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_dedup_minhash_lsh")  # rows-only: LSH banding is seed-dependent
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: MinHash-LSH near-dup at scale — shingle→minhash→band→bucket join
-    via MLlib (pyspark.ml.feature.MinHashLSH.approxSimilarityJoin)."""
+    via MLlib (pyspark.ml.feature.MinHashLSH.approxSimilarityJoin).
+
+    Duplicate-mass cap (round-7, the last uncapped quadratic in the dedup
+    family): exact copies land in every bucket together, and MLlib's
+    bucket self-join grows as copies² inside a single task — the straggler
+    already visible at sf0.1 (one 5-10 min task in every full sweep). The
+    seeded MLlib chain now fits/joins on ONE representative per distinct
+    text (identical text ⇒ identical token vector ⇒ identical seeded
+    MinHash, buckets and distances), and the doc-pair output reconstructs
+    through output-sized member joins — cross pairs inherit the rep pair's
+    jaccard_dist, within-group pairs are exact duplicates at distance 0.0
+    (always inside the 0.2 threshold). Same expansion proof as
+    q_dedup_near_bucketed; the recall gate (tests/test_recall.py) still
+    measures the doc-pair output against an independent truth set."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH, Tokenizer
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = Tokenizer(inputCol="text", outputCol="tokens").transform(d)
+    g = d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("m")
+    )
+    toks = Tokenizer(inputCol="text", outputCol="tokens").transform(
+        g.select("doc_id", "text")
+    )
     cv = CountVectorizer(inputCol="tokens", outputCol="features", binary=True, minDF=1.0)
     model = cv.fit(toks)
     vecs = model.transform(toks).select("doc_id", "features")
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     lsh_model = lsh.fit(vecs)
     pairs = lsh_model.approxSimilarityJoin(vecs, vecs, 0.2, distCol="jaccard_dist")
-    return (
+    rep_pairs = (
         pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
-            F.col("datasetA.doc_id").alias("d1"),
-            F.col("datasetB.doc_id").alias("d2"),
+            F.col("datasetA.doc_id").alias("r1"),
+            F.col("datasetB.doc_id").alias("r2"),
             F.round("jaccard_dist", 6).alias("jaccard_dist"),
         )
     )
+    mem = d.join(
+        g.select("text", F.col("doc_id").alias("rep")), "text"
+    ).select("rep", "doc_id")
+    ma = mem.select(F.col("rep").alias("r1"), F.col("doc_id").alias("da"))
+    mb = mem.select(F.col("rep").alias("r2"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.join(ma, "r1")
+        .join(mb, "r2")
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+            "jaccard_dist",
+        )
+    )
+    wa = mem.select("rep", F.col("doc_id").alias("d1"))
+    wb = mem.select("rep", F.col("doc_id").alias("d2"))
+    within = (
+        wa.join(wb, "rep")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.lit(0.0).alias("jaccard_dist"))
+    )
+    return cross.unionAll(within)
 
 
 @query(
