@@ -123,7 +123,7 @@ _QUERY_MODULES = (
 # q_set_ops_all, q_sql_named_params, q_sample_bootstrap, q_feature_hash,
 # q_label_future_window, q_feature_store.
 # Names not listed keep their registration order after these.
-_R7_WINDOW = (
+_R7_WINDOW = (  # retained for provenance; superseded by _R8_WINDOW below
     # -- the round-6 red row, re-engineered: verify first --
     "q_feature_covariance",
     # -- stats/inference block (same closed-form family as the red row) --
@@ -187,6 +187,75 @@ _R7_WINDOW = (
     "q_udf_arrow",
 )
 
+# Round-8 driver window — zeroes the never-driver-verified backlog.
+# Rows 1-24: the 24 keys that have never appeared in ANY driver window
+#   (verbatim from the _R8 carry-over list above, registry.py r7). After this
+#   window verifies, every one of the 295 registry keys has at least one
+#   driver-verified row — the first time in project history.
+# Rows 25-48: the 24-key round-2 cohort — the oldest driver rows in the repo
+#   (last driver-checked in CORRECTNESS_r02.json, six rounds ago): the
+#   similarity/dedup ladder, the text block, the UDF/Arrow family, sampling,
+#   pipeline, stream_join. Three are rows-only by design (q_als_recommend,
+#   q_sim_lsh_ann, q_dedup_minhash_lsh) and re-verify as rows-only.
+# Rows 49-50: the two r3 sink keys VERDICT r7 called out by name
+#   (q_sink_upsert, q_sink_kv_export) — catalog/sink state is the highest
+#   driver-env-drift risk in the r3 cohort.
+_R8_WINDOW = (
+    # -- never-driver-verified backlog (24), graph family first --
+    "q_graph_triangles",
+    "q_graph_jaccard",
+    "q_graph_components",
+    "q_graph_khop",
+    "q_graph_clustering_coeff",
+    "q_session_paths",
+    "q_quantile_grid_sketch",
+    "q_ts_croston",
+    "q_source_binaryfile",
+    "q_cf_swing",
+    "q_text_bpe_encode",
+    "q_join_asof_tolerance",
+    "q_text_encode",
+    "q_text_zipf",
+    "q_text_repetition",
+    "q_text_entropy",
+    "q_source_text",
+    "q_observe_metrics",
+    "q_set_ops_all",
+    "q_sql_named_params",
+    "q_sample_bootstrap",
+    "q_feature_hash",
+    "q_label_future_window",
+    "q_feature_store",
+    # -- oldest driver cohort: last verified round 2 (24) --
+    "q_sim_cosine_knn",
+    "q_knn_per_label",
+    "q_sim_ivf_knn",
+    "q_sim_lsh_ann",
+    "q_dedup_minhash_lsh",
+    "q_als_recommend",
+    "q_multimodal_join",
+    "q_text_tokens",
+    "q_text_token_count",
+    "q_text_tfidf",
+    "q_text_stats",
+    "q_text_quality",
+    "q_text_langid",
+    "q_text_fingerprint",
+    "q_sample_hash",
+    "q_sample_balanced",
+    "q_pipeline_corpus",
+    "q_stream_join",
+    "q_udf_python",
+    "q_udf_pandas",
+    "q_udaf_pandas",
+    "q_udtf_applyinpandas",
+    "q_mapinpandas",
+    "q_udtf_lateral",
+    # -- r3 sink pair (VERDICT r7 next-round item 1) --
+    "q_sink_upsert",
+    "q_sink_kv_export",
+)
+
 _loaded = False
 
 
@@ -210,10 +279,10 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
     if not _loaded:
         for mod in _QUERY_MODULES:
             importlib.import_module(mod)
-        missing = [n for n in _R7_WINDOW if n not in QUERIES]
+        missing = [n for n in _R8_WINDOW if n not in QUERIES]
         if missing:
             raise RuntimeError(f"window names not registered: {missing}")
-        ordered = list(_R7_WINDOW) + [n for n in QUERIES if n not in set(_R7_WINDOW)]
+        ordered = list(_R8_WINDOW) + [n for n in QUERIES if n not in set(_R8_WINDOW)]
         for reg in (QUERIES, ORACLES):
             tail = {n: reg.pop(n) for n in ordered if n in reg}
             reg.update(tail)  # dicts preserve insertion order -> window first
