@@ -41,13 +41,18 @@ MAX_USER_HISTORY = 1000
 
 # The UserCF mirror of MAX_USER_HISTORY: hot ITEMS are the user-pair skew
 # source (an item with audience c yields c^2 directional pairs). Every tested
-# SF's max item audience is <= 53 (guarded in tests/test_cf_property.py), so
-# capped == uncapped and the user-sim oracles stay exact; the round-7 sf1
-# probe ("10x users, same catalog" — audiences 10x) measured
-# q_cf_user_recommend at 35x wall-clock for 10x data before the cap. Like
+# SF's max item audience is <= 53 (guarded at sf0.001/sf0.01/sf0.1 in
+# tests/test_cf_property.py), so capped == uncapped and the user-sim oracles
+# stay exact; the round-7 sf1 probe ("10x users, same catalog" — audiences
+# 10x) measured q_cf_user_recommend at 35x wall-clock for 10x data before any
+# cap and 31.4x under the r7 cap of 200 (audiences 530 sat only 2.65x over
+# it, so the cap had barely engaged). Round 8 tightens it to 64 — the Swing
+# C(30,2) discipline: per-item pair mass is bounded at 64^2 ≈ 4.1k
+# directional pairs regardless of audience, which saturates at the sf1
+# replica (530 ≫ 64) and turns the pair stage flat in audience growth. Like
 # Swing's SWING_USERS_PER_ITEM, the cap keeps each item's smallest user_ids —
 # deterministic, no RNG (production would sample uniformly per item).
-MAX_ITEM_AUDIENCE = 200
+MAX_ITEM_AUDIENCE = 64
 
 
 # --------------------------------------------------------------------------

@@ -223,14 +223,19 @@ def test_negative_samples_disjoint_from_seen(spark):
     assert per_user <= NEG_K
 
 
-@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
 def test_item_audience_below_cap_on_fixtures(spark, sf_dir):
     """The UserCF oracles assume audience-capped == uncapped pair
     generation (q_cf_user_sim / topk_user_neighbors ride audience_capped
     since round 7), which holds only while no item's audience reaches
     MAX_ITEM_AUDIENCE. Guard it per fixture — the mirror of the
-    MAX_USER_HISTORY guard above. (sf0.1's max audience is 53; the full
-    sf0.1 oracle sweep checks that SF's equality directly.)"""
+    MAX_USER_HISTORY guard above, at EVERY oracle-compared SF (ADVICE r7:
+    sf0.1 was previously covered only indirectly via the full oracle sweep;
+    max audiences are 39/49/53, so the r8 cap of 64 still clears all three
+    with headroom)."""
     from pyspark.sql import functions as F
 
     ui = itemcf.interactions(spark, sf_dir)
