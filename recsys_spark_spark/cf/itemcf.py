@@ -813,6 +813,28 @@ def _first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_persist(_FIRST_SEEN, key, build)
 
 
+def history_capped_edges(first_seen: DataFrame, cap: int = MAX_USER_HISTORY) -> DataFrame:
+    """First-seen edge table with per-user history capped to the `cap`
+    EARLIEST (m, i) edges — the hot-user pair guard for the incremental
+    co-occurrence self-join (r8, the duplicate-mass-cap precedent). Earliest
+    first matches the incremental contract: a standing capped history admits
+    new edges only while under budget, so old/new flags survive the cap
+    unchanged. At every tested SF no user's distinct-item history reaches
+    MAX_USER_HISTORY (guarded in tests/test_cf_property.py), so capped ==
+    uncapped and the from-scratch oracle stays exact; at 100 TB the cap
+    bounds per-user pair mass at cap² regardless of history depth. Plan:
+    the rank filter gets InferWindowGroupLimit, and the PARTIAL group limit
+    runs BEFORE the window's hash exchange on u (first_seen is keyed
+    (u, i)), so the shuffled volume is already capped — verified in the
+    sf0.01 plan (WindowGroupLimit above and below each Exchange)."""
+    w = Window.partitionBy("u").orderBy("m", "i")
+    return (
+        first_seen.withColumn("_hrk", F.row_number().over(w))
+        .where(F.col("_hrk") <= cap)
+        .drop("_hrk")
+    )
+
+
 @query(
     "q_cf_incremental_cooc",
     oracle="""
@@ -844,6 +866,14 @@ def q_cf_incremental_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the difference between "similarity refresh touches
     yesterday's orders" and "similarity refresh re-reads years of history"
     (same maintenance contract as q_incr_agg, for a SELF-JOIN aggregate).
+    Since r8 the edge table rides history_capped_edges (MAX_USER_HISTORY
+    earliest edges per user — capped == uncapped at every tested SF, so the
+    from-scratch oracle stays exact), bounding per-user pair mass at cap²
+    no matter how deep a whale user's history runs — the same engineered
+    control as the dedup duplicate-mass caps and the UserCF audience cap.
+    The residual sf1 ratio (~13x for 10x data) is TRUE pair mass: "10x
+    users, same catalog" replicates every user's history, so Σ_u h_u²
+    grows exactly 10x and the wall follows it linearly.
 
     Plan shape: the four terms come from ONE user-keyed self-join, not four
     — each edge carries its old/new flag through the join, and the pair
@@ -857,7 +887,7 @@ def q_cf_incremental_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic). One join + one aggregate is ~4x less shuffle I/O and
     removes the concurrent-hash-map pressure of the 3-way union's merge.
     All joins are user-keyed on one partitioning; counts are exact ints."""
-    first_seen = _first_seen(spark, sf_dir)
+    first_seen = history_capped_edges(_first_seen(spark, sf_dir))
     edges = first_seen.select(
         "u", "i", (F.col("m") >= F.lit(COOC_CUTOFF)).alias("is_new")
     )

@@ -354,7 +354,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard_dist, within-group pairs are exact duplicates at distance 0.0
     (always inside the 0.2 threshold). Same expansion proof as
     q_dedup_near_bucketed; the recall gate (tests/test_recall.py) still
-    measures the doc-pair output against an independent truth set."""
+    measures the doc-pair output against an independent truth set.
+
+    Vocabulary-ordering sensitivity (ADVICE r7): fitting CountVectorizer on
+    the DEDUPED texts changes corpus term frequencies and hence vocabulary
+    index order, which permutes the seeded MinHash values and bucket
+    collisions — candidate recall for NON-identical near-dup pairs can
+    differ from the pre-r7 doc-level fit, so row counts are NOT comparable
+    across that change. Acceptable for a seed-dependent rows-only query;
+    the behavioral contract is the recall gate
+    (tests/test_recall.py::test_mllib_minhash_lsh_recall, >=0.9 vs an
+    independent exact-Jaccard truth set — re-verified green after the
+    collapse, r8)."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH, Tokenizer
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -323,6 +323,11 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _IV_GAP_S = 1800  # session gap, matches q_stream_session semantics
+# Overlap-join band width (seconds). Exactness is width-invariant (see the
+# q_join_interval docstring); the width only tunes candidate mass and must
+# track the session-length scale: 300 s ≈ mean 43 s + tail, measured 9x
+# fewer candidates than hour bands at sf0.1 AND sf1 with ~1.14x explode.
+_IV_BAND_S = 300
 
 
 @query(
@@ -362,15 +367,28 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_stream_session; a pair overlaps iff s_a <= e_b AND s_b <= e_a.
 
     Scale shape: the naive overlap join is all-pairs O(n²). Here each
-    interval is EXPLODED onto the hour bands it spans (sequence of
-    date_trunc-hour stamps), the self-join is an equi-join on the band, and
-    duplicate hits (a pair overlapping across several shared hours) are
-    collapsed with one distinct. Banding is EXACT, not approximate: two
-    overlapping intervals share at least the hour containing their overlap
+    interval is EXPLODED onto the fixed-width epoch bands it spans, the
+    self-join is an equi-join on the band, and duplicate hits (a pair
+    overlapping across several shared bands) are collapsed with one
+    distinct. Banding is EXACT for ANY band width, not approximate: two
+    overlapping intervals share at least the band containing their overlap
     start, so every true pair is found in >=1 common band. Candidates per
     band are bounded by concurrent-session count, never by table size — the
-    shape that survives 100 TB of events. The oracle states the same result
-    via the plain quadratic join (DuckDB IEJoin handles sf-test sizes)."""
+    shape that survives 100 TB of events.
+
+    Band width is a pure performance knob (results are width-invariant —
+    pinned by tests/test_interval_band.py) and must sit at the SESSION
+    LENGTH scale, not a calendar unit: with hour bands the r7 sf1 probe
+    measured 42x more candidates than true overlaps (6.48M vs 154k at
+    sf0.1; 652M vs 19.6M at the sf1 replica) because sessions average 43 s
+    (p99 ~24 min), so nearly everything sharing an hour does NOT overlap in
+    time. At _IV_BAND_S=300 s the candidate mass is 690k/73.9M (3.8x true
+    pairs) — ~9x less join work at both SFs — while explode fan-out stays
+    ~1.14 bands/interval (len/300+1). The true pair mass itself grows ~128x
+    under "10x users, same window" (153k -> 19.6M concurrent pairs), which
+    is genuine output, not join waste; the band join rides it sublinearly.
+    The oracle states the same result via the plain quadratic join (DuckDB
+    IEJoin handles sf-test sizes)."""
     ev = table(spark, sf_dir, "events").withColumn(
         "sec", F.date_trunc("second", "ts")
     )
@@ -395,9 +413,9 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         F.explode(
             F.sequence(
-                F.date_trunc("hour", "s"),
-                F.date_trunc("hour", "e"),
-                F.expr("INTERVAL 1 HOUR"),
+                (F.floor(F.unix_timestamp("s") / _IV_BAND_S) * _IV_BAND_S).cast("long"),
+                (F.floor(F.unix_timestamp("e") / _IV_BAND_S) * _IV_BAND_S).cast("long"),
+                F.lit(_IV_BAND_S),
             )
         ),
     )

@@ -63,4 +63,21 @@ def get_spark(
     # full sf1 result tables and needs a larger-than-default cap).
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate() returns any PRE-EXISTING session, silently ignoring every
+    # builder conf above for STATIC/core confs — a probe that expected an 8g
+    # maxResultSize could be running with the 1g default (ADVICE r7). Static
+    # confs can't be fixed up after the fact, so fail loudly instead of
+    # measuring under the wrong limits. Read back from the SparkContext conf
+    # (the launch-time truth), NOT spark.conf: getOrCreate copies builder
+    # options into the SESSION conf map even when the running JVM ignores
+    # them, so the session conf reports the requested value either way.
+    for k, v in (extra_conf or {}).items():
+        got = spark.sparkContext.getConf().get(k, None)
+        if got != v:
+            raise RuntimeError(
+                f"extra_conf {k}={v!r} not in effect (SparkContext reports "
+                f"{got!r}); a pre-existing SparkSession was reused — stop it "
+                "first or pass the conf when the FIRST session is created"
+            )
+    return spark

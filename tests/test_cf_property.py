@@ -176,15 +176,20 @@ def test_connected_components_raises_on_non_convergence(spark):
     assert set(labels.values()) == {1}
 
 
-@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
 def test_user_history_below_cap_on_fixtures(spark, sf_dir):
     """The CF oracles — and, since round 6, the graph edge builders behind
     q_graph_pagerank / q_graph_eigencentrality (analytics._pr_edges /
-    _eig_edges, both built from capped_interactions) — assume capped ==
-    uncapped interactions, which holds only while no user's distinct item
-    count reaches MAX_USER_HISTORY. Guard that assumption per fixture so a
-    regenerated/denser testdata set fails loudly here instead of silently
-    diverging from the uncapped SQL oracles (ADVICE round 3)."""
+    _eig_edges, both built from capped_interactions), and since round 8 the
+    history_capped_edges pair guard inside q_cf_incremental_cooc — assume
+    capped == uncapped interactions, which holds only while no user's
+    distinct item count reaches MAX_USER_HISTORY. Guard that assumption per
+    fixture — at EVERY oracle-compared SF — so a regenerated/denser testdata
+    set fails loudly here instead of silently diverging from the uncapped
+    SQL oracles (ADVICE round 3; sf0.1 added round 8)."""
     from pyspark.sql import functions as F
 
     ui = itemcf.interactions(spark, sf_dir)
@@ -257,4 +262,23 @@ def test_audience_cap_keeps_smallest_user_ids(spark):
         for r in itemcf.audience_capped(ui, cap=4).collect()
     }
     expect = {(1, u) for u in (10, 11, 12, 13)} | {(2, 11), (2, 13)}
+    assert got == expect
+
+
+def test_history_cap_keeps_earliest_edges(spark):
+    """history_capped_edges must keep exactly the `cap` EARLIEST (m, i)
+    edges per user (the incremental contract: a standing capped history
+    admits new edges only while under budget) and leave small-history users
+    untouched — the r8 pair-mass guard inside q_cf_incremental_cooc."""
+    import datetime as dt
+
+    from recsys_spark_spark.cf.itemcf import history_capped_edges
+
+    d = dt.date(1995, 1, 1)
+    rows = [(1, i, d + dt.timedelta(days=i)) for i in range(10)]
+    # ties on m broken by item id: items 100..104 all first-seen the same day
+    rows += [(2, 100 + i, d) for i in range(5)]
+    fs = spark.createDataFrame(rows, "u long, i long, m date")
+    got = {(r.u, r.i) for r in history_capped_edges(fs, cap=4).collect()}
+    expect = {(1, i) for i in range(4)} | {(2, 100 + i) for i in range(4)}
     assert got == expect
