@@ -813,6 +813,13 @@ def _first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_persist(_FIRST_SEEN, key, build)
 
 
+# (applicationId, sf_dir, cap) -> persisted history-capped edge table. The
+# pair self-join references the capped edges on BOTH sides; without a persist
+# the cap window (exchange + sort) executes once per side over the cached
+# first_seen — measured ~2x the cap's cost at sf0.1 for zero benefit.
+_CAPPED_EDGES: dict[tuple[str, str, int], DataFrame] = {}
+
+
 def history_capped_edges(first_seen: DataFrame, cap: int = MAX_USER_HISTORY) -> DataFrame:
     """First-seen edge table with per-user history capped to the `cap`
     EARLIEST (m, i) edges — the hot-user pair guard for the incremental
@@ -887,7 +894,10 @@ def q_cf_incremental_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic). One join + one aggregate is ~4x less shuffle I/O and
     removes the concurrent-hash-map pressure of the 3-way union's merge.
     All joins are user-keyed on one partitioning; counts are exact ints."""
-    first_seen = history_capped_edges(_first_seen(spark, sf_dir))
+    key = (spark.sparkContext.applicationId, sf_dir, MAX_USER_HISTORY)
+    first_seen = memo_persist(
+        _CAPPED_EDGES, key, lambda: history_capped_edges(_first_seen(spark, sf_dir))
+    )
     edges = first_seen.select(
         "u", "i", (F.col("m") >= F.lit(COOC_CUTOFF)).alias("is_new")
     )
