@@ -37,7 +37,38 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    _assert_cap_properties(con, sf_dir)
     return con
+
+
+def _assert_cap_properties(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
+    """The capped CF paths (MAX_USER_HISTORY in capped_interactions /
+    history_capped_edges, MAX_ITEM_AUDIENCE in audience_capped) are exact vs
+    their UNCAPPED oracles only while no user/item in the data reaches the
+    cap. The fixture SFs are guarded in tests/test_cf_property.py, but this
+    harness accepts ANY --sf dir (ADVICE r7) — assert the property on the
+    actual data under comparison so a hotter dataset fails loudly here
+    instead of producing a confusing hash mismatch 40 queries in."""
+    from recsys_spark_spark.cf.itemcf import MAX_ITEM_AUDIENCE, MAX_USER_HISTORY
+
+    max_hist, max_aud = con.execute(
+        """
+        WITH ui AS (
+          SELECT o_custkey AS u, l_partkey AS i
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1, 2
+        )
+        SELECT (SELECT MAX(c) FROM (SELECT COUNT(*) c FROM ui GROUP BY u)),
+               (SELECT MAX(c) FROM (SELECT COUNT(*) c FROM ui GROUP BY i))
+        """
+    ).fetchone()
+    if max_hist >= MAX_USER_HISTORY or max_aud >= MAX_ITEM_AUDIENCE:
+        raise SystemExit(
+            f"{sf_dir}: cap property violated (max user history {max_hist} vs "
+            f"cap {MAX_USER_HISTORY}, max item audience {max_aud} vs cap "
+            f"{MAX_ITEM_AUDIENCE}) — capped CF queries are not oracle-exact "
+            "on this data"
+        )
 
 
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
