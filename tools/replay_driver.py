@@ -43,9 +43,13 @@ import sys
 import time
 
 # TZ must be pinned before the JVM starts; re-exec if something already set
-# a different zone into this interpreter's environment.
-if os.environ.get("TZ") != "Asia/Tokyo":
-    os.environ["TZ"] = "Asia/Tokyo"
+# a different zone into this interpreter's environment. Default Asia/Tokyo
+# (UTC+9, no DST); REPLAY_TZ overrides so a second pass can cover the
+# negative-offset + DST direction (r8: America/New_York) — a query that
+# leaks the session zone shifts instants by different amounts under the two.
+_REPLAY_TZ = os.environ.get("REPLAY_TZ", "Asia/Tokyo")
+if os.environ.get("TZ") != _REPLAY_TZ:
+    os.environ["TZ"] = _REPLAY_TZ
     os.execv(sys.executable, [sys.executable] + sys.argv)
 time.tzset()
 
