@@ -121,3 +121,69 @@ def test_worst_case_banding_fixture(spark, tmp_path):
 @pytest.mark.parametrize("width", [300])
 def test_band_width_matches_committed_constant(width):
     assert joins._IV_BAND_S == width
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 7200)),  # (user, event sec)
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_banding_matches_brute_force_on_random_fixtures(spark, tmp_path_factory, data):
+    """Randomized banding exactness: arbitrary event scatters (multi-session
+    users, band-boundary landings, duplicate timestamps) must aggregate to
+    exactly the brute-force all-pairs overlap result."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("ivband")
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        {
+            "event_id": k,
+            "ts": base + pd.Timedelta(seconds=sec),
+            "user_id": uid,
+            "event_type": "x",
+            "value": 1.0,
+            "props": "{}",
+        }
+        for k, (uid, sec) in enumerate(sorted(data, key=lambda t: (t[0], t[1])))
+    ]
+    pd.DataFrame(rows).to_parquet(tmp / "events.parquet", index=False)
+
+    got = QUERIES["q_join_interval"](spark, str(tmp)).toPandas()
+
+    # brute force: sessionize per user (gap rule on DISTINCT seconds in
+    # order; duplicate timestamps collapse like date_trunc('second') rows
+    # feeding min/max), then all-pairs overlap
+    by_user: dict[int, list[int]] = {}
+    for uid, sec in data:
+        by_user.setdefault(uid, []).append(sec)
+    iv = []
+    for uid, secs in by_user.items():
+        secs = sorted(secs)
+        cur = [secs[0], secs[0]]
+        for s in secs[1:]:
+            if s - cur[1] >= joins._IV_GAP_S:
+                iv.append((uid, cur[0], cur[1]))
+                cur = [s, s]
+            else:
+                cur[1] = s
+        iv.append((uid, cur[0], cur[1]))
+    pairs = [
+        (max(sa, sb), min(ea, eb) - max(sa, sb))
+        for i, (ua, sa, ea) in enumerate(iv)
+        for (ub, sb, eb) in iv[i + 1 :]
+        if ua != ub and sa <= eb and sb <= ea
+    ]
+    if not pairs:
+        assert len(got) == 0
+        return
+    assert len(got) == 1  # all starts are within day one
+    assert int(got.n_pairs.iloc[0]) == len(pairs)
+    assert int(got.overlap_s.iloc[0]) == sum(o for _, o in pairs)
