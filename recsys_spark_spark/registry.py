@@ -200,6 +200,12 @@ _R7_WINDOW = (  # retained for provenance; superseded by _R8_WINDOW below
 # Rows 49-50: the two r3 sink keys VERDICT r7 called out by name
 #   (q_sink_upsert, q_sink_kv_export) — catalog/sink state is the highest
 #   driver-env-drift risk in the r3 cohort.
+# _R9 planning note: once this window verifies, the backlog is zero and the
+# oldest driver rows are the remaining r3 cohort (47 keys: the scans/filters/
+# joins/windows/aggregates blocks + temporal/chunking/sinks heads, i.e. the
+# round-3 CORRECTNESS keys minus the two sinks above) — make _R9_WINDOW
+# those 47 plus the 3 oldest r4 rows; recompute from CORRECTNESS_r0{3..8}
+# (latest-round per key) rather than trusting this comment.
 _R8_WINDOW = (
     # -- never-driver-verified backlog (24), graph family first --
     "q_graph_triangles",
