@@ -138,9 +138,22 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled order (which set-Jaccard J2 scores 1.0) share few bigram
     shingles. Same (lang, n_chars) blocking as J2 keeps it sub-quadratic;
     shingling is a per-row array transform (no shuffle), the candidate join
-    and intersection are both block-keyed."""
-    d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    and intersection are both block-keyed.
+
+    Duplicate-mass cap (r8 — the registry's last >10x sf1 entry): the
+    shingle-intersection hit mass grows as copies² × shingles-per-doc when
+    exact copies flood a block, and every hit flows through the n_common
+    aggregate. The chain now runs on ONE representative per
+    (md5(text), lang, n_chars) class (_exact_dup_groups, the proven
+    pattern): identical text ⇒ identical shingle set and size ⇒ every
+    member pair of a rep pair shares the rep pair's EXACT n_common and
+    jaccard, and within-class pairs are jaccard 1.0 (emitted only when the
+    class has ≥1 bigram — empty-shingle docs never reach the oracle's
+    inner joins either). Doc pairs reconstruct through output-sized member
+    joins; the quadratic engine work is class-level."""
+    docs, groups = _exact_dup_groups(table(spark, sf_dir, "documents"))
+    reps = groups.select("doc_id", "lang", "n_chars", "text")
+    toks = reps.select("doc_id", F.split("text", " ").alias("t"))
     # sequence(1, size-1) descends when size < 2 — guard to an empty list
     # (matches DuckDB generate_series, which is empty when stop < start).
     bigrams = F.when(
@@ -149,25 +162,52 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     sh = toks.select("doc_id", F.explode(F.array_distinct(bigrams)).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = d.select(F.col("doc_id").alias("d1"), "lang", "n_chars")
-    b = d.select(F.col("doc_id").alias("d2"), "lang", "n_chars")
-    cand = a.join(b, ["lang", "n_chars"]).where(F.col("d1") < F.col("d2")).select("d1", "d2")
-    s1 = sh.select(F.col("doc_id").alias("d1"), "s")
-    s2 = sh.select(F.col("doc_id").alias("d2"), "s")
+    a = reps.select(F.col("doc_id").alias("r1"), "lang", "n_chars")
+    b = reps.select(F.col("doc_id").alias("r2"), "lang", "n_chars")
+    cand = a.join(b, ["lang", "n_chars"]).where(F.col("r1") < F.col("r2")).select("r1", "r2")
+    s1 = sh.select(F.col("doc_id").alias("r1"), "s")
+    s2 = sh.select(F.col("doc_id").alias("r2"), "s")
     inter = (
-        cand.join(s1, "d1")
-        .join(s2, ["d2", "s"])
-        .groupBy("d1", "d2")
+        cand.join(s1, "r1")
+        .join(s2, ["r2", "s"])
+        .groupBy("r1", "r2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    n1 = sizes.select(F.col("doc_id").alias("r1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("r2"), F.col("n").alias("n2"))
     jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
-    return (
-        inter.join(n1, "d1")
-        .join(n2, "d2")
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    rep_pairs = (
+        inter.join(n1, "r1")
+        .join(n2, "r2")
+        .select("r1", "r2", F.round(jac, 6).alias("jaccard"))
     )
+    mem = docs.join(
+        groups.select("h", "lang", "n_chars", F.col("doc_id").alias("rep")),
+        ["h", "lang", "n_chars"],
+    ).select("rep", "doc_id")
+    ma = mem.select(F.col("rep").alias("r1"), F.col("doc_id").alias("da"))
+    mb = mem.select(F.col("rep").alias("r2"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.join(ma, "r1")
+        .join(mb, "r2")
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+            "jaccard",
+        )
+    )
+    # within-class pairs: jaccard exactly 1.0, but ONLY for classes whose
+    # text has at least one bigram (a sizes row) — single-token/empty docs
+    # never produce intersection rows in the per-doc formulation.
+    shingled_reps = sizes.select(F.col("doc_id").alias("rep"))
+    wa = mem.join(shingled_reps, "rep").select("rep", F.col("doc_id").alias("d1"))
+    wb = mem.select("rep", F.col("doc_id").alias("d2"))
+    within = (
+        wa.join(wb, "rep")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 _EMBED_DEDUP_TAU = 0.2

@@ -289,3 +289,65 @@ def test_embedding_dedup_matches_bruteforce_on_duplicates(
     assert got == expect and len(got) > 0
     # the m=9 group's pair mass exceeds the K+2 member head in label 0
     assert any(r[0] == 0 and r[3] == 1.0 for r in got)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_ngram_matches_bruteforce_on_random_duplicates(spark, tmp_path, seed):
+    """r8 rep-collapse of q_dedup_ngram: brute-force python bigram Jaccard
+    over (lang, n_chars)-blocked pairs with >=1 shared bigram must equal the
+    representative-collapsed + member-expanded output, including the
+    within-class jaccard=1.0 pairs and the empty-shingle exclusion. The
+    corpus gets one extra same-length near-dup of the 40-token text (a
+    same-n_chars cross-CLASS candidate with high overlap) so the cross
+    expansion provably fires alongside the duplicate mass."""
+    sf = _random_duplicate_corpus(tmp_path, seed)
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    rng = random.Random(seed + 1)
+    big_row = docs.loc[docs.text.str.split().str.len().idxmax()]
+    toks = big_row.text.split()
+    swap = rng.randrange(len(toks))
+    repl = next(
+        t for t in (rng.sample([a + b + c for a in "abcde" for b in "fghij"
+                                for c in "klmno"], 60))
+        if t not in toks and len(t) == len(toks[swap])
+    )
+    toks2 = list(toks)
+    toks2[swap] = repl
+    extra = pd.DataFrame(
+        [
+            (int(docs.doc_id.max()) + k + 1, " ".join(toks2), big_row.lang,
+             big_row.source, len(" ".join(toks2)))
+            for k in range(2)  # multiplicity 2: cross pairs expand 2x m_big
+        ],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs = pd.concat([docs, extra], ignore_index=True)
+    docs.to_parquet(f"{sf}/documents.parquet", index=False)
+
+    got = {
+        (r.d1, r.d2, r.jaccard)
+        for r in QUERIES["q_dedup_ngram"](spark, sf).collect()
+    }
+
+    def bigrams(text: str) -> frozenset:
+        t = text.split()
+        return frozenset(f"{a} {b}" for a, b in zip(t, t[1:]))
+
+    meta = {
+        int(r.doc_id): (r.lang, len(r.text), bigrams(r.text))
+        for r in docs.itertuples()
+    }
+    expect = set()
+    for (i, (li, ci, bi)), (j, (lj, cj, bj)) in itertools.combinations(
+        sorted(meta.items()), 2
+    ):
+        if li != lj or ci != cj:
+            continue
+        inter = len(bi & bj)
+        if inter:
+            expect.add((i, j, round(inter / len(bi | bj), 6)))
+    assert got == expect
+    assert any(j == 1.0 for *_, j in got), "no within-class pair fired"
+    # the engineered cross-class candidate: distinct texts, same n_chars,
+    # 0 < jaccard < 1 — proves rep-pair member expansion is exercised
+    assert any(0 < j < 1 for *_, j in got), "no cross-class pair fired"
