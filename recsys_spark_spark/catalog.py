@@ -130,6 +130,30 @@ def memo_persist(
     return df
 
 
+def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin a low-parallelism source across the session's cores
+    before CPU-heavy per-row work (r8 optimization, guide §1.2/§2.5).
+
+    The test corpus ships as single-row-group parquet files, so every scan
+    is ONE task — and chains whose cost scales with per-row compute or
+    candidate fan-out (tokenize+md5 per doc, blocked joins with expensive
+    verify predicates) inherit that single task: input-byte-based split
+    sizing cannot see compute-bound stages. Measured: q_join_fuzzy ran 44 s
+    of its 45 s CPU in one task; q_sim_setjoin_prefix spent ~60 s across
+    six 1-task stages (plans/r08/).
+
+    Scale-adaptive: when the scan already yields at least the session's
+    parallelism (any real multi-file/multi-row-group table at cluster
+    scale), this is the identity — no exchange is added, so the 100 TB plan
+    is untouched. Row-deterministic downstream operators make the
+    round-robin value-neutral: aggregates here are exact-integer or
+    order-independent by the repo's determinism discipline."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

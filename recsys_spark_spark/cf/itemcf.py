@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recsys_spark_spark.catalog import memo_persist, table
+from recsys_spark_spark.catalog import memo_persist, spread, table
 from recsys_spark_spark.functions.determinism import dround, oround, rlong
 from recsys_spark_spark.registry import query
 
@@ -1045,8 +1045,12 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     a count-only floor lets the frequent set grow with the corpus (round-7
     sf1 probe measured 22.9x for 10x data before this fix; identical
     output at every tested SF by construction)."""
+    # spread the single-split lineitem scan: the basket subtree is
+    # re-derived for BOTH pair-join sides, and each rescan's partial
+    # distinct otherwise runs on one task (two ~16 s 1-task stages at
+    # sf0.1, plans/r08/q_assoc_rules_*). Identity at cluster scale.
     basket = (
-        table(spark, sf_dir, "lineitem")
+        spread(spark, table(spark, sf_dir, "lineitem"))
         .select(F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i"))
         .distinct()
     )

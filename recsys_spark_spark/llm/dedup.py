@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recsys_spark_spark.catalog import memo_persist, table
+from recsys_spark_spark.catalog import memo_persist, spread, table
 from recsys_spark_spark.functions.determinism import rlong
 from recsys_spark_spark.llm.similarity import _scaled_dot
 from recsys_spark_spark.registry import query
@@ -407,6 +407,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent exact-Jaccard truth set — re-verified green after the
     collapse, r8)."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH, Tokenizer
+    from pyspark.ml.functions import vector_to_array
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     g = d.groupBy("text").agg(
@@ -417,17 +418,51 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cv = CountVectorizer(inputCol="tokens", outputCol="features", binary=True, minDF=1.0)
     model = cv.fit(toks)
-    vecs = model.transform(toks).select("doc_id", "features")
+    vecs = model.transform(toks).select("doc_id", "tokens", "features")
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     lsh_model = lsh.fit(vecs)
-    pairs = lsh_model.approxSimilarityJoin(vecs, vecs, 0.2, distCol="jaccard_dist")
+    # Banded candidate join spelled out instead of approxSimilarityJoin —
+    # SAME MLlib hashing (seeded fit/transform, identical buckets), same
+    # output, radically less work (r8 optimization, guide §1.2/§4.4).
+    # approxSimilarityJoin builds `explode(hashes) ⋈ explode(hashes)` then
+    # `.distinct()` then filters on its keyDistance UDF; Catalyst pushes
+    # that deterministic UDF filter BELOW the distinct into the join
+    # condition, so the Jaccard UDF runs once per raw bucket COLLISION —
+    # measured 122.5M evaluations at sf0.1 for 2.96M distinct candidates
+    # (41×), 356 s of CPU in a single task (the bytes-tiny rep aggregate
+    # also left the whole chain on ONE AQE-coalesced partition). Here the
+    # candidate pairs are reduced to distinct (r1, r2) FIRST, and the
+    # distance — identical arithmetic to MinHashLSH.keyDistance: 1 −
+    # |A∩B|/|A∪B| over the binary-feature index sets, which for this
+    # untruncated vocabulary are exactly the distinct-token sets — is
+    # computed once per candidate from broadcast-joined token sets. The
+    # rep set is also spread across the session's parallelism (the 0.8 MB
+    # aggregate otherwise serializes the hashing + join on one task).
+    par = spark.sparkContext.defaultParallelism
+    ex = (
+        lsh_model.transform(vecs.repartition(par))
+        .select("doc_id", F.posexplode("hashes").alias("entry", "hv"))
+        .select("doc_id", "entry", vector_to_array("hv")[0].alias("h"))
+    )
+    ea = ex.select(F.col("doc_id").alias("r1"), "entry", "h")
+    eb = ex.select(F.col("doc_id").alias("r2"), "entry", "h")
+    cand = (
+        ea.join(eb, ["entry", "h"])
+        .where(F.col("r1") < F.col("r2"))
+        .select("r1", "r2")
+        .distinct()
+    )
+    tok_sets = vecs.select("doc_id", F.array_distinct("tokens").alias("ts"))
+    ta = F.broadcast(tok_sets.select(F.col("doc_id").alias("r1"), F.col("ts").alias("ta")))
+    tb = F.broadcast(tok_sets.select(F.col("doc_id").alias("r2"), F.col("ts").alias("tb")))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    dist = F.lit(1.0) - inter / union
     rep_pairs = (
-        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("r1"),
-            F.col("datasetB.doc_id").alias("r2"),
-            F.round("jaccard_dist", 6).alias("jaccard_dist"),
-        )
+        cand.join(ta, "r1")
+        .join(tb, "r2")
+        .where(dist < 0.2)
+        .select("r1", "r2", F.round(dist, 6).alias("jaccard_dist"))
     )
     mem = d.join(
         g.select("text", F.col("doc_id").alias("rep")), "text"
@@ -1349,7 +1384,11 @@ def q_sim_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     PPJoin's prefix guarantee holds for ANY consistent global token order,
     so computing df over representatives keeps losslessness (pinned vs the
     naive all-pairs join in tests/test_new_ops_worked.py)."""
-    d = table(spark, sf_dir, "documents").select(
+    # spread the single-split corpus scan BEFORE tokenize + the class-key
+    # md5: six 1-task stages totalling ~60 s at sf0.1 re-derived this
+    # subtree single-threaded (plans/r08/q_sim_setjoin_prefix_*). Identity
+    # at cluster scale (see catalog.spread).
+    d = spread(spark, table(spark, sf_dir, "documents")).select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("tset")
     )
     docs = d.withColumn("n", F.size("tset").cast("long")).where(
@@ -1535,7 +1574,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the own group's min/max-excluding-self (second-min/second-max when
     the member IS the extremum). Verified against a brute-force subset
     referent on a duplicate fixture in tests/test_new_ops_worked.py."""
-    d = table(spark, sf_dir, "documents")
+    # spread the single-split corpus scan BEFORE tokenize+md5: the class-key
+    # hash runs per doc in every branch that re-derives `docs`, and on one
+    # task it serializes (seven 1-task stages, ~45 s task time measured at
+    # sf0.1 — plans/r08/q_dedup_containment_*). Identity at cluster scale.
+    d = spread(spark, table(spark, sf_dir, "documents"))
     docs = d.select(
         "doc_id",
         "lang",

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recsys_spark_spark.catalog import memo_persist, table
+from recsys_spark_spark.catalog import memo_persist, spread, table
 from recsys_spark_spark.registry import query
 from recsys_spark_spark.functions.determinism import dround, rlong
 
@@ -1202,7 +1202,11 @@ def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     (K scans of 100 TB instead of one)."""
 
     def build() -> DataFrame:
-        d = table(spark, sf_dir, "documents")
+        # spread the single-split corpus scan: the regexp tokenize + explode
+        # otherwise runs the whole corpus on one task (an 85 s cold 1-task
+        # stage at sf0.1 — plans/r08/q_text_bpe_train_*). Identity at
+        # cluster scale (see catalog.spread).
+        d = spread(spark, table(spark, sf_dir, "documents"))
         return (
             d.select(
                 F.explode(

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recsys_spark_spark.catalog import table
+from recsys_spark_spark.catalog import spread, table
 from recsys_spark_spark.functions.determinism import osum, rlong
 from recsys_spark_spark.registry import query
 
@@ -485,13 +485,21 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tightening recall = more block keys (e.g. deletion-neighborhoods),
     never an all-pairs join. Both engines implement classic Levenshtein, so
     the verify predicate is exact and engine-portable."""
+    # part is one small parquet split, so without an exchange the broadcast
+    # join's stream side — and with it EVERY candidate's Levenshtein verify
+    # — runs in a single task (measured 44 s of 45 s query CPU in one
+    # 1-task stage at sf0.1, plans/r08/q_join_fuzzy_*). The verify work
+    # scales with candidate pairs, not input bytes, which scan splitting
+    # cannot see. catalog.spread round-robins the probe side across the
+    # session's parallelism (identity on an already-parallel scan at
+    # cluster scale): row-deterministic verify, identical output.
     p = table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
         F.split("p_name", " ").getItem(0).alias("w1"),
         F.substring(F.split("p_name", " ").getItem(1), 1, 1).alias("c2"),
     )
-    a = p.alias("a")
+    a = spread(spark, p).alias("a")
     b = p.alias("b")
     return (
         a.join(
