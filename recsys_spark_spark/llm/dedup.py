@@ -452,11 +452,39 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r1", "r2")
         .distinct()
     )
-    tok_sets = vecs.select("doc_id", F.array_distinct("tokens").alias("ts"))
+    # Distance representation (r8 measure-first follow-up, guide §1.2):
+    # array_intersect/array_distinct per candidate measured 439.5 s wall /
+    # ~14,000 s CPU for the 12.4M distinct candidates at sf0.1 (~1 ms/pair
+    # — the per-call hash-set build dominates), vs 9.3 s for candidate
+    # generation itself. When the fitted vocabulary fits in 64 bits —
+    # known on the driver from len(model.vocabulary); 31 at every test SF
+    # of this template corpus — each distinct-token set is a bitmask and
+    # the SAME integers |A∩B| / |A∪B| are bit_count(m1&m2) /
+    # bit_count(m1|m2): identical doubles out of the identical division,
+    # at ~ns/pair. Vocabularies wider than 64 keep the array path.
+    vocab = model.vocabulary
+    if len(vocab) <= 64:
+        vmap = F.create_map(
+            *[
+                F.lit(x)
+                for tok, i in ((t, i) for i, t in enumerate(vocab))
+                for x in (tok, 1 << i)
+            ]
+        )
+        mask = F.aggregate(
+            F.array_distinct("tokens"),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc.bitwiseOR(F.element_at(vmap, t)),
+        )
+        tok_sets = vecs.select("doc_id", mask.alias("ts"))
+        inter = F.bit_count(F.col("ta").bitwiseAND(F.col("tb")))
+        union = F.bit_count(F.col("ta").bitwiseOR(F.col("tb")))
+    else:
+        tok_sets = vecs.select("doc_id", F.array_distinct("tokens").alias("ts"))
+        inter = F.size(F.array_intersect("ta", "tb"))
+        union = F.size("ta") + F.size("tb") - inter
     ta = F.broadcast(tok_sets.select(F.col("doc_id").alias("r1"), F.col("ts").alias("ta")))
     tb = F.broadcast(tok_sets.select(F.col("doc_id").alias("r2"), F.col("ts").alias("tb")))
-    inter = F.size(F.array_intersect("ta", "tb"))
-    union = F.size("ta") + F.size("tb") - inter
     dist = F.lit(1.0) - inter / union
     rep_pairs = (
         cand.join(ta, "r1")

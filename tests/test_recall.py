@@ -100,6 +100,65 @@ def test_mllib_minhash_lsh_recall(spark):
     assert recall >= 0.9, f"MLlib LSH recall {recall:.3f} < 0.9 ({len(truth)} true pairs)"
 
 
+def test_minhash_lsh_matches_mllib_approx_join(spark):
+    """The r8 explicit banded-join + bitmask-distance implementation of
+    q_dedup_minhash_lsh must emit EXACTLY the rows the original MLlib
+    approxSimilarityJoin formulation emits (same seeded fit/transform,
+    same rep-collapse + membership expansion). Guards both r8 changes:
+    the distinct-candidates-first banded join and the <=64-token bitmask
+    Jaccard (bit_count over vocabulary masks == array_intersect over
+    distinct-token sets)."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH, Tokenizer
+
+    d = table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    g = d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("m")
+    )
+    toks = Tokenizer(inputCol="text", outputCol="tokens").transform(
+        g.select("doc_id", "text")
+    )
+    model = CountVectorizer(
+        inputCol="tokens", outputCol="features", binary=True, minDF=1.0
+    ).fit(toks)
+    vecs = model.transform(toks).select("doc_id", "features")
+    lsh_model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(vecs)
+    pairs = lsh_model.approxSimilarityJoin(vecs, vecs, 0.2, distCol="jaccard_dist")
+    rep_pairs = pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
+        F.col("datasetA.doc_id").alias("r1"),
+        F.col("datasetB.doc_id").alias("r2"),
+        F.round("jaccard_dist", 6).alias("jaccard_dist"),
+    )
+    mem = d.join(g.select("text", F.col("doc_id").alias("rep")), "text").select(
+        "rep", "doc_id"
+    )
+    ma = mem.select(F.col("rep").alias("r1"), F.col("doc_id").alias("da"))
+    mb = mem.select(F.col("rep").alias("r2"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.join(ma, "r1")
+        .join(mb, "r2")
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+            "jaccard_dist",
+        )
+    )
+    wa = mem.select("rep", F.col("doc_id").alias("d1"))
+    wb = mem.select("rep", F.col("doc_id").alias("d2"))
+    within = (
+        wa.join(wb, "rep")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.lit(0.0).alias("jaccard_dist"))
+    )
+    ref = {tuple(r) for r in cross.unionAll(within).collect()}
+    got = {tuple(r) for r in _queries()["q_dedup_minhash_lsh"](spark, SF_SMALL).collect()}
+    assert ref and got == ref, (
+        f"banded/bitmask path diverged from approxSimilarityJoin: "
+        f"{len(got - ref)} extra, {len(ref - got)} missing of {len(ref)}"
+    )
+
+
 def _euclid_top10(spark, sf_dir: str) -> set[int]:
     e = table(spark, sf_dir, "embeddings")
     probe = F.broadcast(e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("pv")))
