@@ -845,22 +845,15 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one item-keyed exchange), closures join on the (x, y) edge pair —
     never an all-pairs product; per-vertex counts are a count-sized
     aggregate of the exploded corners."""
-    from recsys_spark_spark.cf.itemcf import capped_interactions, cooccurrence
-
-    ui = capped_interactions(spark, sf_dir)
-    thr = ui.agg(
-        F.greatest(
-            F.lit(TRI_MIN_SUPPORT),
-            F.ceil(
-                F.countDistinct("user_id") / F.lit(float(TRI_USERS_PER_SUPPORT))
-            ),
-        ).alias("min_c")
-    )
-    e = (
-        cooccurrence(ui)
-        .crossJoin(F.broadcast(thr))
-        .where(F.col("n_common") >= F.col("min_c"))
-        .select(F.col("item_i").alias("x"), F.col("item_j").alias("y"))
+    # r8 optimization (guide §2.4/§5): triangle_counts references the edge
+    # list THREE times (e1/e2/e3), and each lazy reference re-derived the
+    # 13.1M-row co-occurrence pair shuffle. thresholded_edges() is the
+    # identical rule (this query's own contract), localCheckpointed and
+    # memoized per (session, sf_dir) — the pair join now runs once and the
+    # three join sides scan the checkpointed rows. (a, b) is canonical
+    # a > b, i.e. (y, x) here.
+    e = thresholded_edges(spark, sf_dir).select(
+        F.col("b").alias("x"), F.col("a").alias("y")
     )
     return triangle_counts(e)
 
@@ -1044,22 +1037,18 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are exact integers; ranks order by the unrounded ratio (same
     doubles both engines) with the partner id as tiebreak; one 6dp
     display rounding."""
-    from recsys_spark_spark.cf.itemcf import capped_interactions, cooccurrence
-
-    ui = capped_interactions(spark, sf_dir)
-    thr = ui.agg(
-        F.greatest(
-            F.lit(TRI_MIN_SUPPORT),
-            F.ceil(
-                F.countDistinct("user_id") / F.lit(float(TRI_USERS_PER_SUPPORT))
-            ),
-        ).alias("min_c")
-    )
-    e = (
-        cooccurrence(ui)
-        .crossJoin(F.broadcast(thr))
-        .where(F.col("n_common") >= F.col("min_c"))
-        .select(F.col("item_i").alias("x"), F.col("item_j").alias("y"))
+    # r8 optimization (guide §2.4/§5): the thresholded edge list is
+    # referenced SIX times through this DAG (both unionAll sides of `und`,
+    # which itself feeds deg + both wedge-join sides, plus the anti join),
+    # and every lazy reference re-derived the 13.1M-row co-occurrence pair
+    # shuffle — measured as six identical 116.6 MB / 13,127,405-row
+    # exchanges, 1,347 s CPU for the query at sf0.1. thresholded_edges()
+    # is the SAME rule (capped matrix + population-scaled floor, the
+    # q_graph_triangles contract), localCheckpointed and memoized per
+    # (session, sf_dir), so the pair join now runs once. (a, b) is
+    # canonical a > b, i.e. (y, x) here.
+    e = thresholded_edges(spark, sf_dir).select(
+        F.col("b").alias("x"), F.col("a").alias("y")
     )
     und = e.select(F.col("x").alias("v"), F.col("y").alias("nb")).unionAll(
         e.select(F.col("y").alias("v"), F.col("x").alias("nb"))
