@@ -1801,11 +1801,38 @@ def q_graph_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # expensive query in the registry (104 s at sf0.1). Only the norm's
         # Σw² genuinely needs 128 bits (w² ≤ 1e26), and that aggregate is
         # node-sized and runs once per iteration — decimal stays there.
+        # r8 optimization (guide §3.1/§2.4): v is node-sized (640k rows /
+        # 3.8 MB at sf0.1) but derives from an aggregate, so the planner
+        # can't prove it broadcastable and compiled a shuffle join — and
+        # with AQE the 245.8 MB / 25.4M-row edge-side map stage runs
+        # BEFORE the runtime broadcast conversion, so every iteration
+        # still wrote the full edge shuffle (measured: 10 stages writing
+        # identical 245.8 MB exchanges, 108 s wall / 1,010 s CPU).
+        # An explicit broadcast compiles BroadcastHashJoin outright: the
+        # persisted edge table is scanned in place and never shuffled;
+        # only the node-sized w/v aggregates move. (Checkpointing edges
+        # pre-partitioned by dst was tried first and does NOT help: AQE
+        # coalesces the checkpoint shuffle, so the LogicalRDD reports
+        # unknown partitioning and the join re-exchanges.) Broadcasting
+        # the iteration vector is the replicated-vertex-state pattern —
+        # it scales with the CATALOG, not the data, and stays far under
+        # the broadcast cap wherever the matvec itself is feasible.
+        # Each iteration references w TWICE (the norm aggregate and the
+        # normalized projection), so without per-step lineage truncation
+        # the matvec subtree re-executes 2^i times — measured as exactly
+        # 14 = 8+4+2 identical 245.8 MB / 25.4M-row edge exchanges for
+        # the 3 unrolled iterations (exchange reuse does not fire across
+        # the duplicated AQE subtrees). localCheckpoint(eager) on the
+        # node-sized w (640k rows) truncates the chain per step — the
+        # module's iterative-operator discipline (BPE merges, star
+        # contraction). With w materialized, the broadcast build for the
+        # next iteration's v is a node-sized local job.
         w = (
-            edges.join(v, edges.dst == v.node)
+            edges.join(F.broadcast(v), edges.dst == v.node)
             .select("src", (F.col("c") * F.col("v_s")).alias("cv"))
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("cv").alias("w"))
+            .localCheckpoint(eager=True)
         )
         nrm = w.agg(
             F.sqrt(
