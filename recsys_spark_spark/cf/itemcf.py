@@ -903,9 +903,21 @@ def q_cf_incremental_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = edges.select("u", F.col("i").alias("pi"), F.col("is_new").alias("a_new"))
     b = edges.select("u", F.col("i").alias("pj"), F.col("is_new").alias("b_new"))
+    # r8 optimization (guide §2.4): the pair table is ~26M nearly-unique
+    # (i,j) rows, so the un-aligned shape exchanged it TWICE — the flags
+    # aggregate's partial-agg output (hash(i,j,a_new,b_new)) could not be
+    # reused by the (i,j) merge aggregate, which re-exchanged all 26M rows
+    # (measured: two 283-305 MB / 23-26M-row exchanges back to back, and
+    # 150 s of GC in the second's full-size hash map). One explicit
+    # repartition by (pi, pj) moves the pairs ONCE: hash(i,j) satisfies the
+    # clustered distribution of the flags aggregate (subset rule), the
+    # merge aggregate, and — via partial map-side aggregation — leaves only
+    # the item-sized final exchange. Partial aggregation before the wide
+    # exchange bought nothing here because the keys are nearly unique.
     terms = (
         a.join(b, "u")
         .where(F.col("pi") != F.col("pj"))
+        .repartition(F.col("pi"), F.col("pj"))
         .groupBy(
             F.col("pi").alias("i"), F.col("pj").alias("j"), "a_new", "b_new"
         )

@@ -65,19 +65,30 @@ def deviation_pairs(ui: DataFrame) -> DataFrame:
             F.sum(F.col("r_j") - F.col("r_i")).alias("dsum_ji"),
         )
     )
-    fwd = half.select(
-        F.col("item_i").alias("src"),
-        F.col("item_j").alias("cand"),
-        F.col("dsum_ji").alias("dsum"),
-        "c",
+    # r8 optimization (guide §2.4; the itemcf.symmetrize rationale applied
+    # here): the fwd/rev self-UNION evaluated the whole `half` subtree —
+    # user-keyed self-join plus the 13.1M-row (i,j) aggregate exchange —
+    # once per branch (measured: two identical 126.2 MB / 13,127,405-row
+    # shuffle writes at sf0.1; AQE compiles the union branches separately,
+    # so exchange reuse does not fire). Explode emits both directions in
+    # the same stage, scanning the aggregate once.
+    both = F.array(
+        F.struct(
+            F.col("item_i").alias("src"),
+            F.col("item_j").alias("cand"),
+            F.col("dsum_ji").alias("dsum"),
+            F.col("c"),
+        ),
+        F.struct(
+            F.col("item_j").alias("src"),
+            F.col("item_i").alias("cand"),
+            (-F.col("dsum_ji")).alias("dsum"),
+            F.col("c"),
+        ),
     )
-    rev = half.select(
-        F.col("item_j").alias("src"),
-        F.col("item_i").alias("cand"),
-        (-F.col("dsum_ji")).alias("dsum"),
-        "c",
+    return half.select(F.explode(both).alias("e")).select(
+        "e.src", "e.cand", "e.dsum", "e.c"
     )
-    return fwd.unionAll(rev)
 
 
 _SLOPE_ONE_ORACLE = f"""

@@ -106,18 +106,34 @@ def q_cf_swing(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = (
         a.join(b, (F.col("i") == F.col("i2")) & (F.col("u1") < F.col("u2")))
         .select("u1", "u2", "i")
-        .localCheckpoint(eager=True)  # feeds ov + both sides of the pair join
+        .localCheckpoint(eager=True)  # feeds both pair-join sides
     )
-    ov = tri.groupBy("u1", "u2").agg(
-        F.round(F.lit(1e12) / (F.lit(SWING_ALPHA) + F.count(F.lit(1))), 0)
-        .cast("long")
-        .alias("w_s")
+    # r8 optimization (guide §2.4): the original shape exchanged the
+    # 7.5M-row checkpointed triple table BY (u1,u2) THREE times — once for
+    # the separate overlap-count aggregate and once per side of the
+    # tri x tri self-join — and then probed a third join to attach the
+    # overlap weight to every one of the Σk² pair rows (measured: three
+    # identical 77.5 MB exchanges plus a 672 s-run join stage at sf0.1).
+    # The overlap count now rides a WINDOW over the left join side: the
+    # window's single (u1,u2) exchange both computes k (so w_s is a
+    # column, not a join) and leaves the left side partitioned exactly as
+    # the pair join needs, so only the right side still exchanges — 3
+    # exchanges + 2 probes per pair row become 2 exchanges + 1 probe.
+    # (A collect_list + higher-order-function combination expansion was
+    # tried first and REJECTED: nested transform/slice/named_struct is
+    # interpreted per element, not codegen'd — measured 4,262 s CPU vs the
+    # join form's 498 s on the identical pair mass.)
+    kw = Window.partitionBy("u1", "u2")
+    left = tri.withColumn(
+        "w_s",
+        F.round(F.lit(1e12) / (F.lit(SWING_ALPHA) + F.count(F.lit(1)).over(kw)), 0).cast(
+            "long"
+        ),
     )
-    t2 = tri.select("u1", "u2", F.col("i").alias("j"))
+    right = tri.select("u1", "u2", F.col("i").alias("j"))
     pairs = (
-        tri.join(t2, ["u1", "u2"])
+        left.join(right, ["u1", "u2"])
         .where(F.col("i") < F.col("j"))
-        .join(ov, ["u1", "u2"])
         .select(F.col("i").alias("item_i"), F.col("j").alias("item_j"), "w_s")
     )
     sw = pairs.groupBy("item_i", "item_j").agg(

@@ -457,7 +457,16 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             = r + ⌈(pos − r·(q+1))/q⌉         otherwise
     n arrives as a 1-row broadcast. The previous unpartitioned-NTILE form
     (this oracle) is now only the semantics statement, not the plan."""
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # r8 optimization: spread the single-split orders scan — global_rank
+    # derives several chained passes from it and every one inherited the
+    # scan's ONE task (measured: eleven 1-task stages, 18 s task time with
+    # ~5 s single-core stretches at sf0.1). Identity at cluster scale
+    # (catalog.spread docstring).
+    from recsys_spark_spark.catalog import spread
+
+    o = spread(
+        spark, table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    )
     from recsys_spark_spark.operators.sorts import global_rank
 
     ranked = global_rank(

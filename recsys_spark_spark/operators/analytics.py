@@ -324,7 +324,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     edges = _pr_edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # r8 optimization (guide §3.1/§2.4, the q_graph_eigencentrality fix
+    # applied to its sibling): deg is node-sized but derives from an
+    # aggregate, so without materialization every downstream reference
+    # re-aggregated the cached 25.4M-row edge table; localCheckpoint once
+    # (eager — deg.count() below forces it anyway) and every iteration
+    # reads the 640k materialized rows instead.
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
     n_nodes = deg.count()  # scalar: node count (items with >=1 edge)
     # half-away-from-zero like DuckDB ROUND / determinism.rlong — Python's
     # built-in round() is banker's and would diverge on .5 boundaries
@@ -334,10 +344,21 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"),
         F.lit(half_away(1e9 / n_nodes)).cast("long").alias("pr_s"),
     )
-    ej = edges.join(deg, "src")  # (src, dst, outdeg) — reused every step
+    # Broadcast the node-sized side of every per-iteration join (measured
+    # before-plan: the compile-time shuffle join wrote the full 232.7 MB /
+    # 25.4M-row edge exchange once per iteration — 5 duplicate exchanges,
+    # 701 s CPU at sf0.1 — because AQE's runtime broadcast conversion only
+    # fires after the edge-side map stage has already run). With explicit
+    # broadcasts the persisted edge table is scanned in place and never
+    # shuffled; only node-sized state (deg, pr, contrib — the
+    # replicated-vertex-state pattern, catalog-scaled) moves. The
+    # per-iteration localCheckpoint on node-sized pr truncates lineage so
+    # each broadcast build is a node-sized local job instead of a re-run
+    # of every earlier iteration (the eigencentrality 2^i lesson).
+    ej = edges.join(F.broadcast(deg), "src")  # (src, dst, outdeg) — narrow
     for _ in range(PR_ITERATIONS):
         contrib = (
-            ej.join(pr, ej.src == pr.node)
+            ej.join(F.broadcast(pr), ej.src == pr.node)
             .select(
                 F.col("dst").alias("node"),
                 rlong(F.lit(PR_DAMPING) * F.col("pr_s") / F.col("outdeg")).alias("c_s"),
@@ -347,11 +368,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pr = (
             deg.select(F.col("src").alias("node"))
-            .join(contrib, "node", "left")
+            .join(F.broadcast(contrib), "node", "left")
             .select(
                 "node",
                 (base_s + F.coalesce("in_s", F.lit(0))).alias("pr_s"),
             )
+            .localCheckpoint(eager=True)
         )
     wr = Window.orderBy(F.col("pr_s").desc(), "node")
     return (
@@ -2224,6 +2246,21 @@ FROM lab
 """
 
 
+def _state_partitions(n_rows: int, row_bytes: int = 24) -> int:
+    """Partition budget for checkpointed iterative state (r8, guide §2.2/§6):
+    size partitions by BYTES (AQE's 64 MB advisory), because the session's
+    default coalescing keeps parallelism first — a 0.3 MB contracted edge
+    set otherwise re-materializes on 32-64 partitions every round, and each
+    of the ~6 exchanges per round then pays 32-64 task launches for
+    microseconds of work (measured: 64-task stages at 11-23 s wall with
+    <5 s executor CPU across 8 star rounds / 3 BFS hops at sf0.1).
+    Scale-adaptive by construction: a cluster-sized edge set (say 20 GB)
+    gets ~320 partitions, the catalog-sized local one gets 1."""
+    import math
+
+    return max(1, math.ceil(n_rows * row_bytes / (64 << 20)))
+
+
 def star_contract(e: DataFrame, rounds: int) -> DataFrame:
     """Run `rounds` alternating large-star/small-star rounds over a
     canonical (a > b) edge DataFrame; returns the contracted edge set
@@ -2241,6 +2278,11 @@ def star_contract(e: DataFrame, rounds: int) -> DataFrame:
     and strictly within-component; every stage is a keyed min-aggregate
     plus a keyed join — no driver-side state beyond the fixed round count.
     """
+    # Partition budget from the INPUT edge count (contraction only shrinks
+    # the within-round state up to constant factors): every checkpointed
+    # round re-materializes on this many partitions instead of the session
+    # shuffle width — see _state_partitions.
+    p = _state_partitions(e.count())
     for _ in range(rounds):
         nbr = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -2263,7 +2305,7 @@ def star_contract(e: DataFrame, rounds: int) -> DataFrame:
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
         )
         e2 = sm.select("a", F.col("m").alias("b"))
-        e = e1.unionAll(e2).distinct().localCheckpoint(eager=True)
+        e = e1.unionAll(e2).distinct().coalesce(p).localCheckpoint(eager=True)
     return e
 
 
@@ -2428,9 +2470,17 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     so at 100x the per-hop join is bounded by catalog-sized degree, not
     by raw interactions."""
     e0 = thresholded_edges(spark, sf_dir)
-    und = e0.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-        e0.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    ).localCheckpoint(eager=True)
+    # r8: byte-derived partition budget for the catalog-sized BFS state —
+    # und/frontier/visited otherwise iterate on 32-64 partition checkpoints
+    # (measured: three 64-task hop stages, 74-141 s wall, <9 s executor CPU
+    # — pure task-launch overhead). See _state_partitions.
+    p = _state_partitions(e0.count(), row_bytes=16)
+    und = (
+        e0.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e0.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .coalesce(p)
+        .localCheckpoint(eager=True)
+    )
     wd = Window.orderBy(F.col("deg").desc(), "u")
     seeds = (
         und.groupBy("u")
@@ -2450,9 +2500,10 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("seed", F.col("v").alias("node"))
             .distinct()
             .join(visited, ["seed", "node"], "left_anti")
+            .coalesce(p)
             .localCheckpoint(eager=True)
         )
-        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+        visited = visited.unionAll(frontier).coalesce(p).localCheckpoint(eager=True)
         heads.append(
             frontier.groupBy("seed").agg(
                 F.lit(h).cast("long").alias("hop"),

@@ -1835,41 +1835,85 @@ def q_ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").cast("long").alias("q"))
     )
 
-    def croston(pdf: pd.DataFrame) -> pd.DataFrame:
+    # r8 optimization (guide §4.1/§4.5): the original
+    # d.groupBy("part").applyInPandas(...) invoked the Python function once
+    # per part — ~20k tiny Arrow batches, each paying pandas
+    # DataFrame/sort/to_datetime construction (measured 12 ms/part: a
+    # 244 s-task-time stage whose executor CPU was 6.5 s — all of it
+    # JVM-side waiting on the per-group Python protocol). The fold now
+    # streams whole partitions through ONE mapInPandas iterator:
+    # rows arrive hash-partitioned by part and sorted by (part, day), the
+    # function slices parts on group boundaries inside each batch (carrying
+    # a possibly-split trailing part over to the next batch), and the
+    # per-step float math is executed on the identical numpy slices in the
+    # identical order — bit-identical state to the per-group form. The
+    # explicit numPartitions = defaultParallelism keeps the compute-bound
+    # stage at session parallelism (AQE's byte-based coalescing shrank this
+    # ~10 MB exchange to 8 partitions, blind to per-row Python cost) and is
+    # exempt from AQE coalescing, scale-adaptively: on a cluster,
+    # defaultParallelism IS the core count.
+    import numpy as np
+
+    cols = [
+        "l_partkey", "n_occurrences", "size_level", "interval_level",
+        "croston_rate", "sba_rate",
+    ]
+
+    def fold_chunk(pdf: pd.DataFrame) -> list[tuple]:
         import math
 
-        pdf = pdf.sort_values("day")
-        q = pdf["q"].to_numpy()
-        days = pd.to_datetime(pdf["day"]).to_numpy()
-        m = len(q)
-        cols = [
-            "l_partkey", "n_occurrences", "size_level", "interval_level",
-            "croston_rate", "sba_rate",
-        ]
-        if m < 2:
-            return pd.DataFrame(columns=cols)
-        gaps = ((days[1:] - days[:-1]) / pd.Timedelta(days=1)).astype(int)
-        z, p = float(q[0]), float(gaps[0])
-        for i in range(1, m):
-            z = _CR_A * q[i] + _CR_A1 * z
-            p = _CR_A * gaps[i - 1] + _CR_A1 * p
+        parts = pdf["part"].to_numpy()
+        qs = pdf["q"].to_numpy()
+        dts = pd.to_datetime(pdf["day"]).to_numpy()
+        bounds = np.flatnonzero(np.r_[True, parts[1:] != parts[:-1], True])
 
         def r6(v: float) -> float:
             return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
 
-        rate = z / p
-        return pd.DataFrame(
-            [
-                (
-                    int(pdf["part"].iloc[0]), m, r6(z), r6(p),
-                    r6(rate), r6(_CR_SBA * rate),
-                )
-            ],
-            columns=cols,
-        )
+        out = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            q = qs[s:e]
+            days = dts[s:e]
+            gaps = ((days[1:] - days[:-1]) / pd.Timedelta(days=1)).astype(int)
+            z, p = float(q[0]), float(gaps[0])
+            for i in range(1, m):
+                z = _CR_A * q[i] + _CR_A1 * z
+                p = _CR_A * gaps[i - 1] + _CR_A1 * p
+            rate = z / p
+            out.append(
+                (int(parts[s]), int(m), r6(z), r6(p), r6(rate), r6(_CR_SBA * rate))
+            )
+        return out
+
+    def croston_stream(batches):
+        buf = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            parts = pdf["part"].to_numpy()
+            # hold back the trailing part — its rows may continue in the
+            # next batch of this partition's sorted stream
+            cut = int(np.searchsorted(parts, parts[-1], side="left"))
+            buf = pdf.iloc[cut:]
+            rows = fold_chunk(pdf.iloc[:cut])
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        if buf is not None and len(buf):
+            rows = fold_chunk(buf)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
     schema = (
         "l_partkey long, n_occurrences long, size_level double, "
         "interval_level double, croston_rate double, sba_rate double"
     )
-    return d.groupBy("part").applyInPandas(croston, schema)
+    return (
+        d.repartition(spark.sparkContext.defaultParallelism, "part")
+        .sortWithinPartitions("part", "day")
+        .mapInPandas(croston_stream, schema)
+    )

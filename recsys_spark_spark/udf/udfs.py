@@ -141,8 +141,20 @@ def q_udtf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    return o.groupBy("o_custkey").applyInPandas(
-        zscore, "o_orderkey long, o_custkey long, z double"
+    # r8 optimization (guide §2.5/§4): AQE's byte-based partition coalescing
+    # shrank the 2.9 MB pre-group exchange to TWO partitions, so all ~15k
+    # per-customer Python invocations ran through two workers sequentially
+    # (measured: a 2-task stage, 34.7 s task time, 1.1 s executor CPU — the
+    # JVM just waits on the per-group Python protocol). An explicit
+    # numPartitions = defaultParallelism hash repartition on the grouping
+    # key satisfies the grouped-map distribution (no second exchange), is
+    # exempt from AQE coalescing, and sizes the compute-bound stage by the
+    # session's cores — scale-adaptively, since on a cluster
+    # defaultParallelism IS the executor core count.
+    return (
+        o.repartition(spark.sparkContext.defaultParallelism, "o_custkey")
+        .groupBy("o_custkey")
+        .applyInPandas(zscore, "o_orderkey long, o_custkey long, z double")
     )
 
 

@@ -318,17 +318,19 @@ def test_item_transitions_topk_avoids_global_sort(spark):
 
 
 def test_pagerank_reuses_persisted_edges(spark):
-    """q_graph_pagerank's five iterations must read the edge list from the
-    persisted InMemoryRelation (one scan per contribution join), not replay
-    the user-keyed self-join lineage per iteration."""
-    from recsys_spark_spark.operators.analytics import PR_ITERATIONS
-
+    """Since the r8 optimization each q_graph_pagerank iteration joins the
+    persisted edge list against BROADCAST node-sized state and
+    localCheckpoints the result, so per-iteration work runs eagerly in
+    node-sized jobs (the edge table is scanned in place, never shuffled —
+    plans/r08/q_graph_pagerank_{before,after}.txt) and the final plan must
+    read the checkpointed rank vector — a Scan ExistingRDD, NOT a replay of
+    the user-keyed self-join lineage (the before-plan was 369 KB of
+    duplicated co-occurrence subtrees; any join operator reappearing in the
+    final plan means the checkpoint was dropped)."""
     plan = plan_of(spark, "q_graph_pagerank")
-    assert plan.count("InMemoryTableScan") >= PR_ITERATIONS, plan[:1200]
-    # the expensive edge build (self-join on user) must appear at most once
-    # outside the cached subtree repetitions: every contribution join is
-    # keyed on src/node, so no per-iteration user-keyed exchange may remain
-    assert "crossJoin" not in plan
+    assert "Scan ExistingRDD" in plan, plan[:1200]
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin", "crossJoin"):
+        assert op not in plan, plan[:1200]
 
 
 def test_interval_join_is_banded_equi_not_cartesian(spark):
