@@ -692,6 +692,15 @@ def _near_dup_edges(spark: SparkSession, d: DataFrame) -> DataFrame:
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     t1 = tok.select(F.col("doc_id").alias("d1"), "token")
     t2 = tok.select(F.col("doc_id").alias("d2"), "token")
+    # r8 note (examined, deliberately left): the verification fan-out
+    # (candidate x |tokens(d1)| probe rows into the (d2, token)
+    # intersection join) runs ~19 s CPU on 8 AQE-coalesced tasks at sf0.1.
+    # An explicit width-pinned repartition on d1 was tried and REVERTED on
+    # measurement: it demoted the token joins from broadcast to shuffle
+    # (CPU 19 s -> 60 s per stage) and its wider partitioning leaked into
+    # the downstream label-propagation checkpoints (6 extra 66-task tiny
+    # stages per round). The 8-wide broadcast-probe shape is the better
+    # plan; the residual cost is true candidate-verification mass.
     inter = (
         cand.join(t1, "d1")
         .join(t2, ["d2", "token"])

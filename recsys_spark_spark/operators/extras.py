@@ -302,25 +302,36 @@ def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WALK_STEPS = 8
 
-_WALK_SQL_SPARK = f"""
-WITH RECURSIVE toks AS (
-  SELECT split(text, ' ') AS t FROM documents
+_WALK_LM_SQL = """
+WITH toks AS (
+  SELECT /*+ REPARTITION({par}) */ split(text, ' ') AS t FROM documents
 ), big AS (
   SELECT p.w1 AS w1, p.w2 AS w2
   FROM toks LATERAL VIEW explode(transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))) ex AS p
   WHERE size(t) >= 2
 ), counts AS (
   SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY w1, w2
-), best AS (
-  SELECT w1, w2 FROM (
-    SELECT w1, w2, ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn FROM counts
-  ) WHERE rn = 1
-), seed AS (
-  SELECT w1 FROM counts GROUP BY w1 ORDER BY SUM(c) DESC, w1 LIMIT 1
-), walk(step, token) AS (
-  SELECT CAST(0 AS BIGINT) AS step, w1 AS token FROM seed
+)
+SELECT w1, w2, c FROM counts
+"""
+
+_WALK_BEST_SQL = """
+SELECT w1, w2 FROM (
+  SELECT w1, w2, ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn
+  FROM walk_counts
+) WHERE rn = 1
+"""
+
+_WALK_SEED_SQL = """
+SELECT w1 FROM walk_counts GROUP BY w1 ORDER BY SUM(c) DESC, w1 LIMIT 1
+"""
+
+_WALK_SQL_SPARK = f"""
+WITH RECURSIVE walk(step, token) AS (
+  SELECT CAST(0 AS BIGINT) AS step, w1 AS token FROM walk_seed
   UNION ALL
-  SELECT r.step + CAST(1 AS BIGINT), b.w2 FROM walk r JOIN best b ON b.w1 = r.token WHERE r.step < {_WALK_STEPS}
+  SELECT r.step + CAST(1 AS BIGINT), b.w2
+  FROM walk r JOIN walk_best b ON b.w1 = r.token WHERE r.step < {_WALK_STEPS}
 )
 SELECT step, token FROM walk
 """
@@ -368,6 +379,29 @@ def q_sql_recursive_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recsys_spark_spark.catalog import register_views
 
     register_views(spark, sf_dir)
+    # r8 optimization, two parts (guide §2.4/§6.1):
+    # 1. The bigram build (token explode + pair count) inherited the
+    #    single-row-group documents scan's ONE task (a 9.9 s 1-task stage
+    #    at sf0.1 — the SQL-mode twin of the committed catalog.spread fix):
+    #    a REPARTITION hint sized to the session parallelism spreads it.
+    # 2. Spark's recursive CTE re-evaluates every non-recursive CTE the
+    #    recursion references ONCE PER LEVEL — measured 18 identical
+    #    29k-row bigram-count stages for 9 walk levels (~2 per level, both
+    #    ends of the per-level join). The corpus-sized LM is now built
+    #    once, localCheckpointed, and exposed to the recursion as the
+    #    walk_counts-derived walk_best/walk_seed views, so each level is a
+    #    single tiny join against materialized vocabulary-sized state.
+    #    The recursion itself — the declared Spark-4 WITH RECURSIVE
+    #    surface — is unchanged.
+    par = spark.sparkContext.defaultParallelism
+    counts = spark.sql(_WALK_LM_SQL.format(par=par)).localCheckpoint(eager=True)
+    counts.createOrReplaceTempView("walk_counts")
+    spark.sql(_WALK_BEST_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "walk_best"
+    )
+    spark.sql(_WALK_SEED_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "walk_seed"
+    )
     return spark.sql(_WALK_SQL_SPARK)
 
 
