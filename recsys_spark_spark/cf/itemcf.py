@@ -144,11 +144,26 @@ def cooccurrence(ui: DataFrame) -> DataFrame:
 
     Self-join on user_id — the skew-prone stage; inputs should be capped
     (see capped_interactions) at scale.
+
+    shuffle_hash hint for the same reason as topk_neighbors_fused: without
+    it the join runs colocated on the upstream aggregate's AQE-coalesced
+    partitioning (5 tasks at sf0.1 — the byte-sized width of the ~6 MB
+    matrix, not the width the 13M-row pair fan-out needs: 64 s single-core
+    CPU in q_cf_iuf_sim's pair stage, 21 s in q_cf_cooccurrence's). The
+    hint pins the strategy on default-config sessions too (the driver
+    probe does not set preferSortMergeJoin=false, so without it the pair
+    join Tungsten-sorts both 600k-row sides before streaming 13M pair
+    rows). An explicit repartition(width) on one side was tried and
+    REVERTED on plan evidence: Catalyst elides a repartition whose child
+    already reports the same hash partitioning (the ui aggregate is
+    hash(user_id)), and pinning it inside the shared subtree broke
+    exchange reuse between the self-join sides, re-deriving the whole
+    interactions build per side (measured 4x CPU in q_cf_user_sim's twin).
     """
     a = ui.select("user_id", F.col("item_id").alias("item_i"))
     b = ui.select("user_id", F.col("item_id").alias("item_j"))
     return (
-        a.join(b, "user_id")
+        a.join(b.hint("shuffle_hash"), "user_id")
         .where(F.col("item_i") < F.col("item_j"))
         .groupBy("item_i", "item_j")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -467,15 +482,26 @@ IUF_CTE = """usize AS (
 )
 def q_cf_iuf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I5: inverse-user-frequency ItemCF — active users contribute
-    1/ln(1+|I(u)|) to each co-occurrence instead of 1."""
+    1/ln(1+|I(u)|) to each co-occurrence instead of 1.
+
+    The IUF weight rides the `a` side as a partition-local window count
+    (ui is hash-partitioned by user_id, so count-over-user needs no
+    exchange) instead of a separate usize aggregate joined back onto the
+    13M-row pair stream — one fewer join in the widest stage. The pair
+    join carries the same shuffle_hash hint as cooccurrence(): without it
+    the whole pair fan-out ran on the aggregate's 5 AQE-coalesced
+    partitions (64 s single-core CPU in one 5-task stage at sf0.1)."""
     ui = interactions(spark, sf_dir)
-    usize = ui.groupBy("user_id").agg((F.lit(1.0) / F.log(F.lit(1) + F.count(F.lit(1)))).alias("iuf"))
-    a = ui.select("user_id", F.col("item_id").alias("item_i"))
+    uw = Window.partitionBy("user_id")
+    a = ui.select(
+        "user_id",
+        F.col("item_id").alias("item_i"),
+        (F.lit(1.0) / F.log(F.lit(1) + F.count(F.lit(1)).over(uw))).alias("iuf"),
+    )
     b = ui.select("user_id", F.col("item_id").alias("item_j"))
     iufnum = (
-        a.join(b, "user_id")
+        a.join(b.hint("shuffle_hash"), "user_id")
         .where(F.col("item_i") < F.col("item_j"))
-        .join(usize, "user_id")
         .groupBy("item_i", "item_j")
         .agg((F.sum(rlong(F.col("iuf") * F.lit(1e9))) / F.lit(1e9)).alias("s_iuf"))
     )
@@ -597,8 +623,12 @@ def q_cf_user_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     uic = audience_capped(ui)
     a = uic.select("item_id", F.col("user_id").alias("user_a"))
     b = uic.select("item_id", F.col("user_id").alias("user_b"))
+    # shuffle_hash hint: same under-parallelism guard as cooccurrence() —
+    # without it the pair join runs colocated on the audience-cap window's
+    # AQE-coalesced item_id partitioning (4 tasks emitting 8.9M pair rows
+    # at sf0.1) instead of the session's shuffle width.
     ucooc = (
-        a.join(b, "item_id")
+        a.join(b.hint("shuffle_hash"), "item_id")
         .where(F.col("user_a") < F.col("user_b"))
         .groupBy("user_a", "user_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -674,8 +704,16 @@ def q_cf_user_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ui = capped_interactions(spark, sf_dir)
     neighbors = topk_user_neighbors(ui)
     expanded = ui.join(F.broadcast(neighbors), ui.user_id == neighbors.user_b)
+    # repartition by the TARGET user ONCE before the aggregate — the same
+    # one-exchange discipline as ItemCF recommend(): hash(user_a) satisfies
+    # the (user_a, item_id) aggregate via the subset rule AND the seen-filter
+    # join + final window downstream. Without it Catalyst compiled partial
+    # agg → Exchange(user_a, item_id) → final agg → second Exchange(user_a),
+    # moving the ~4.7M expanded rows twice with a map-side combine that
+    # deduped under 2% (expanded keys are nearly unique per input partition).
     scores = (
-        expanded.groupBy(
+        expanded.repartition("user_a")
+        .groupBy(
             F.col("user_a").alias("user_id"),
             F.col("item_id"),
         )
