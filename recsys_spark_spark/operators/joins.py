@@ -389,8 +389,20 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     is genuine output, not join waste; the band join rides it sublinearly.
     The oracle states the same result via the plain quadratic join (DuckDB
     IEJoin handles sf-test sizes)."""
-    ev = table(spark, sf_dir, "events").withColumn(
-        "sec", F.date_trunc("second", "ts")
+    # r8 (guide §2.6): explicit width on the sessionize exchange — the
+    # events table is a single-row-group file and the ~1.4 MB user_id
+    # exchange AQE-coalesces to ONE partition, so the whole
+    # sessionize → interval → band-explode → overlap-probe chain ran
+    # single-core (three 1-task stages, 28 s task time at sf0.1). The
+    # scan side has no incoming partitioning, so the explicit-number
+    # repartition survives compilation and the band join's probe stage
+    # inherits the session's width; defaultParallelism scales with the
+    # cluster.
+    par = spark.sparkContext.defaultParallelism
+    ev = (
+        table(spark, sf_dir, "events")
+        .withColumn("sec", F.date_trunc("second", "ts"))
+        .repartition(par, "user_id")
     )
     order = Window.partitionBy("user_id").orderBy("sec", "event_id")
     prev = F.lag("sec").over(order)

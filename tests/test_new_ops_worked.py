@@ -1279,3 +1279,50 @@ def test_quantile_grid_bound_holds_and_matches_numpy(spark):
     h1 = np.bincount(((v[::2] - lo) * QGRID_BINS) // span, minlength=QGRID_BINS)
     h2 = np.bincount(((v[1::2] - lo) * QGRID_BINS) // span, minlength=QGRID_BINS)
     assert (h1 + h2 == whole).all()
+
+
+def test_containment_mask_prefilter_edge_cases(spark, tmp_path):
+    """r8 bitmask-prefilter edge cases for q_dedup_containment: a near-miss
+    pair differing in exactly ONE token (the prefilter's weakest case — a
+    single missing token has only a ~68% chance of hitting a clear mask
+    bit, so the exact intersect must reject whatever slips through), and a
+    mask-saturating >256-distinct-token container (all 256 bits set, the
+    prefilter passes everything and the exact check must still decide).
+    Brute-force subset referent, same contract as the fixture tests."""
+    import re
+
+    def tok(i: int) -> str:
+        return f"w{chr(97 + i // 26 % 26)}{chr(97 + i % 26)}{chr(97 + i // 676)}"
+
+    big = " ".join(tok(i) for i in range(300))        # saturates the mask
+    base = " ".join(tok(i) for i in range(20))        # subset of big
+    nearmiss = " ".join("qqq" if i == 7 else tok(i) for i in range(20))
+    rows = [
+        (1, big, "en", "s0"),
+        (2, base, "en", "s0"),
+        (3, nearmiss, "en", "s0"),      # NOT a subset of big (qqq missing)
+        (4, base, "fr", "s0"),          # same tokens, other lang: no match
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["n_chars"] = df.text.str.len().astype("int64")
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = {
+        (r.doc_id, r.lang, r.n_tokens, r.n_containers, r.min_container,
+         r.max_container)
+        for r in QUERIES["q_dedup_containment"](spark, str(tmp_path)).collect()
+    }
+    sets = {
+        int(r.doc_id): (r.lang, frozenset(re.findall(r"[a-z]+", r.text.lower())))
+        for r in df.itertuples()
+    }
+    expect = set()
+    for a, (la, sa) in sets.items():
+        if len(sa) < 15:
+            continue
+        cs = [b for b, (lb, sb) in sets.items() if b != a and lb == la and sa <= sb]
+        if cs:
+            expect.add((a, la, len(sa), len(cs), min(cs), max(cs)))
+    assert got == expect
+    assert (2, "en", 20, 1, 1, 1) in got          # subset under saturation
+    assert all(r[0] != 3 for r in got)            # near-miss rejected
