@@ -968,13 +968,23 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rlong(F.col("o_totalprice")).cast("long")).alias("m_dollars"),
         )
     )
+    # r8 (guide §2.6 idle capacity): the three ranks used to CHAIN — each
+    # global_rank consumed the previous one's output, serializing ~30
+    # scheduler-bound stages end-to-end (35 stages, 11 s task time, ~31 s
+    # wall at sf0.1 — pure depth, not work). The ranks are independent
+    # orderings of the same customer-sized base, so they now run as three
+    # independent BRANCHES off one checkpointed base (DAGScheduler submits
+    # ready stages concurrently) and join back on the unique key; each
+    # branch also sorts a 2-column frame instead of the accumulating one.
+    base = base.localCheckpoint(eager=True)
     n = base.agg(F.count(F.lit(1)).alias("n"))
     ranked = base
     for col, pos in (("r_days", "pr"), ("f_orders", "pf"), ("m_dollars", "pm")):
-        ranked = global_rank(
-            spark, ranked, value_col=col, tiebreak="c_custkey", pos_col=pos,
-            descending=False,
-        )
+        branch = global_rank(
+            spark, base.select("c_custkey", col), value_col=col,
+            tiebreak="c_custkey", pos_col=pos, descending=False,
+        ).select("c_custkey", pos)
+        ranked = ranked.join(branch, "c_custkey")
     tile = lambda p: F.expr(f"CAST(({p} - 1) * {RFM_TILES} DIV n + 1 AS BIGINT)")
     return ranked.join(F.broadcast(n)).select(
         "c_custkey",
