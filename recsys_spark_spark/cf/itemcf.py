@@ -484,24 +484,28 @@ def q_cf_iuf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I5: inverse-user-frequency ItemCF — active users contribute
     1/ln(1+|I(u)|) to each co-occurrence instead of 1.
 
-    The IUF weight rides the `a` side as a partition-local window count
-    (ui is hash-partitioned by user_id, so count-over-user needs no
-    exchange) instead of a separate usize aggregate joined back onto the
-    13M-row pair stream — one fewer join in the widest stage. The pair
-    join carries the same shuffle_hash hint as cooccurrence(): without it
-    the whole pair fan-out ran on the aggregate's 5 AQE-coalesced
-    partitions (64 s single-core CPU in one 5-task stage at sf0.1)."""
+    The pair join carries the same shuffle_hash hint as cooccurrence():
+    without it the whole pair fan-out ran on the aggregate's 5
+    AQE-coalesced partitions (64 s single-core CPU in one 5-task stage at
+    sf0.1). The IUF weight joins on as the usize aggregate, user-keyed
+    and colocated with the pair stream (planner picks broadcast at test
+    sizes, stays shuffled at scale). A window-count variant (weight as
+    count-over-user on the `a` side, no usize join) was tried and
+    REVERTED on an sf1 A/B: the Window in the pair-emit stage cost
+    1.7-2x the CPU of the join form at 113M pair rows (1,293-1,537 s vs
+    749-987 s, GC 2.7x) across two interleaved rounds — WindowExec's sort
+    + group buffering sits in the widest stage, where the usize hash
+    probe is nearly free."""
     ui = interactions(spark, sf_dir)
-    uw = Window.partitionBy("user_id")
-    a = ui.select(
-        "user_id",
-        F.col("item_id").alias("item_i"),
-        (F.lit(1.0) / F.log(F.lit(1) + F.count(F.lit(1)).over(uw))).alias("iuf"),
+    usize = ui.groupBy("user_id").agg(
+        (F.lit(1.0) / F.log(F.lit(1) + F.count(F.lit(1)))).alias("iuf")
     )
+    a = ui.select("user_id", F.col("item_id").alias("item_i"))
     b = ui.select("user_id", F.col("item_id").alias("item_j"))
     iufnum = (
         a.join(b.hint("shuffle_hash"), "user_id")
         .where(F.col("item_i") < F.col("item_j"))
+        .join(usize, "user_id")
         .groupBy("item_i", "item_j")
         .agg((F.sum(rlong(F.col("iuf") * F.lit(1e9))) / F.lit(1e9)).alias("s_iuf"))
     )

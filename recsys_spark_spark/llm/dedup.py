@@ -978,7 +978,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-row range (the only nested-loop join in the chain — over 16 rows);
     the signature build is one shuffle keyed by doc_id."""
     def build() -> DataFrame:
-        return _mh_signature_frame(spark, table(spark, sf_dir, "documents"))
+        # r8: spread the single-row-group corpus scan — shingling + md5 +
+        # the 16-lane fan-out otherwise run single-core on the scan's one
+        # task (4.3 s 1-task stage at sf0.1; identity on a real multi-file
+        # table). Same fix as the committed containment/bpe spread family.
+        return _mh_signature_frame(spark, spread(spark, table(spark, sf_dir, "documents")))
 
     key = (spark.sparkContext.applicationId, sf_dir)
     return memo_persist(_MH_SIGS, key, build)
