@@ -689,31 +689,67 @@ def _near_dup_edges(spark: SparkSession, d: DataFrame) -> DataFrame:
         .distinct()
     )
     tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     t1 = tok.select(F.col("doc_id").alias("d1"), "token")
     t2 = tok.select(F.col("doc_id").alias("d2"), "token")
-    # r8 note (examined, deliberately left): the verification fan-out
-    # (candidate x |tokens(d1)| probe rows into the (d2, token)
-    # intersection join) runs ~19 s CPU on 8 AQE-coalesced tasks at sf0.1.
-    # An explicit width-pinned repartition on d1 was tried and REVERTED on
-    # measurement: it demoted the token joins from broadcast to shuffle
-    # (CPU 19 s -> 60 s per stage) and its wider partitioning leaked into
-    # the downstream label-propagation checkpoints (6 extra 66-task tiny
-    # stages per round). The 8-wide broadcast-probe shape is the better
-    # plan; the residual cost is true candidate-verification mass.
+    # Size + 256-bit-bitmask prefilter before the exact token intersect (the
+    # q_dedup_containment mask pattern; guide §3.2 reduce-before-the-
+    # expensive-operator). Both prunes are NECESSARY conditions for
+    # J = c/(n1+n2-c) >= 0.9 (integer arithmetic, c = |A∩B| <= min(n1,n2)):
+    #   * size:  J >= 0.9 ⟺ 19c >= 9(n1+n2) ⟹ 10·min(n1,n2) >= 9·max(n1,n2);
+    #   * mask:  the c common tokens set at most popcount(m1|m2) =: pu bits
+    #     and pu <= |A∪B| = u, so 10c >= 9u ⟹ 10(n1+n2) >= 19u >= 19·pu.
+    # Only provable non-edges are pruned; survivors take the unchanged exact
+    # intersect, so the edge set (and the rounded jaccard) is byte-identical.
+    # At the fixture token counts (~23 distinct tokens/doc vs 256 bits) mask
+    # collisions are rare, so the popcount bound tracks the true union and
+    # the survivor set approaches the true edges: measured at sf0.1,
+    # 405,168 candidates -> 101,806 survivors (75% pruned; the true edge
+    # count is 67,800) before any token fan-out.
+    _mask_cols = [
+        F.bit_or(
+            F.expr(
+                f"CASE WHEN pmod(xxhash64(token), 256) DIV 64 = {w} "
+                "THEN shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(token), 64) AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias(f"mk{w}")
+        for w in range(4)
+    ]
+    meta = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *_mask_cols)
+    m1 = meta.select(
+        F.col("doc_id").alias("d1"), F.col("n").alias("n1"),
+        *[F.col(f"mk{w}").alias(f"a{w}") for w in range(4)],
+    )
+    m2 = meta.select(
+        F.col("doc_id").alias("d2"), F.col("n").alias("n2"),
+        *[F.col(f"mk{w}").alias(f"b{w}") for w in range(4)],
+    )
+    pu = sum(
+        F.bit_count(F.col(f"a{w}").bitwiseOR(F.col(f"b{w}"))) for w in range(4)
+    )
+    pre = (
+        cand.join(m1, "d1")
+        .join(m2, "d2")
+        .where(F.least("n1", "n2") * 10 >= F.greatest("n1", "n2") * 9)
+        .where((F.col("n1") + F.col("n2")) * 10 >= pu * 19)
+        .select("d1", "d2", "n1", "n2")
+    )
+    # r8 note (examined, deliberately left): an explicit width-pinned
+    # repartition on d1 before the token fan-out was tried and REVERTED on
+    # measurement — it demoted the token joins from broadcast to shuffle
+    # (stage CPU 19 s -> 60 s) and its wider partitioning leaked into the
+    # downstream label-propagation checkpoints (6 extra 66-task tiny stages
+    # per round). The 8-wide broadcast-probe shape is the better plan; the
+    # prefilter above attacks the candidate mass instead.
     inter = (
-        cand.join(t1, "d1")
+        pre.join(t1, "d1")
         .join(t2, ["d2", "token"])
-        .groupBy("d1", "d2")
+        .groupBy("d1", "d2", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
     return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .where(jac >= 0.9)
+        inter.where(jac >= 0.9)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
     )
 

@@ -1326,3 +1326,56 @@ def test_containment_mask_prefilter_edge_cases(spark, tmp_path):
     assert got == expect
     assert (2, "en", 20, 1, 1, 1) in got          # subset under saturation
     assert all(r[0] != 3 for r in got)            # near-miss rejected
+
+
+def test_near_dup_jaccard_prefilter_edge_cases(spark, tmp_path):
+    """r8 size/bitmask-prefilter edge cases for the shared near-dup edge
+    builder (q_dedup_near_bucketed / q_dedup_clusters): pairs exactly AT the
+    J = 0.9 threshold must survive both prunes (one of them also sits
+    exactly on the size-prune boundary 10*min(n1,n2) == 9*max(n1,n2)), and
+    near-misses just below 0.9 must be rejected whether the mask prunes
+    them (zero collisions -> the popcount bound alone proves J < 0.9) or
+    the exact intersect does (collisions let them slip through the mask).
+    Brute-force all-pairs referent over the same blocking predicates."""
+
+    def tok(i: int) -> str:
+        return f"w{chr(97 + i // 26 % 26)}{chr(97 + i % 26)}{chr(97 + i // 676)}"
+
+    t = [tok(i) for i in range(40)]
+    docs = {
+        # P1: 19/19 tokens, 18 common -> J = 18/20 = 0.9 exactly (kept)
+        1: " ".join(t[:19]),
+        2: " ".join(t[:18] + ["qqqa"]),
+        # P2: 9 vs 10 tokens, 9 common -> J = 9/10 = 0.9 exactly AND the
+        # size prune at equality: 10*9 == 9*10 (kept)
+        3: " ".join(t[20:29]),
+        4: " ".join(t[20:29] + ["qqqb"]),
+        # P3: 18/18 tokens, 17 common -> J = 17/19 ~ 0.8947 (near-miss: out)
+        5: " ".join(t[:17] + ["qqqc"]),
+        # P4 vs doc 4: 8 tokens vs 10 -> size-pruned (J <= 8/10 < 0.9: out)
+        6: " ".join(t[20:28]),
+    }
+    df = pd.DataFrame(
+        [(d, txt, "en", "s0") for d, txt in docs.items()],
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    df["n_chars"] = df.text.str.len().astype("int64")
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = {
+        (r.d1, r.d2): r.jaccard
+        for r in QUERIES["q_dedup_near_bucketed"](spark, str(tmp_path)).collect()
+    }
+    sets = {d: set(txt.split(" ")) for d, txt in docs.items()}
+    lens = {d: len(txt) for d, txt in docs.items()}
+    expect = {}
+    for a in docs:
+        for b in docs:
+            if a >= b or abs(lens[a] - lens[b]) > 32:
+                continue
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= 0.9:
+                expect[(a, b)] = round(j, 6)
+    assert got == expect
+    assert got[(1, 2)] == 0.9 and got[(3, 4)] == 0.9   # threshold pairs kept
+    assert (1, 5) not in got and (4, 6) not in got     # near-miss / size out
