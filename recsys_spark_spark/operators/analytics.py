@@ -355,15 +355,24 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-iteration localCheckpoint on node-sized pr truncates lineage so
     # each broadcast build is a node-sized local job instead of a re-run
     # of every earlier iteration (the eigencentrality 2^i lesson).
-    ej = edges.join(F.broadcast(deg), "src")  # (src, dst, outdeg) — narrow
+    # Per-SRC contribution value, computed on the NODE-sized side before the
+    # broadcast (guide §1.2 step 2 — per-task work): every edge with the same
+    # src carries the identical rlong(d·pr_s/outdeg), so evaluating the
+    # division+rounding per edge row (25.4M times at sf0.1) and probing TWO
+    # broadcast maps per row (deg, then pr) was pure per-edge overhead. The
+    # value is now computed once per node (640k rows) in the broadcast-build
+    # job, and the matvec stage is a single probe + long sum. The per-dst sum
+    # adds the same multiset of longs in either form — exact associative
+    # integer addition, result unchanged.
+    degb = deg.select(F.col("src").alias("node"), "outdeg")
     for _ in range(PR_ITERATIONS):
+        cs = pr.join(F.broadcast(degb), "node").select(
+            F.col("node").alias("src"),
+            rlong(F.lit(PR_DAMPING) * F.col("pr_s") / F.col("outdeg")).alias("c_s"),
+        )
         contrib = (
-            ej.join(F.broadcast(pr), ej.src == pr.node)
-            .select(
-                F.col("dst").alias("node"),
-                rlong(F.lit(PR_DAMPING) * F.col("pr_s") / F.col("outdeg")).alias("c_s"),
-            )
-            .groupBy("node")
+            edges.join(F.broadcast(cs), "src")
+            .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c_s").alias("in_s"))
         )
         pr = (
