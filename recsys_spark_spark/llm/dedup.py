@@ -663,6 +663,25 @@ def _exact_dup_groups(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     return docs, groups
 
 
+def _token_mask_cols(tokcol: str) -> list:
+    """256-bit token-bitmask aggregate columns (4 longs, bit
+    pmod(xxhash64(tok), 256)) — the shared prefilter primitive of the
+    exact dedup/similarity verifiers (containment #20, near-dup edges
+    #25, setjoin #27): a token's bit is set in a doc's mask iff the doc
+    contains the token, so popcount identities give sound bounds on
+    intersection/union without touching the token arrays."""
+    return [
+        F.bit_or(
+            F.expr(
+                f"CASE WHEN pmod(xxhash64({tokcol}), 256) DIV 64 = {w} "
+                f"THEN shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64({tokcol}), 64) AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias(f"mk{w}")
+        for w in range(4)
+    ]
+
+
 def _near_dup_edges(spark: SparkSession, d: DataFrame) -> DataFrame:
     """The J2c blocked token-Jaccard chain over any (doc_id, lang, n_chars,
     text) frame — shared by the doc-level pair query and the
@@ -705,17 +724,9 @@ def _near_dup_edges(spark: SparkSession, d: DataFrame) -> DataFrame:
     # the survivor set approaches the true edges: measured at sf0.1,
     # 405,168 candidates -> 101,806 survivors (75% pruned; the true edge
     # count is 67,800) before any token fan-out.
-    _mask_cols = [
-        F.bit_or(
-            F.expr(
-                f"CASE WHEN pmod(xxhash64(token), 256) DIV 64 = {w} "
-                "THEN shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(token), 64) AS INT)) "
-                "ELSE CAST(0 AS BIGINT) END"
-            )
-        ).alias(f"mk{w}")
-        for w in range(4)
-    ]
-    meta = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *_mask_cols)
+    meta = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *_token_mask_cols("token")
+    )
     m1 = meta.select(
         F.col("doc_id").alias("d1"), F.col("n").alias("n1"),
         *[F.col(f"mk{w}").alias(f"a{w}") for w in range(4)],
@@ -1538,6 +1549,37 @@ def q_sim_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", "n1", "n2")
         .distinct()
     )
+    # 256-bit-bitmask prune before the exact intersect (the #25 pattern;
+    # guide §3.2): at tau = 0.95 the prefix is only ~ceil(0.05n)+1 tokens
+    # and this corpus's "rare" tokens still collide across similar-length
+    # docs, so the candidate join is weakly selective — measured at sf0.1,
+    # 367,162 candidates of which only 1,646 (0.45%) pass the exact
+    # verify. The c common tokens set at most pu := popcount(m1|m2) <=
+    # |A∪B| bits, and J >= NUM/DEN ⟺ c·(NUM+DEN) >= NUM·(n1+n2), so
+    # (n1+n2)·DEN >= pu·(NUM+DEN) is NECESSARY — only provable non-pairs
+    # are pruned and survivors take the unchanged exact intersect (the
+    # losslessness test pins the result against the naive all-pairs join).
+    masksd = toks.groupBy("doc_id").agg(*_token_mask_cols("t"))
+    mm1 = masksd.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"mk{w}").alias(f"a{w}") for w in range(4)],
+    )
+    mm2 = masksd.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"mk{w}").alias(f"b{w}") for w in range(4)],
+    )
+    pu = sum(
+        F.bit_count(F.col(f"a{w}").bitwiseOR(F.col(f"b{w}"))) for w in range(4)
+    )
+    cand = (
+        cand.join(mm1, "d1")
+        .join(mm2, "d2")
+        .where(
+            (F.col("n1") + F.col("n2")) * SSJ_TAU_DEN
+            >= pu * (SSJ_TAU_NUM + SSJ_TAU_DEN)
+        )
+        .select("d1", "d2", "n1", "n2")
+    )
     x = dd.select(
         F.col("doc_id").alias("d1"), F.col("tset").alias("ts1"),
         F.col("gid").alias("gid1"),
@@ -1725,17 +1767,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dozens of their remaining tokens each get an independent ~68% chance
     # of hitting a clear bit. Degrades gracefully: a huge document
     # saturates its mask and simply passes to the exact check.
-    _mask_cols = [
-        F.bit_or(
-            F.expr(
-                f"CASE WHEN pmod(xxhash64(t), 256) DIV 64 = {w} "
-                "THEN shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(t), 64) AS INT)) "
-                "ELSE CAST(0 AS BIGINT) END"
-            )
-        ).alias(f"mk{w}")
-        for w in range(4)
-    ]
-    masks = gtok.groupBy("gid").agg(*_mask_cols)
+    masks = gtok.groupBy("gid").agg(*_token_mask_cols("t"))
     dfreq = gtok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("dfreq"))
     wr = Window.partitionBy("gid").orderBy("dfreq", "t")
     rare = (

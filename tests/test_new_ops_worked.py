@@ -1379,3 +1379,49 @@ def test_near_dup_jaccard_prefilter_edge_cases(spark, tmp_path):
     assert got == expect
     assert got[(1, 2)] == 0.9 and got[(3, 4)] == 0.9   # threshold pairs kept
     assert (1, 5) not in got and (4, 6) not in got     # near-miss / size out
+
+
+def test_setjoin_mask_prefilter_tau_boundary(spark, tmp_path):
+    """r8 bitmask-prune boundary for q_sim_setjoin_prefix (tau = 19/20):
+    a 19-subset-of-20 pair sits EXACTLY at J = 19/20 and must survive the
+    popcount prune (20*(n1+n2) >= 39*pu holds with equality only under
+    collisions), while an 18-subset-of-19 pair (J = 18/19 ~ 0.947) must be
+    rejected by the mask or the exact intersect. Brute-force referent over
+    the same predicates."""
+
+    def tok(i: int) -> str:
+        return f"w{chr(97 + i // 26 % 26)}{chr(97 + i % 26)}{chr(97 + i // 676)}"
+
+    t = [tok(i) for i in range(40)]
+    docs = {
+        1: " ".join(t[:19]),        # A ⊂ B, J = 19/20 = 0.95 exactly: kept
+        2: " ".join(t[:20]),
+        3: " ".join(t[20:38]),      # C ⊂ D, J = 18/19 ~ 0.947: out
+        4: " ".join(t[20:39]),
+    }
+    df = pd.DataFrame(
+        [(d, txt, "en", "s0") for d, txt in docs.items()],
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    df["n_chars"] = df.text.str.len().astype("int64")
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = {
+        (r.d1, r.d2): (r.inter, r.n1, r.n2, r.jacc_ppm)
+        for r in QUERIES["q_sim_setjoin_prefix"](spark, str(tmp_path)).collect()
+    }
+    sets = {d: set(txt.split(" ")) for d, txt in docs.items()}
+    expect = {}
+    for a in docs:
+        for b in docs:
+            if a >= b or len(sets[a]) < 10 or len(sets[b]) < 10:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * 20 >= union * 19:
+                expect[(a, b)] = (
+                    inter, len(sets[a]), len(sets[b]), inter * 1000000 // union
+                )
+    assert got == expect
+    assert got[(1, 2)] == (19, 19, 20, 950000)   # exactly at tau: kept
+    assert (3, 4) not in got                     # just below tau: out
