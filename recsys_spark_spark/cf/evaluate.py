@@ -366,16 +366,19 @@ def q_eval_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     items; a popularity recommender scores the floor. Completes the
     beyond-accuracy metric set next to q_eval_metrics' coverage.
 
-    Shape: the engine side CALLS the registered flagship builder (its
-    persisted interaction matrix is reused, not recomputed); the item
+    Shape: the engine side consumes the flagship builder chain via the
+    session-memoized flagship_recs frame (its persisted interaction matrix
+    AND the derived recommendation frame are reused, not recomputed); the item
     novelty table is item-catalog-sized and BROADCASTS onto the
     recommendation stream; one user-keyed aggregate closes. The oracle
     SPLICES the registered flagship oracle verbatim (guarded — the
     q_stat_bootstrap_ci discipline). Exactness: each item's -ln share is
     nano-rounded to an INTEGER once, so per-user sums are exact."""
-    from recsys_spark_spark.cf.itemcf import q_cf_recommend
+    from recsys_spark_spark.cf.itemcf import flagship_recs
 
-    recs = q_cf_recommend(spark, sf_dir).select("user_id", "item_id")
+    # r9: consume the session-memoized flagship frame (same builder chain as
+    # q_cf_recommend — one shared build per session across novelty/hybrid).
+    recs = flagship_recs(spark, sf_dir).select("user_id", "item_id")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pop = (

@@ -118,6 +118,36 @@ def capped_interactions(spark: SparkSession, sf_dir: str, cap: int = MAX_USER_HI
     return memo_persist(_CAPPED, key, build)
 
 
+# (applicationId, sf_dir) -> persisted flagship recommendation frame
+# (r9, VERDICT r8 #7 "eval-family session economics"): the flagship's
+# DOWNSTREAM consumers — q_eval_novelty and q_cf_hybrid_rec's warm branch —
+# each re-derived neighbors+recommend from the persisted matrix per call
+# (~4-6 s of repeated chain CPU per query at sf0.1, ~60-130 s at sf1). One
+# memoized build per session serves them all; same within-session-only
+# discipline as _CAPPED (keyed on applicationId, dies with the process;
+# bench.py's clearCache before every timed sample forces a full recompute
+# inside the timed action, so nothing is amortized across bench runs).
+# q_cf_recommend itself deliberately does NOT consume the memo: its
+# two-exchange plan is digest-pinned (tests/test_plans.py) and it is the
+# driver's headline query — its declared plan stays byte-identical.
+_RECS: dict[tuple[str, str], DataFrame] = {}
+
+
+def flagship_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship top-5 recommendation frame, memo-persisted per session
+    for its downstream consumers (novelty, hybrid). Same rows as
+    q_cf_recommend by construction — it IS the same builder chain."""
+    def build() -> DataFrame:
+        ui = capped_interactions(spark, sf_dir)
+        neighbors = topk_neighbors_fused(ui, item_norms(ui)).select(
+            "item_i", "item_j", "sim"
+        )
+        return recommend(ui, neighbors)
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return memo_persist(_RECS, key, build)
+
+
 def audience_capped(ui: DataFrame, cap: int = MAX_ITEM_AUDIENCE) -> DataFrame:
     """Interaction rows with per-item audience capped to the `cap` smallest
     user_ids — the hot-ITEM skew guard for USER-pair generation (the mirror
@@ -1221,11 +1251,13 @@ def q_cf_hybrid_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-candidates + collect_set membership shape restricted to the
     cold slice. Cold users never enter the CF joins at all."""
     ui = capped_interactions(spark, sf_dir)
-    neighbors = topk_neighbors_fused(ui, item_norms(ui)).select("item_i", "item_j", "sim")
     hist = ui.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_items"))
     cold = hist.where(F.col("n_items") < WARM_MIN_ITEMS).select("user_id")
+    # r9: the warm branch consumes the session-memoized flagship frame
+    # (flagship_recs) instead of re-deriving neighbors+recommend — same
+    # builder chain, built once per session across novelty/hybrid.
     warm = (
-        recommend(ui, neighbors)
+        flagship_recs(spark, sf_dir)
         .join(cold.hint("shuffle_hash"), "user_id", "left_anti")
         .select(
             "user_id", "item_id", F.col("score").cast("double").alias("score"),

@@ -76,30 +76,96 @@ WHERE n_common / (s1.n + s2.n - n_common) >= 0.9
 """,
 )
 def q_dedup_near_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2: blocked token-Jaccard near-dup candidates (threshold 0.9)."""
-    d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = d.select(F.col("doc_id").alias("d1"), "lang", "n_chars")
-    b = d.select(F.col("doc_id").alias("d2"), "lang", "n_chars")
-    cand = a.join(b, ["lang", "n_chars"]).where(F.col("d1") < F.col("d2")).select("d1", "d2")
-    t1 = tok.select(F.col("doc_id").alias("d1"), "token")
-    t2 = tok.select(F.col("doc_id").alias("d2"), "token")
+    """J2: blocked token-Jaccard near-dup candidates (threshold 0.9).
+
+    Duplicate-mass cap + mask prefilter (r9, VERDICT r8 #4 — this was the
+    registry's worst sf1 entry at 9.7x for 10x data): exact copies flood a
+    (lang, n_chars) block, so candidate pairs and the token-intersection hit
+    mass both grow as copies². Two proven r8 patterns close it:
+
+      * rep-collapse (_exact_dup_groups, the q_dedup_ngram shape): the
+        blocked join + token intersect run on ONE representative per
+        (md5(text), lang, n_chars) class. Identical text ⇒ identical token
+        set and size ⇒ every member pair of a rep pair shares the rep pair's
+        EXACT n_common and jaccard; within-class pairs are jaccard exactly
+        1.0 (n/n — split() always yields ≥1 token, matching DuckDB
+        string_split, so every identical-text pair clears the 0.9 threshold
+        on both engines). Doc pairs reconstruct through output-sized member
+        joins; the quadratic engine work is class-level.
+      * 256-bit token-bitmask + size prune (_token_mask_cols, the
+        _near_dup_edges algebra — both are NECESSARY conditions for
+        J = c/(n1+n2-c) >= 0.9 with c <= min(n1,n2) and
+        popcount(m1|m2) =: pu <= |A∪B| = u:
+        10c >= 9u ⟹ 10·min(n1,n2) >= 9·max(n1,n2) and
+        10(n1+n2) >= 19u >= 19·pu), so only provable non-pairs are pruned
+        before the token fan-out; survivors take the unchanged exact
+        intersect and the rounded jaccard is byte-identical."""
+    docs, groups = _exact_dup_groups(table(spark, sf_dir, "documents"))
+    reps = groups.select("doc_id", "lang", "n_chars", "text")
+    tok = reps.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    meta = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *_token_mask_cols("token")
+    )
+    a = reps.select(F.col("doc_id").alias("r1"), "lang", "n_chars")
+    b = reps.select(F.col("doc_id").alias("r2"), "lang", "n_chars")
+    cand = a.join(b, ["lang", "n_chars"]).where(F.col("r1") < F.col("r2")).select("r1", "r2")
+    m1 = meta.select(
+        F.col("doc_id").alias("r1"), F.col("n").alias("n1"),
+        *[F.col(f"mk{w}").alias(f"a{w}") for w in range(4)],
+    )
+    m2 = meta.select(
+        F.col("doc_id").alias("r2"), F.col("n").alias("n2"),
+        *[F.col(f"mk{w}").alias(f"b{w}") for w in range(4)],
+    )
+    pu = sum(
+        F.bit_count(F.col(f"a{w}").bitwiseOR(F.col(f"b{w}"))) for w in range(4)
+    )
+    pre = (
+        cand.join(m1, "r1")
+        .join(m2, "r2")
+        .where(F.least("n1", "n2") * 10 >= F.greatest("n1", "n2") * 9)
+        .where((F.col("n1") + F.col("n2")) * 10 >= pu * 19)
+        .select("r1", "r2", "n1", "n2")
+    )
+    t1 = tok.select(F.col("doc_id").alias("r1"), "token")
+    t2 = tok.select(F.col("doc_id").alias("r2"), "token")
     inter = (
-        cand.join(t1, "d1")
-        .join(t2, ["d2", "token"])
-        .groupBy("d1", "d2")
+        pre.join(t1, "r1")
+        .join(t2, ["r2", "token"])
+        .groupBy("r1", "r2", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
-    return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .where(jac >= 0.9)
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    rep_pairs = inter.where(jac >= 0.9).select(
+        "r1", "r2", F.round(jac, 6).alias("jaccard")
     )
+    # Expansion back to doc pairs (output-sized): cross-class pairs through
+    # the member join, within-class pairs at jaccard exactly 1.0.
+    mem = docs.join(
+        groups.select("h", "lang", "n_chars", F.col("doc_id").alias("rep")),
+        ["h", "lang", "n_chars"],
+    ).select("rep", "doc_id")
+    ma = mem.select(F.col("rep").alias("r1"), F.col("doc_id").alias("da"))
+    mb = mem.select(F.col("rep").alias("r2"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.join(ma, "r1")
+        .join(mb, "r2")
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+            "jaccard",
+        )
+    )
+    wa = mem.select("rep", F.col("doc_id").alias("d1"))
+    wb = mem.select("rep", F.col("doc_id").alias("d2"))
+    within = (
+        wa.join(wb, "rep")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 @query(

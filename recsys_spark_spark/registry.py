@@ -206,7 +206,7 @@ _R7_WINDOW = (  # retained for provenance; superseded by _R8_WINDOW below
 # round-3 CORRECTNESS keys minus the two sinks above) — make _R9_WINDOW
 # those 47 plus the 3 oldest r4 rows; recompute from CORRECTNESS_r0{3..8}
 # (latest-round per key) rather than trusting this comment.
-_R8_WINDOW = (
+_R8_WINDOW = (  # retained for provenance; superseded by _R9_WINDOW below
     # -- never-driver-verified backlog (24), graph family first --
     "q_graph_triangles",
     "q_graph_jaccard",
@@ -262,6 +262,80 @@ _R8_WINDOW = (
     "q_sink_kv_export",
 )
 
+# Round-9 driver window — executes the _R9 planning note above, recomputed
+# (not trusted from the comment) from CORRECTNESS_r0{1..8} latest-round per
+# key: the latest-round histogram is {r3: 47, r4: 49, r5: 50, r6: 49, r7: 50,
+# r8: 50}, so the oldest driver rows are exactly the 47 remaining r3-cohort
+# keys (the scans/sources, filters/projections, joins, windows, aggregates
+# blocks plus the temporal/chunking heads and q_sink_parquet — the round-3
+# CORRECTNESS keys minus the two sinks re-verified in _R8), padded to 50 with
+# the 3 oldest r4 rows (first three still-latest-r4 keys in
+# CORRECTNESS_r04.json file order: q_agg_argmax, q_window_first_last,
+# q_dedup_canonical). After this window verifies, every registry key's latest
+# driver row is ≤ 5 rounds old. The full per-key cross-reference (which
+# CORRECTNESS_r0N file holds each key's latest green row) is committed as
+# ROTATION_XREF_r09.json.
+_R9_WINDOW = (
+    # -- scans / sources (r3 cohort) --
+    "q_scan_filter_pushdown",
+    "q_scan_project",
+    "q_source_csv_json",
+    "q_source_orc",
+    "q_source_partitioned",
+    # -- filters / projections / views (r3) --
+    "q_filter_range",
+    "q_filter_in_null",
+    "q_project_expr",
+    "q_distinct",
+    "q_sql_view",
+    # -- joins (r3) --
+    "q_join_inner",
+    "q_join_outer",
+    "q_join_cross",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_bucketed",
+    "q_join_salted",
+    "q_join_multiway",
+    "q_join_self_pairs",
+    "q_join_theta_range",
+    "q_join_asof",
+    # -- windows (r3) --
+    "q_window_running",
+    "q_window_rank",
+    "q_window_lag_lead",
+    "q_window_moving",
+    "q_window_ntile",
+    "q_window_range_frame",
+    # -- aggregates (r3) --
+    "q_agg_groupby",
+    "q_agg_distinct",
+    "q_agg_having",
+    "q_agg_stats",
+    "q_agg_approx",
+    "q_agg_collect",
+    "q_agg_pivot",
+    "q_agg_cube",
+    "q_agg_rollup",
+    "q_agg_grouping_sets",
+    # -- temporal (r3) --
+    "q_ts_ffill",
+    "q_ts_gapfill",
+    "q_ts_rollup_cascade",
+    "q_scd2_events",
+    "q_cdc_diff",
+    # -- chunking / packing / embeddings / sink (r3) --
+    "q_chunk_fixed",
+    "q_pack_sequences",
+    "q_embed_quantize",
+    "q_sink_parquet",
+    # -- 3 oldest r4 rows (CORRECTNESS_r04.json file order) --
+    "q_agg_argmax",
+    "q_window_first_last",
+    "q_dedup_canonical",
+)
+
 _loaded = False
 
 
@@ -285,10 +359,10 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
     if not _loaded:
         for mod in _QUERY_MODULES:
             importlib.import_module(mod)
-        missing = [n for n in _R8_WINDOW if n not in QUERIES]
+        missing = [n for n in _R9_WINDOW if n not in QUERIES]
         if missing:
             raise RuntimeError(f"window names not registered: {missing}")
-        ordered = list(_R8_WINDOW) + [n for n in QUERIES if n not in set(_R8_WINDOW)]
+        ordered = list(_R9_WINDOW) + [n for n in QUERIES if n not in set(_R9_WINDOW)]
         for reg in (QUERIES, ORACLES):
             tail = {n: reg.pop(n) for n in ordered if n in reg}
             reg.update(tail)  # dicts preserve insertion order -> window first

@@ -351,3 +351,70 @@ def test_ngram_matches_bruteforce_on_random_duplicates(spark, tmp_path, seed):
     # the engineered cross-class candidate: distinct texts, same n_chars,
     # 0 < jaccard < 1 — proves rep-pair member expansion is exercised
     assert any(0 < j < 1 for *_, j in got), "no cross-class pair fired"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_near_sql_matches_bruteforce_on_random_duplicates(spark, tmp_path, seed):
+    """r9 rep-collapse + mask prefilter of q_dedup_near_sql (VERDICT r8 #4):
+    brute-force python token-set Jaccard over (lang, n_chars)-blocked pairs
+    at threshold 0.9 must equal the representative-collapsed +
+    member-expanded output. The corpus's alias doc (same token SET as
+    bases[0] in a different ORDER — different md5 class, jaccard exactly
+    1.0) and the one-token-replaced near-dup (J = 39/41) exercise the
+    cross-class expansion; exact-copy multiplicities exercise the
+    within-class jaccard=1.0 branch. The corpus's own near-dup swaps in a
+    4-char token ("zzzz" vs the pool's 3-char tokens), which the n_chars
+    block rightly excludes — so, as in the ngram test, two exact copies of
+    a SAME-length one-token-replaced variant of the 40-token text are
+    appended (J = 39/41 >= 0.9, same lang and n_chars by construction) so
+    the cross expansion provably fires under every seed."""
+    sf = _random_duplicate_corpus(tmp_path, seed)
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    rng = random.Random(seed + 1)
+    big_row = docs.loc[docs.text.str.split().str.len().idxmax()]
+    toks = big_row.text.split()
+    swap = rng.randrange(len(toks))
+    repl = next(
+        t for t in (rng.sample([a + b + c for a in "abcde" for b in "fghij"
+                                for c in "klmno"], 60))
+        if t not in toks and len(t) == len(toks[swap])
+    )
+    toks2 = list(toks)
+    toks2[swap] = repl
+    extra = pd.DataFrame(
+        [
+            (int(docs.doc_id.max()) + k + 1, " ".join(toks2), big_row.lang,
+             big_row.source, len(" ".join(toks2)))
+            for k in range(2)  # multiplicity 2: cross pairs expand 2x m_big
+        ],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs = pd.concat([docs, extra], ignore_index=True)
+    docs.to_parquet(f"{sf}/documents.parquet", index=False)
+
+    got = {
+        (r.d1, r.d2, r.jaccard)
+        for r in QUERIES["q_dedup_near_sql"](spark, sf).collect()
+    }
+    meta = {
+        int(r.doc_id): (r.lang, len(r.text), frozenset(r.text.split()))
+        for r in docs.itertuples()
+    }
+    expect = set()
+    for (i, (li, ci, si)), (j, (lj, cj, sj)) in itertools.combinations(
+        sorted(meta.items()), 2
+    ):
+        if li != lj or ci != cj:
+            continue
+        inter, union = len(si & sj), len(si | sj)
+        if inter * 10 >= union * 9:
+            expect.add((i, j, round(inter / union, 6)))
+    assert got == expect and len(got) > 0
+    # both reconstruction branches fired:
+    text_by_id = {int(r.doc_id): r.text for r in docs.itertuples()}
+    assert any(text_by_id[i] != text_by_id[j] for i, j, _ in got), (
+        "no cross-class pair fired"
+    )
+    assert any(text_by_id[i] == text_by_id[j] for i, j, _ in got), (
+        "no within-class (exact-copy) pair fired"
+    )

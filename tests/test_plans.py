@@ -23,6 +23,12 @@ QUERIES, _ = load_all()
 
 
 def plan_of(spark, name: str) -> str:
+    # Pin the RAW plan: earlier tests in the shared session may have
+    # populated session-memoized persisted frames (flagship_recs, _TRAIN),
+    # and the CacheManager substitutes canonically-identical subtrees with
+    # InMemoryRelation — which would hide exactly the join/filter shapes
+    # these tests exist to pin.
+    spark.catalog.clearCache()
     return executed_plan(QUERIES[name](spark, SF_SMOKE))
 
 
@@ -141,6 +147,7 @@ def test_flagship_is_two_exchange_plan(spark):
     Counted from the *executed* adaptive plan as materialized
     ShuffleQueryStages (broadcast stages and pre-AQE initial-plan prints are
     excluded by construction)."""
+    spark.catalog.clearCache()  # count the RAW chain, not a cached substitute
     df = QUERIES["q_cf_recommend"](spark, SF_SMOKE)
     n = shuffle_stage_count(executed_plan(df, materialize=True))
     assert n <= 2, f"flagship grew to {n} shuffle stages"
