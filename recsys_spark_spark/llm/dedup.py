@@ -610,9 +610,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB hash() differs, so both sides use the last 8 hex digits of
     md5(token) as a 32-bit integer. Near-dup docs then differ in few bits
     (hamming distance over simhash16 — a bucket-join key at scale).
+
+    r9 (SF1_TAIL_PROBE, guide §2.6/§1.2): the tokenize+md5 fan-out is pure
+    per-row CPU bound to the single-row-group scan's 1-2 tasks (sf1 noop
+    15.4 s, 9.9× for 10× data on a 32-core session) — spread() round-robins
+    the doc scan across the session first; identity at scale (guarded).
     """
     d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
+    tok = spread(spark, d.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
     hashed = tok.select(
         "doc_id",
         F.conv(F.substring(F.md5("token"), 25, 8), 16, 10).cast("long").alias("h"),

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recsys_spark_spark.catalog import table
+from recsys_spark_spark.catalog import spread, table
 from recsys_spark_spark.registry import query
 
 HASH_DIM = 1024  # feature-vector dimensionality (hashing-trick buckets)
@@ -69,8 +69,14 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a row-local expression, so featurization is a map over the joined
     fact, and the only exchange is the orders⋈customer key join (which a
     bucketed layout removes, q_join_bucketed)."""
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    # r9 (SF1_TAIL_PROBE, guide §2.6): 3 md5+conv per row on a 1-4-task
+    # scan measured 8.9 s / 15.6× at sf1 — spread() the fact side across
+    # the session before the broadcast join; identity at scale (guarded).
+    o = spread(
+        spark,
+        table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+        ),
     )
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     from recsys_spark_spark.functions.determinism import rlong

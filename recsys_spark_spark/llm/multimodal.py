@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from recsys_spark_spark.catalog import table
+from recsys_spark_spark.catalog import spread, table
 from recsys_spark_spark.functions.determinism import rlong
 from recsys_spark_spark.llm import codecs
 from recsys_spark_spark.registry import query
@@ -219,7 +219,13 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # r9 (SF1_TAIL_PROBE, guide §2.6/§4): the decode→resample→re-encode
+    # pass is per-row CPU bound to the single-row-group scan's 1-2 tasks
+    # (sf1 noop 2.2 s / 5.9x on 32 cores) — spread() the projected scan so
+    # the Python workers run wide; identity at scale (guarded). Still
+    # shuffle-free at cluster scale: the round-robin only exists below
+    # session parallelism.
+    d = spread(spark, table(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.mapInPandas(
         resize_batch,
         "doc_id long, resized binary, out_w long, out_h long, out_bytes long",

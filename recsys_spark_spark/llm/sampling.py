@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recsys_spark_spark.catalog import table
+from recsys_spark_spark.catalog import spread, table
 from recsys_spark_spark.functions.determinism import dround, rlong
 from recsys_spark_spark.registry import query
 
@@ -561,8 +561,14 @@ def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-addressing contract as every sampler in this module). Plan:
     one row-local {BOOT_REPLICATES}x fan-out, one {BOOT_REPLICATES}-group
     aggregate with map-side partials; integer num/den keep each estimate
-    insertion-order independent."""
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    insertion-order independent.
+
+    r9 (SF1_TAIL_PROBE, guide §2.6/§1.2): the 20x explode + per-copy md5
+    is pure per-row CPU bound to the single-row-group scan's 1-4 tasks
+    (sf1 noop 26.1 s / 7.4x on a 32-core session) — spread() the base scan
+    first; identity at scale (guarded), and the content-addressed weights
+    make the result partitioning-independent by construction."""
+    o = spread(spark, table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"))
     drawn = o.select(
         "o_orderkey",
         F.explode(F.sequence(F.lit(1), F.lit(BOOT_REPLICATES))).alias("replicate_id"),

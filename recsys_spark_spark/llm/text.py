@@ -803,8 +803,14 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity per q_text_pmi). Scale shape: the LM is two keyed counts over
     the corpus; scoring joins doc bigrams to the LM keyed on the bigram —
     at 100 TB the bigram table is the shuffle, exactly the n-gram-count
-    pipeline shape, never per-doc state."""
-    d = table(spark, sf_dir, "documents")
+    pipeline shape, never per-doc state.
+
+    r9 (SF1_TAIL_PROBE, guide §2.6): the tokenize/bigram explodes are
+    per-row CPU bound to the single-row-group scan's 1-2 tasks (sf1 noop
+    5.2 s / 6.1x on 32 cores) — spread() the doc scan once for both
+    branches; identity at scale (guarded), sums are nano-rounded integers
+    so partitioning cannot change them."""
+    d = spread(spark, table(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     vocab = tok.agg(F.countDistinct("token").alias("v"))
     toks = d.select("doc_id", F.split("text", " ").alias("t"))

@@ -65,6 +65,14 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
         return price * (1 - discount)
 
+    # r9 examined, deliberately left (SF1_TAIL_PROBE): spread() was tried
+    # and REVERTED on measurement — the keyless repartition's
+    # sort-before-repartition of 6M rows cost 3x more than the widened
+    # ArrowEval saved (sf1 noop 2.5 s -> 7.1 s), because the UDF body is
+    # one vectorized multiply: too cheap to buy parallelism with a shuffle
+    # (guide §1.2 — fix per-task work only when it dominates). The 5.6x
+    # sf1 noop ratio is row-mass-linear Arrow transport, the declared
+    # surface of this query.
     l = table(spark, sf_dir, "lineitem")
     return l.select(
         "l_orderkey",
